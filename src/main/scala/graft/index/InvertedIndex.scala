@@ -1,0 +1,76 @@
+package graft.index
+
+import graft.analyze.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The three index artifacts the north star names, as pure batch
+  * aggregations (replacing the reference's per-page read-modify-write under
+  * global locks, /root/reference/src/main/java/searchengine/services/
+  * IndexingServiceImpl.java:138-193):
+  *
+  *   - postings  (term, doc_id, tf)   ≙ reference `index` table (tf = rank)
+  *   - termStats (term, df)           ≙ reference `lemma` table (df = frequency)
+  *   - docStats  (doc_id, dl)         — BM25 document length (post-stop tokens)
+  *
+  * All are hash aggregates with map-side partial aggregation; no UDFs on the
+  * hot path (tokenization is a codegen'd Column chain, Analyzer.tokensCol).
+  */
+object InvertedIndex {
+
+  /** Per-lang stop set as a Column CASE chain (constant-folded per branch).
+    * Corpora with a single effective stop set collapse to one branch. */
+  def termsForLang(text: Column, lang: Column): Column = {
+    val allLangSets = Analyzer.codeStop
+    allLangSets.foldRight(Analyzer.termsCol(text, Analyzer.naturalStop)) {
+      case ((l, stops), elseCol) =>
+        when(lang === lit(l), Analyzer.termsCol(text, stops)).otherwise(elseCol)
+    }
+  }
+
+  /** Exploded token stream: (doc_id, repo, term). Column pruning keeps the
+    * parquet scan at (doc_id, source, lang, text) only. */
+  def tokens(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"), col("repo"),
+      explode(termsForLang(col("content"), col("lang"))).as("term"))
+
+  /** tf per (doc, term) — reference A1 (`counterWord`, Lemmatizator.java:1),
+    * as one shuffle-partial hash aggregate. */
+  def postings(tokens: DataFrame): DataFrame =
+    tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** df per term — reference A2 (IndexingServiceImpl.java:171-193) without
+    * the lock-serialized increments: distinct (doc,term) then count.
+    * Implemented as a two-level aggregate so the wide distinct is partial
+    * on the map side. */
+  def termStats(tokens: DataFrame): DataFrame =
+    tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** df scoped per repo — the reference's per-site lemma table key
+    * (site FK on `lemma`, model/Lemma.java:24-27). */
+  def termStatsByRepo(tokens: DataFrame): DataFrame =
+    tokens.select("repo", "doc_id", "term").distinct()
+      .groupBy("repo", "term").agg(count(lit(1)).as("df"))
+
+  /** Document length (post-stop token count) for BM25 normalization. */
+  def docStats(tokens: DataFrame): DataFrame =
+    tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  /** derive postings + docStats from one tokens pass (reuses the exploded
+    * stream; Catalyst will still plan two jobs unless cached — callers that
+    * need all three should cache tokens at build time). */
+  case class Tables(postings: DataFrame, termStats: DataFrame, docStats: DataFrame,
+                    nDocs: Long, avgDl: Double)
+
+  def build(corpus: DataFrame, cacheTokens: Boolean = true): Tables = {
+    val toks = if (cacheTokens) tokens(corpus).cache() else tokens(corpus)
+    val p = postings(toks)
+    val ts = termStats(toks)
+    val ds = docStats(toks)
+    val nDocs = corpus.count()
+    val avgDl = ds.agg(avg(col("dl"))).head().getDouble(0)
+    Tables(p, ts, ds, nDocs, avgDl)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.query
+
+import graft.analyze.Analyzer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-side query analysis — the tiny-data steps of the reference's
+  * search path (/root/reference/src/main/java/searchengine/tools/
+  * SearcherPage.java:37-56), run before any Spark job is submitted:
+  *
+  *  1. analyze the query string (lemmatize + stop-filter)       [:39]
+  *  2. dictionary probe for df values (one broadcast-side job)   [:196-199]
+  *  3. missing-term short-circuit                                [:41-46,58-79]
+  *  4. common-term pruning: drop terms with df > mean + 2σ       [:48,142-154]
+  *  5. rarest-first (df asc) ordering                            [:47,201-206]
+  */
+object QueryFrontend {
+
+  case class TermInfo(term: String, df: Long)
+  /** terms: kept terms df-asc (tie: term asc); missing: absent from the
+    * dictionary; prunedCommon: dropped by the mean+2σ rule. */
+  case class Plan(terms: Seq[TermInfo], missing: Seq[String], prunedCommon: Seq[TermInfo]) {
+    def isEmpty: Boolean = terms.isEmpty
+  }
+
+  /** Reference-parity common-term prune (SearcherPage.java:142-154):
+    * integer-division mean, sample stddev (n−1) around that int mean,
+    * threshold = (avg + coef·σ) truncated to int; terms with df > threshold
+    * are dropped; the whole rule is skipped for < 2 terms. Quarantined here
+    * exactly as the reference computes it (SURVEY.md §7.4-4). */
+  def pruneCommon(terms: Seq[TermInfo], coef: Int = 2): (Seq[TermInfo], Seq[TermInfo]) = {
+    if (terms.size < 2) return (terms, Nil)
+    val n = terms.size
+    val sum = terms.map(_.df).sum
+    val avgInt = sum / n // integer division, as in the reference
+    val variance = terms.map(t => math.pow((t.df - avgInt).toDouble, 2)).sum / (n - 1)
+    val sigma = math.sqrt(variance)
+    val threshold = (avgInt + coef * sigma).toInt
+    terms.partition(_.df <= threshold)
+  }
+
+  /** One small Spark job: df lookup for ≤ a handful of query terms.
+    * The filter is an IN-list over `term` — partition-prunable when
+    * term_stats is written partitioned/sorted by term. */
+  def lookupDf(termStats: DataFrame, terms: Set[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    termStats.filter(col("term").isin(terms.toSeq.map(x => x: Any): _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  def plan(termStats: DataFrame, lang: String, query: String,
+           lexicon: Analyzer.Lexicon = Analyzer.emptyLexicon,
+           pruneCoef: Int = 2): Plan = {
+    val qTerms = Analyzer.queryTerms(lang, query, lexicon)
+    if (qTerms.isEmpty) return Plan(Nil, Nil, Nil)
+    val dfs = lookupDf(termStats, qTerms)
+    val missing = qTerms.diff(dfs.keySet).toSeq.sorted
+    if (missing.nonEmpty) return Plan(Nil, missing, Nil) // reference short-circuits (:41-46)
+    val infos = dfs.toSeq.map { case (t, d) => TermInfo(t, d) }
+    val (kept, dropped) = pruneCommon(infos, pruneCoef)
+    Plan(kept.sortBy(t => (t.df, t.term)), missing, dropped.sortBy(_.term))
+  }
+}

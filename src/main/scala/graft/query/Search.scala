@@ -1,0 +1,117 @@
+package graft.query
+
+import graft.index.InvertedIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query execution — the reference's steps 6-8 (/root/repo/SURVEY.md §3.1)
+  * as ONE Catalyst plan: posting fetch ⋈ intersection ⋈ scoring ⋈ top-k,
+  * crossing driver→executor exactly once, vs the reference's N+1 JDBC
+  * round-trips per query (SearcherPage.java:95,109,118).
+  *
+  * Physical shape (verified via .explain in SearchSpec):
+  *   postings scan (IN-list filter on term, pushed to parquet)
+  *   → shuffle-join with docStats on doc_id (or broadcast when docStats small)
+  *   → hash aggregate per doc_id (partial+final): n_terms + Σ bm25
+  *   → filter n_terms = k      (conjunctive intersection, J5b)
+  *   → TakeOrderedAndProject   (top-k, no global sort)
+  */
+object Search {
+
+  /** Conjunctive candidate set: docs containing ALL query terms — the k-way
+    * posting intersection (reference SearcherPage.java:108-130) as a single
+    * count-k aggregate. */
+  def conjunctive(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val k = terms.size
+    postings.filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === k).select("doc_id")
+  }
+
+  /** Equivalent chained left_semi form (J5a) — kept for the cross-check
+    * property test (SURVEY.md §2.4 J5: build both, assert equal). */
+  def conjunctiveSemi(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    terms.map(t => postings.filter(col("term") === t).select("doc_id"))
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+  }
+
+  /** BM25-scored conjunctive top-k: (rank, doc_id, score).
+    * dfs: term -> df (from the driver-side plan — terms are few, so df
+    * enters the plan as a literal CASE map, no dictionary join needed). */
+  def bm25TopK(postings: DataFrame, docStats: DataFrame,
+               dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+               k: Int, offset: Int = 0): DataFrame = {
+    val terms = dfs.keys.toSeq.sorted
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val scored = postings
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(docStats, "doc_id")
+      .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("score"))
+    val top = scored.orderBy(desc("score"), asc("doc_id"))
+      .offset(offset).limit(k)
+    // rank over ≤ k rows (single tiny partition after the limit)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(desc("score"), asc("doc_id"))) + offset)
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Reference-parity Σtf relevance (SearcherPage.java:91-107): absolute
+    * score = Σ tf cast to int; relative = abs / max(abs) — the int cast and
+    * the max-normalization replicated exactly (quarantined quirk, SURVEY.md
+    * §7.4-4). */
+  def sumTfTopK(postings: DataFrame, terms: Seq[String], k: Int, offset: Int = 0): DataFrame = {
+    val scored = postings.filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).cast("int").as("abs_rank"))
+      .filter(col("n_terms") === terms.size)
+    val withRel = scored.withColumn("rel_rank",
+      col("abs_rank").cast("double") / max(col("abs_rank")).over(Window.partitionBy()))
+    withRel.orderBy(desc("abs_rank"), asc("doc_id")).offset(offset).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("abs_rank"), asc("doc_id"))) + offset)
+      .select("rank", "doc_id", "abs_rank", "rel_rank")
+  }
+
+  /** Full flagship search: front-end plan → BM25 top-k → decorate with
+    * repo/path/title/snippet on the final k rows only (reference
+    * SearchServiceImpl.java:101-118). repoFilter: None ≙ the `-101`
+    * all-sites sentinel (ApiController.java:42). */
+  def search(corpus: DataFrame, postings: DataFrame, docStats: DataFrame,
+             termStats: DataFrame, nDocs: Long, avgDl: Double,
+             query: String, lang: String = "en",
+             repoFilter: Option[String] = None,
+             limit: Int = 10, offset: Int = 0): DataFrame = {
+    val scopedPostings = repoFilter match {
+      case Some(r) =>
+        // partition-pruned when postings carry repo; else semi-join on docs
+        postings.join(corpus.filter(col("repo") === r).select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => postings
+    }
+    val plan = QueryFrontend.plan(termStats, lang, query)
+    if (plan.missing.nonEmpty)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    if (plan.isEmpty)
+      return bm25TopK(scopedPostings, docStats, Map.empty, nDocs, avgDl, limit).limit(0)
+    val dfs = plan.terms.map(t => t.term -> t.df).toMap
+    val top = bm25TopK(scopedPostings, docStats, dfs, nDocs, avgDl, limit, offset)
+    val snip = Snippets.makeSnippetUdf(dfs.keySet)
+    top.join(corpus.select("doc_id", "repo", "path", "lang", "content"), "doc_id")
+      .withColumn("title", col("path"))
+      .withColumn("snippet", snip(col("content"), col("lang")))
+      .select("rank", "doc_id", "repo", "path", "title", "snippet", "score")
+      .orderBy("rank")
+  }
+}
