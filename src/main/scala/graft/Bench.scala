@@ -1,24 +1,61 @@
 package graft
+
+import graft.corpus.Corpus
+import graft.index.{IndexWriter, InvertedIndex}
+import graft.io.TableIO
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Full index-build pipeline, timed end-to-end: corpus scan → tokenize →
+    * tf/df/dl aggregates → per-(term,shard) encode → salted merge → snapshot
+    * write with lineage. Returns (nDocs, seconds). */
+  def buildIndex(spark: SparkSession, sfDir: String, outDir: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val corpus = Corpus.fromDocuments(spark, sfDir)
+    val tables = InvertedIndex.build(corpus)
+    val shards = IndexWriter.shardPostings(tables.postings, tables.docStats, tables.avgDl)
+    IndexWriter.write(shards, outDir, snapshotId = 1L, resume = false)
+    TableIO.writeMeta(outDir, TableIO.IndexMeta(tables.nDocs, tables.avgDl))
+    val secs = (System.nanoTime() - t0) / 1e9
+    (tables.nDocs, secs)
+  }
+
+  def deleteRec(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(deleteRec)
+    p.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // headline: index-build throughput (files/sec) — BASELINE.json metric
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+    val (nDocs, buildSec) = buildIndex(spark, sfDir, idxDir)
+    deleteRec(new java.io.File(idxDir))
+    val filesPerSec = nDocs / buildSec
+
+    // query set timings (each forces full execution via count)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("index_build") = buildSec
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => results(name) = -1.0 }
+      if (!results.contains(name)) results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""index_build_sec":$buildSec,"index_files":$nDocs,"files_per_sec":$filesPerSec,""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,8 +2,8 @@ package graft
 
 import graft.analyze.Analyzer
 import graft.corpus.Corpus
-import graft.index.InvertedIndex
-import graft.query.{Bm25, QueryFrontend, Search}
+import graft.index.{IndexWriter, InvertedIndex, ShardPosting}
+import graft.query.{Bm25, QueryFrontend, Search, Wand}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,12 @@ object SparkEntry {
     cache.computeIfAbsent(s"${spark.hashCode}|$sfDir", _ => {
       val corpus = Corpus.fromDocuments(spark, sfDir).cache()
       (corpus, InvertedIndex.build(corpus))
+    })
+  private val shardCache = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[ShardPosting]]()
+  def shards(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[ShardPosting] =
+    shardCache.computeIfAbsent(s"${spark.hashCode}|$sfDir", _ => {
+      val (_, t) = index(spark, sfDir)
+      IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl).cache()
     })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -140,6 +146,22 @@ object SparkEntry {
       plan.terms.zipWithIndex.map { case (ti, i) => (i.toLong + 1, ti.term, ti.df) }
         .toDF("ord", "term", "df")
     }),
+    // North-star scale path: block-max WAND over the compressed sharded
+    // index — must be rank-identical to ft_bm25_topk (shared oracle SQL)
+    "ft_wand_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
+      val qShards = shards(s, dir).filter(sp => idfs.contains(sp.term))
+      Wand.topK(qShards, idfs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // Salted two-phase shard merge: one global compressed list per term;
+    // its decoded length must equal df (oracle = term_stats)
+    "ft_compressed_postings" -> ((s, dir) => {
+      val merged = IndexWriter.mergeShards(shards(s, dir))
+      merged.toDF().select(col("term"), col("numDocs").cast("long").as("df"))
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -195,6 +217,9 @@ object SparkEntry {
          |  FROM cand
          |) WHERE rank <= 10""".stripMargin,
     "ft_bm25_topk" -> bm25TopKSql(q2, 10),
+    "ft_wand_topk" -> bm25TopKSql(q2, 10),
+    "ft_compressed_postings" ->
+      s"WITH ${termsCte}, ${tstatsCte} SELECT term, df FROM tstats",
     "ft_missing_terms" ->
       s"""WITH ${termsCte}, ${tstatsCte},
          |qt AS (SELECT unnest(ARRAY['flux', 'spark', 'warpdrive']) AS term)

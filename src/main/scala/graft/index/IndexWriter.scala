@@ -1,0 +1,137 @@
+package graft.index
+
+import graft.io.TableIO
+import graft.query.Bm25
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One encoded posting run: the postings of `term` restricted to docId
+  * shard `shard` (shard = docId / docsPerShard). `bucket` is the term-hash
+  * write partition the driver prunes on at query time. */
+case class ShardPosting(term: String, shard: Int, bucket: Int,
+                        numDocs: Int, maxTfNorm: Float, bytes: Array[Byte])
+
+/** Sharded compressed-index construction + snapshot lifecycle.
+  *
+  * Scale design (SURVEY.md §4.3, north rule):
+  *  - **Skew**: groups are (term, shard) with shard = docId / docsPerShard,
+  *    so a Zipf-head term with df ≈ N still yields groups of ≤ docsPerShard
+  *    postings — the docId-range shard IS the salt, chosen statically so the
+  *    per-term runs are disjoint ordered ranges that merge by concatenation
+  *    (PostingCodec.concat, no decode). A second-phase salted merge then
+  *    combines runs per term without any group exceeding runsPerSalt blobs.
+  *  - **Write layout**: partitioned by `bucket` = positive hash(term) %
+  *    nBuckets — queries touch ≤ |queryTerms| buckets (partition pruning),
+  *    and resume skips whole committed buckets.
+  *  - **Lineage**: per-bucket (rows, bytes, order-insensitive hashAgg)
+  *    recorded in the snapshot manifest (TableIO), satisfying the
+  *    north-rule resumability + lineage requirement.
+  */
+object IndexWriter {
+
+  case class Config(docsPerShard: Long = 1 << 16, nBuckets: Int = 16, saltWidth: Int = 64)
+
+  def bucketOf(term: String, nBuckets: Int): Int = {
+    // must match the Column expression in bucketCol (Murmur3 hash of UTF8 string)
+    math.floorMod(org.apache.spark.unsafe.types.UTF8String.fromString(term).hashCode(), nBuckets)
+  }
+  def bucketCol(term: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(term), lit(nBuckets))
+
+  /** Encode per-(term, shard) runs. Input: postings (doc_id, term, tf)
+    * joined with docStats (dl). Group size bounded by docsPerShard — the
+    * in-memory sort inside mapGroups is safe at any corpus scale. */
+  def shardPostings(postings: DataFrame, docStats: DataFrame, avgDl: Double,
+                    cfg: Config = Config()): Dataset[ShardPosting] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val dps = cfg.docsPerShard
+    val nb = cfg.nBuckets
+    val joined = postings.join(docStats, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf").cast("int").as("tf"),
+        col("dl").cast("int").as("dl"),
+        (col("doc_id") / lit(dps)).cast("int").as("shard"))
+      .as[(String, Long, Int, Int, Int)]
+    joined.groupByKey(r => (r._1, r._5))
+      .mapGroups { (key: (String, Int), rows: Iterator[(String, Long, Int, Int, Int)]) =>
+        val (term, shard) = key
+        val buf = rows.map { case (_, docId, tf, dl, _) => PostingCodec.Posting(docId, tf, dl) }
+          .toArray
+        java.util.Arrays.sort(buf, Ordering.by((p: PostingCodec.Posting) => p.docId))
+        val bytes = PostingCodec.encode(buf.toIndexedSeq, (tf, dl) => Bm25.tfNormS(tf, dl, avgDl))
+        val maxNorm = new PostingCodec.Decoded(bytes).maxTfNorm
+        ShardPosting(term, shard, bucketOf(term, nb), buf.length, maxNorm, bytes)
+      }
+  }
+
+  /** Two-phase salted merge of per-shard runs into one global posting list
+    * per term (north star "merge shards with a salted-key repartition").
+    * Phase 1 groups (term, shard/saltWidth) — bounded fan-in concat of
+    * ordered runs; phase 2 concatenates the salt-level runs. Blobs are
+    * concatenated without decoding (PostingCodec.concat). */
+  def mergeShards(shards: Dataset[ShardPosting], cfg: Config = Config()): Dataset[ShardPosting] = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val w = cfg.saltWidth
+    val phase1 = shards.groupByKey(s => (s.term, s.shard / w))
+      .mapGroups { (key: (String, Int), it: Iterator[ShardPosting]) =>
+        val runs = it.toArray.sortBy(_.shard)
+        val bytes = PostingCodec.concat(runs.map(_.bytes).toSeq)
+        ShardPosting(key._1, key._2, runs.head.bucket, runs.map(_.numDocs).sum,
+          runs.map(_.maxTfNorm).max, bytes)
+      }
+    phase1.groupByKey(_.term)
+      .mapGroups { (term: String, it: Iterator[ShardPosting]) =>
+        val runs = it.toArray.sortBy(_.shard)
+        val bytes = PostingCodec.concat(runs.map(_.bytes).toSeq)
+        ShardPosting(term, 0, runs.head.bucket, runs.map(_.numDocs).sum,
+          runs.map(_.maxTfNorm).max, bytes)
+      }
+  }
+
+  /** Write the sharded index partitioned by bucket, with per-bucket lineage
+    * committed to an (emulated) Iceberg snapshot manifest. `resume = true`
+    * skips buckets already in the current manifest — a killed run's
+    * committed buckets survive byte-identically (north rule; resume test).
+    */
+  def write(shards: Dataset[ShardPosting], tableDir: String, snapshotId: Long,
+            cfg: Config = Config(), resume: Boolean = true): TableIO.Manifest = {
+    val spark = shards.sparkSession
+    val prev = if (resume) TableIO.readCurrent(tableDir) else None
+    val committed = prev.map(_.committed).getOrElse(Set.empty)
+    val todo = shards.filter(s => !committed.contains(s.bucket))
+    val df = todo.toDF()
+    if (!df.isEmpty) {
+      df.repartition(col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
+    }
+    // lineage over the data actually on disk for the new buckets
+    val onDisk = spark.read.parquet(s"$tableDir/data")
+      .filter(!col("bucket").isin(committed.toSeq.map(x => x: Any): _*))
+    val lineage = onDisk.groupBy("bucket").agg(
+      count(lit(1)).as("rows"),
+      sum(length(col("bytes"))).as("bytes"),
+      // order-insensitive deterministic aggregate hash of (term, payload)
+      coalesce(bit_xor(xxhash64(col("term"), col("bytes"))), lit(0L)).as("hashAgg"))
+      .collect()
+      .map(r => TableIO.PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val all = (prev.map(_.partitions).getOrElse(Nil) ++ lineage).sortBy(_.partition)
+    val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all)
+    TableIO.commit(tableDir, m)
+    m
+  }
+
+  /** Read the index back, pruned to the query's terms: partition pruning on
+    * bucket (only |terms| of nBuckets dirs are scanned) + pushed term
+    * filter. */
+  def readForTerms(spark: SparkSession, tableDir: String, terms: Seq[String],
+                   cfg: Config = Config()): Dataset[ShardPosting] = {
+    import spark.implicits._
+    val buckets = terms.map(bucketOf(_, cfg.nBuckets)).distinct
+    spark.read.parquet(s"$tableDir/data")
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .select("term", "shard", "bucket", "numDocs", "maxTfNorm", "bytes")
+      .as[ShardPosting]
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.index.{IndexWriter, InvertedIndex}
+import graft.io.TableIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot write + lineage + resume-from-checkpoint (FIXTURES.md §6,
+  * SURVEY.md §5.2-6): a killed run (simulated by dropping manifest entries
+  * and their data files) must resume to a byte-identical final index with
+  * complete lineage. */
+class IndexWriterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val cfg = IndexWriter.Config(docsPerShard = 64, nBuckets = 8, saltWidth = 2)
+
+  def tmpDir(): String = Files.createTempDirectory("graft-idx").toString
+
+  def buildShards() = {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus)
+    IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg)
+  }
+
+  def indexFingerprint(dir: String): Map[(String, Int), Long] =
+    spark.read.parquet(s"$dir/data")
+      .select(col("term"), col("shard"), xxhash64(col("term"), col("shard"), col("bytes")).as("h"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("write commits a manifest with complete per-bucket lineage") {
+    val dir = tmpDir()
+    val shards = buildShards().cache()
+    val m = IndexWriter.write(shards, dir, snapshotId = 1L, cfg)
+    assert(m.snapshotId == 1L && m.parentId.isEmpty)
+    val onDisk = spark.read.parquet(s"$dir/data")
+    val rowsPerBucket = onDisk.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.partitions.map(p => p.partition -> p.rows).toMap == rowsPerBucket)
+    assert(m.partitions.forall(p => p.bytes > 0))
+    // manifest roundtrips through its JSON form
+    assert(TableIO.parse(TableIO.render(m)) == m)
+  }
+
+  test("resume after simulated kill: byte-identical index + complete lineage") {
+    val shards = buildShards().cache()
+    // full clean run -> reference fingerprint
+    val fullDir = tmpDir()
+    IndexWriter.write(shards, fullDir, 1L, cfg)
+    val wantFp = indexFingerprint(fullDir)
+    val wantManifest = TableIO.readCurrent(fullDir).get
+
+    // killed run: write, then drop 3 buckets from manifest AND disk
+    val dir = tmpDir()
+    IndexWriter.write(shards, dir, 1L, cfg)
+    val m = TableIO.readCurrent(dir).get
+    val killed = m.partitions.map(_.partition).sorted.take(3).toSet
+    TableIO.commit(dir, m.copy(partitions = m.partitions.filterNot(p => killed(p.partition))))
+    killed.foreach { b =>
+      val p = Path.of(dir, "data", s"bucket=$b")
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    assert(indexFingerprint(dir) != wantFp) // really damaged
+
+    // resume: only the 3 missing buckets are rebuilt
+    val m2 = IndexWriter.write(shards, dir, 2L, cfg)
+    assert(indexFingerprint(dir) == wantFp)
+    assert(m2.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap ==
+      wantManifest.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap)
+    assert(m2.parentId.contains(1L))
+    // snapshots: both the killed and the resumed snapshot are addressable
+    assert(TableIO.listSnapshots(dir) == Seq(1L, 2L))
+  }
+
+  test("second write with everything committed is a no-op on data") {
+    val dir = tmpDir()
+    val shards = buildShards().cache()
+    IndexWriter.write(shards, dir, 1L, cfg)
+    val before = indexFingerprint(dir)
+    val filesBefore = Files.walk(Path.of(dir, "data")).iterator().asScala.count(Files.isRegularFile(_))
+    IndexWriter.write(shards, dir, 2L, cfg)
+    assert(indexFingerprint(dir) == before)
+    val filesAfter = Files.walk(Path.of(dir, "data")).iterator().asScala.count(Files.isRegularFile(_))
+    assert(filesAfter == filesBefore)
+  }
+
+  test("readForTerms prunes to the query terms' buckets and returns their shards") {
+    val dir = tmpDir()
+    val shards = buildShards().cache()
+    IndexWriter.write(shards, dir, 1L, cfg)
+    val got = IndexWriter.readForTerms(spark, dir, Seq("spark", "dup"), cfg)
+    val terms = got.collect().map(_.term).toSet
+    assert(terms == Set("spark", "dup"))
+    // and decode sanity: numDocs matches decoded length
+    got.collect().foreach { s =>
+      assert(new graft.index.PostingCodec.Decoded(s.bytes).numDocs == s.numDocs)
+    }
+  }
+}

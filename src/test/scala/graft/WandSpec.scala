@@ -1,0 +1,76 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.index.{IndexWriter, InvertedIndex, PostingCodec}
+import graft.query.{Bm25, Oracle, QueryFrontend, Search, Wand}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WAND path ≡ exhaustive DataFrame path ≡ scalar oracle (SURVEY.md §5.2-5:
+  * J5a ≡ J5b ≡ WAND), on both the Zipf generator corpus (hot-term skew) and
+  * the driver corpus. */
+class WandSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // small docsPerShard so even sf0.001 exercises multi-shard grouping,
+  // block skipping across shard boundaries, and the salted merge
+  val cfg = IndexWriter.Config(docsPerShard = 64, nBuckets = 8, saltWidth = 2)
+
+  def checkCorpus(corpusName: String, corpus: org.apache.spark.sql.DataFrame,
+                  queriesToRun: Seq[String]): Unit = {
+    val t = InvertedIndex.build(corpus)
+    val shards = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg).cache()
+    val docs = corpus.select("doc_id", "repo", "lang", "content").collect()
+      .map(r => Oracle.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val oracle = new Oracle.Index(docs.toIndexedSeq)
+    queriesToRun.foreach { q =>
+      val p = QueryFrontend.plan(t.termStats, "en", q)
+      if (!p.isEmpty) {
+        val idfs = p.terms.map(ti => ti.term -> Bm25.idfS(ti.df, t.nDocs)).toMap
+        val qShards = shards.filter(s => idfs.contains(s.term))
+        val gotW = Wand.topK(qShards, idfs, t.avgDl, 10)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        val dfs = p.terms.map(ti => ti.term -> ti.df).toMap
+        val gotD = Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        val want = oracle.topK("en", q, 10)
+        assert(gotW.map(_._2).toSeq == want.map(_.docId),
+          s"[$corpusName/$q] WAND docIds ${gotW.map(_._2).toSeq} vs oracle ${want.map(_.docId)}")
+        assert(gotD.map(_._2).toSeq == want.map(_.docId), s"[$corpusName/$q] DF path docIds")
+        gotW.zip(want).foreach { case ((_, _, s), o) =>
+          assert(math.abs(s - o.bm25) < 1e-9, s"[$corpusName/$q] WAND score $s vs ${o.bm25}")
+        }
+      }
+    }
+  }
+
+  test("WAND ≡ DataFrame ≡ oracle on the Zipf generator corpus (hot terms)") {
+    val corpus = Corpus.assignDocIds(Corpus.generate(spark, nDocs = 400, nRepos = 6).toDF())
+    // tok0/tok1 are Zipf-head (hot); tok heavy tail is rare
+    checkCorpus("gen", corpus,
+      Seq("tok0", "tok0 tok1", "tok1 tok2 tok3", "tok42 tok0", "tok123"))
+  }
+
+  test("WAND ≡ DataFrame ≡ oracle on sf0.001 documents corpus") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    checkCorpus("sf0.001", corpus,
+      Seq("dup", "join spark", "hash join sort merge", "dup spark", "scan"))
+  }
+
+  test("merged global posting lists decode to the same postings as the shards") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus)
+    val shards = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg)
+    val merged = IndexWriter.mergeShards(shards, cfg)
+    val got = merged.filter(col("term") === "spark").collect()
+    assert(got.length == 1) // one global list per term after the salted merge
+    val decoded = new PostingCodec.Decoded(got.head.bytes).decodeAll()
+    val want = t.postings.filter(col("term") === "spark")
+      .join(t.docStats, "doc_id")
+      .select("doc_id", "tf", "dl").collect()
+      .map(r => PostingCodec.Posting(r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+      .sortBy(_.docId).toIndexedSeq
+    assert(decoded == want)
+    assert(got.head.numDocs == want.size)
+  }
+}
