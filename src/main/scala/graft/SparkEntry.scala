@@ -1,9 +1,13 @@
 package graft
 
 import graft.analyze.Analyzer
+import graft.ann.Ann
 import graft.corpus.Corpus
+import graft.dedup.Dedup
 import graft.index.{IndexWriter, InvertedIndex, ShardPosting}
+import graft.mm.Multimodal
 import graft.query.{Bm25, QueryFrontend, Search, Wand}
+import graft.textan.{TextAnalysis, TextHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,6 +45,35 @@ object SparkEntry {
     "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, (SELECT avg(dl) FROM ds) AS avgdl)"
   private def qCte(terms: Seq[String]) =
     s"q AS (SELECT unnest(ARRAY[${terms.map(t => s"'$t'").mkString(",")}]) AS term)"
+
+  // ordered, stop-filtered token ARRAY per doc (shingling needs order,
+  // which the exploded terms CTE loses)
+  private def tokArrCte: String = {
+    val toks = Analyzer.sqlTokens("text")
+    val stopList = stops.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    s"""tokarr AS (SELECT doc_id, list_filter($toks, t -> t <> '' AND t NOT IN ($stopList)) AS arr
+       |FROM documents)""".stripMargin
+  }
+  /** distinct 3-gram shingles per doc — twin of Dedup.shingles(n=3) */
+  private def shinglesCte: String =
+    s"""${tokArrCte},
+       |shd AS (SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(arr) - 2, 0)),
+       |  i -> arr[i + 1] || ' ' || arr[i + 2] || ' ' || arr[i + 3])) AS shingle FROM tokarr)""".stripMargin
+  /** inner lambda vars renamed so nesting inside another list_reduce works */
+  private def tokenHashSqlInner(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(regexp_split_to_array($expr, ''), " +
+      s"c -> CAST(unicode(c) AS BIGINT))), (h, cc) -> (h * 31 + cc) % ${TextHash.P})"
+  private def jaccardPairsSql(candCte: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM $candCte
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
+       |FROM inter
+       |JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+       |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin
 
   private def bm25TopKSql(terms: Seq[String], k: Int): String = {
     val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
@@ -169,6 +202,92 @@ object SparkEntry {
         query = q2.mkString(" "), lang = "en", limit = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), col("repo"),
           col("path"), round(col("score"), 4).as("score_r"))
+    }),
+
+    // ===== training-data pipeline operators =====
+    // exact dedup (hash-groupBy on content sha)
+    "dedup_exact" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.exact(c)
+    }),
+    // n-gram (3-shingle) Jaccard near-dup pairs
+    "dedup_ngram" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.ngramJaccardPairs(c, n = 3, threshold = 0.8, maxShingleDf = 1000L)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
+    }),
+    // MinHash signatures (8 hash functions, codegen'd min-aggregates)
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.minhashSignatures(c, numHashes = 8)
+    }),
+    // MinHash LSH (4 bands × 2 rows) candidates + exact-Jaccard verify
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.minhashLshPairs(c, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
+    }),
+    // 31-bit SimHash per doc
+    "dedup_simhash" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.simhash(c)
+    }),
+    // SimHash near-dup pairs (banded candidates, exact for hamming<=3)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.simhashPairs(c, maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+    }),
+    // embedding-cosine near-dup pairs (label-blocked)
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embeddingPairs(emb, threshold = 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
+    }),
+    // brute-force cosine top-5 for 5 fixed query vectors (= ANN oracle)
+    "ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.bruteForceTopK(emb, Ann.fixedQueries(s, emb, 5), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
+    // LSH-bucketed ANN (multiprobe) — approximate; recall vs ann_topk is
+    // asserted in AnnSpec, rows-only here
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshTopK(emb, Ann.fixedQueries(s, emb, 5), dim = 64, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
+    // language-ID heuristic
+    "text_lang_id" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.langId(c)
+    }),
+    // quality features (length / stopword / alnum ratios)
+    "text_quality" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.quality(c)
+    }),
+    // token counting: whitespace + BPE-ish pre-tokens
+    "text_token_counts" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.tokenCounts(c)
+    }),
+    // order-sensitive rolling document fingerprint
+    "text_fingerprint" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.fingerprint(c)
+    }),
+    // multimodal: metadata projection over the binary media table
+    "mm_meta" -> ((s, dir) => {
+      Multimodal.meta(Multimodal.mediaFromDocuments(s, dir))
+    }),
+    // multimodal: stubbed decode via mapPartitions (batch plumbing is real;
+    // decode is a deterministic fake) — rows-only, verified in MultimodalSpec
+    "mm_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
+        .toDF().select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
     })
   )
 
@@ -257,6 +376,150 @@ object SparkEntry {
          |)
          |SELECT rank, doc_id, source AS repo, 'doc/' || doc_id AS path, score_r
          |FROM topk JOIN documents USING (doc_id)""".stripMargin
-    }
+    },
+
+    // ===== training-data ops =====
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_ngram" ->
+      s"""WITH ${shinglesCte},
+         |keptsh AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+         |shk AS (SELECT doc_id, shingle FROM shd JOIN keptsh USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |          FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    "dedup_minhash_sig" -> {
+      val mins = (0 until 8).map(i =>
+        s"min(${TextHash.mixSql(i, "h")}) AS s$i").mkString(", ")
+      s"""WITH ${shinglesCte},
+         |shh AS (SELECT doc_id, ${tokenHashSqlInner("shingle")} AS h FROM shd)
+         |SELECT doc_id, $mins FROM shh GROUP BY doc_id""".stripMargin
+    },
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until 8).map(i =>
+        s"min(${TextHash.mixSql(i, "h")}) AS s$i").mkString(", ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key FROM sig")
+        .mkString("\n UNION ALL ")
+      s"""WITH ${shinglesCte},
+         |shh AS (SELECT doc_id, ${tokenHashSqlInner("shingle")} AS h FROM shd),
+         |sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, count(*) AS i
+         |          FROM cand c JOIN shd a ON a.doc_id = c.a_id
+         |               JOIN shd b ON b.doc_id = c.b_id AND a.shingle = b.shingle
+         |          GROUP BY c.a_id, c.b_id)
+         |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin
+    },
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS ($simhashSql)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a_id, b_id, round(cos, 4) AS cos_r FROM (
+         |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         |         ${cosSql("x.embedding", "y.embedding")} AS cos
+         |  FROM embeddings x JOIN embeddings y
+         |    ON x.label = y.label AND x.vec_id < y.vec_id)
+         |WHERE cos >= 0.4""".stripMargin,
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS cos
+         |           FROM embeddings e, q)
+         |SELECT query_id, rank, vec_id, cos_r FROM (
+         |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "text_lang_id" -> {
+      val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+      val cnts = langs.map { l =>
+        val ms = TextAnalysis.langMarkers(l).map(m => s"'$m'").mkString(", ")
+        s"SELECT doc_id, '$l' AS lang, len(list_filter(tk, t -> t IN ($ms))) AS hits FROM tk"
+      }.mkString("\n UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+         |cnt AS ($cnts),
+         |r AS (SELECT doc_id, lang, hits,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+         |      FROM cnt)
+         |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_guess,
+         |       hits::BIGINT AS marker_hits
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+    "text_quality" -> {
+      val stopsIn = Analyzer.naturalStop.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+      s"""WITH b AS (SELECT doc_id, text,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws FROM documents)
+         |SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars,
+         |  len(ws)::BIGINT AS n_tokens,
+         |  round(CASE WHEN len(ws) > 0 THEN
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ws, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b)::DOUBLE / len(ws)
+         |    ELSE 0.0 END, 4) AS avg_token_len_r,
+         |  round(CASE WHEN len(ws) > 0 THEN
+         |    len(list_filter(ws, t -> lower(t) IN ($stopsIn)))::DOUBLE / len(ws)
+         |    ELSE 0.0 END, 4) AS stop_ratio_r,
+         |  round(CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+         |    ELSE 0.0 END, 4) AS alnum_ratio_r
+         |FROM b""".stripMargin
+    },
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws FROM documents),
+         |hh AS (SELECT doc_id, list_transform(ws, t -> ${tokenHashSqlInner("t")}) AS hs FROM b)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+         |    (a, b) -> (a * 1000003 + b) % ${TextHash.P}) AS fp
+         |FROM hh""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (doc_id % 640 + 16)::BIGINT AS width,
+        |  (doc_id % 480 + 16)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END)::BIGINT AS sample_rate
+        |FROM documents""".stripMargin
   )
+
+  /** sequential-fold cosine between two float-list SQL expressions —
+    * mirrors Dedup.cosine's left-to-right double accumulation exactly */
+  private def cosSql(a: String, b: String): String = {
+    def fold(products: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $products), (acc, v) -> acc + v)"
+    val dot = fold(s"list_transform(range(len($a)), i -> CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE))")
+    val na = s"sqrt(${fold(s"list_transform(range(len($a)), i -> CAST($a[i + 1] AS DOUBLE) * CAST($a[i + 1] AS DOUBLE))")})"
+    val nb = s"sqrt(${fold(s"list_transform(range(len($b)), i -> CAST($b[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE))")})"
+    s"($dot / ($na * $nb))"
+  }
+
+  private def simhashSql: String =
+    s"""WITH ${termsCte},
+       |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+       |ph AS (SELECT doc_id, tf, ${tokenHashSqlInner("term")} AS h FROM post),
+       |bits AS (SELECT doc_id, j,
+       |           CASE WHEN sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN tf ELSE -tf END) > 0
+       |                THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |         FROM ph, (SELECT unnest(range(31)) AS j) GROUP BY doc_id, j)
+       |SELECT doc_id, sum(bit * (1::BIGINT << CAST(j AS INTEGER)))::BIGINT AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
 }

@@ -1,0 +1,78 @@
+package graft.ann
+
+import graft.corpus.Corpus
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — one scan of the table joined
+  * against a BROADCAST query set (queries are few; the big side never
+  * shuffles), per-query top-k via window rank. Exact; the correctness
+  * oracle for the bucketed variant.
+  *
+  * Scale path: random-hyperplane LSH (sign bits of dots with seeded
+  * pseudo-random planes) — table bucketed once (write-time), probe cost =
+  * |bucket| ≈ N / 2^bits per query, multiprobe over Hamming-adjacent
+  * buckets recovers recall. All planes derive from splitmix64, so bucket
+  * assignment is deterministic across engines and runs.
+  */
+object Ann {
+
+  /** exact cosine top-k per query vector. `queries` columns:
+    * (query_id: long, qv: array<double>). */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val scored = e.join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** deterministic pseudo-random hyperplane component p(plane, dim) ∈ [-1, 1) */
+  def planeComponent(plane: Int, dim: Int): Double =
+    Corpus.u01(Corpus.splitmix64(0x9E1A * (plane + 1) + dim.toLong * 0x7F4A7C15L)) * 2.0 - 1.0
+
+  /** sign-bit bucket id for a vector column of length `dim` under `bits`
+    * hyperplanes — a codegen'd expression (no UDF). */
+  def bucketCol(v: org.apache.spark.sql.Column, dim: Int, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      val dot = (0 until dim).map(d => element_at(v, d + 1) * lit(planeComponent(b, d)))
+        .reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: probe only buckets within `probeHamming` bit flips of
+    * the query's bucket (multiprobe). Returns the same schema as
+    * bruteForceTopK; recall < 1 by construction, measured in AnnSpec. */
+  def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              bits: Int = 8, probeHamming: Int = 1): DataFrame = {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", bucketCol(col("v"), dim, bits))
+    val qb = queries.withColumn("qbucket", bucketCol(col("qv"), dim, bits))
+    // multiprobe: expand each query to its bucket + all single-bit flips
+    val probes: Seq[org.apache.spark.sql.Column] = lit(0L) +:
+      (if (probeHamming >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
+    val qprobed = qb.select(col("query_id"), col("qv"),
+      explode(array(probes.map(p => col("qbucket").bitwiseXOR(p)): _*)).as("bucket"))
+    val scored = e.join(broadcast(qprobed), "bucket")
+      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** the fixed query set used by the harness: the first `nq` vectors of the
+    * embeddings table themselves. */
+  def fixedQueries(spark: SparkSession, emb: DataFrame, nq: Int = 5): DataFrame =
+    emb.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+}

@@ -1,0 +1,177 @@
+package graft.dedup
+
+import graft.analyze.Analyzer
+import graft.textan.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * the corpus shape (doc_id, repo, lang, content). All are shuffle-shaped
+  * for 100 TB: candidate generation is always an equi-join on a compact key
+  * (hash / shingle / band / bit-band), never a cross join; exact
+  * verification runs only on candidate pairs.
+  *
+  * Every hash is TextHash-deterministic, so the DuckDB oracle reproduces
+  * results bit-identically.
+  */
+object Dedup {
+
+  // ---------- exact --------------------------------------------------
+  /** Exact dedup by full content: one hash-aggregate. Returns one row per
+    * distinct content: (keep_id = min doc_id, n_dups). At scale: group on
+    * sha2(content, 256) so the shuffle key is 32 bytes, not the document. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("content"), 256).as("content_sha"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  // ---------- shingling ----------------------------------------------
+  /** Distinct n-gram (word shingle) set per doc, from analyzed tokens.
+    * Shingle string = tokens joined by single spaces. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = Analyzer.termsCol(col("content"), Analyzer.naturalStop)
+    // sequence(0, size-n) would count DOWN for size < n — guard to empty
+    val idxs = when(size(col("arr")) >= n, sequence(lit(0), size(col("arr")) - n))
+      .otherwise(expr("array()").cast("array<int>"))
+    docs.select(col("doc_id"), toks.as("arr"))
+      .select(col("doc_id"), explode(
+        transform(idxs,
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("arr"), i + j + 1)): _*))
+      ).as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs: inverted shingle join (candidates share
+    * ≥1 shingle), then exact |A∩B| / |A∪B| ≥ threshold. `maxShingleDf`
+    * drops ubiquitous shingles before the join — the standard candidate
+    * prune that keeps the join linear-ish under Zipf skew. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= maxShingleDf).select("shingle"),
+      "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ---------- MinHash + LSH -------------------------------------------
+  /** MinHash signature: numHashes min-aggregates over mixed shingle hashes
+    * — one hash-aggregate pass, fully codegen'd (no UDF, no arrays until
+    * the final struct). Output: (doc_id, s0 .. s{k-1}). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+      .withColumn("h", TextHash.tokenHashCol(col("shingle")))
+    val aggs = (0 until numHashes).map(i => min(TextHash.mixCol(i, col("h"))).as(s"s$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the signatures: bands of `rowsPerBand` signature
+    * values; docs sharing any band key are candidates; exact Jaccard (on
+    * shingle sets) then verifies ≥ threshold. Deterministic: same pairs in
+    * any engine with the same hash family. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2,
+                      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(docs, numHashes, n)
+    val nBands = numHashes / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    // exact verify on candidates only
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("shingle2")), "b_id")
+      .filter(col("shingle") === col("shingle2"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ---------- SimHash --------------------------------------------------
+  /** 31-bit SimHash over analyzed terms weighted by tf: bit j of the hash
+    * is 1 iff Σ_term tf·(±1 by bit j of tokenHash(term)) > 0. Pure
+    * aggregates (explode bits × terms), no UDF. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = Analyzer.termsCol(col("content"), Analyzer.naturalStop)
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", TextHash.tokenHashCol(col("term")))
+    val bits = tf.select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(30))).as("j"))
+      .groupBy("doc_id", "j")
+      // shiftright's Scala wrapper only takes a literal bit count — the SQL
+      // form accepts a column
+      .agg(sum(when(expr("shiftright(h, j)").bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as("v"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** near-dup pairs by SimHash hamming distance ≤ maxHamming, candidates
+    * via 4-band exact-match (any band equal ⇒ candidate — covers all pairs
+    * with ≤ 3 differing bits across 31 bits split into 4 bands). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val shs = simhash(docs).cache()
+    // 4 bands of ~8 bits
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key")))
+    val bands = shs.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("b_id"), col("y.simhash").as("hb")).distinct()
+    cand.withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  // ---------- embedding cosine ----------------------------------------
+  /** exact cosine over float-vector column; `blocked` self-join keyed on a
+    * coarse LSH sign-bucket would be the 100 TB path — here pairs come from
+    * a label-block self-join (labels are the natural blocking key of the
+    * embeddings table) with exact cosine ≥ threshold. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
+                     blockOnLabel: Boolean = true): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val joined =
+      if (blockOnLabel)
+        e.as("x").join(e.as("y"), col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      else
+        e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+    joined
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.textan
+
+import graft.analyze.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators a training-data pipeline runs over every
+  * document: language ID, quality scoring, token counting, fingerprinting.
+  * All pure Column chains (codegen'd, no UDF) with DuckDB-SQL twins in
+  * SparkEntry.oracleSql.
+  */
+object TextAnalysis {
+
+  /** marker words per language for the heuristic language-ID; kept tiny and
+    * deterministic (the real-world version would load n-gram profiles — the
+    * *shape* is the same: broadcast profile, one scan, argmax). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  private def markerCount(tokens: Column, lang: String): Column =
+    size(filter(tokens, t => t.isin(langMarkers(lang).map(x => x: Any): _*)))
+
+  /** (doc_id, lang_guess, marker_hits) — argmax marker count, ties by
+    * language code asc, no markers ⇒ 'und'. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("content")), "\\s+")
+    val langs = langMarkers.keys.toSeq.sorted
+    val counts = langs.map(l => markerCount(toks, l).as(s"c_$l"))
+    val withCounts = docs.select(col("doc_id") +: counts: _*)
+    val best = langs.map(l => struct(col(s"c_$l").as("hits"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    withCounts.select(col("doc_id"),
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und")).as("lang_guess"),
+      best.getField("hits").cast("long").as("marker_hits"))
+  }
+
+  /** quality features: (doc_id, n_chars, n_tokens, avg_token_len_r,
+    * stop_ratio_r, alnum_ratio_r) — the length/punct/stopword-ratio scores
+    * used for corpus filtering. Ratios rounded to 4dp for oracle parity. */
+  def quality(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("content"), "\\s+"), t => length(t) > 0)
+    val stops = Analyzer.naturalStop.toSeq.sorted
+    docs.select(
+      col("doc_id"),
+      length(col("content")).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_tokens"),
+      round(
+        when(size(ws) > 0,
+          aggregate(ws, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ws))
+          .otherwise(lit(0.0)), 4).as("avg_token_len_r"),
+      round(
+        when(size(ws) > 0,
+          size(filter(ws, t => lower(t).isin(stops.map(x => x: Any): _*))).cast("double") / size(ws))
+          .otherwise(lit(0.0)), 4).as("stop_ratio_r"),
+      round(
+        when(length(col("content")) > 0,
+          length(regexp_replace(col("content"), "[^A-Za-z0-9]", "")).cast("double") / length(col("content")))
+          .otherwise(lit(0.0)), 4).as("alnum_ratio_r"))
+  }
+
+  /** token counting two ways: whitespace tokens and a BPE-ish pre-token
+    * count (letter runs | digit runs | single non-alnum-non-space), the
+    * standard GPT-style pre-tokenizer shape. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("content"), "\\s+"), t => length(t) > 0)
+    val bpeish = regexp_extract_all(col("content"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    docs.select(col("doc_id"),
+      size(ws).cast("long").as("ws_tokens"),
+      size(bpeish).cast("long").as("bpe_tokens"))
+  }
+
+  /** rolling document fingerprint: polynomial fold (base 1000003 mod
+    * 2^31−1) over per-token TextHash values, order-sensitive — equal
+    * fingerprints ⇔ (whp) equal token sequences. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("content"), "\\s+"), t => length(t) > 0)
+    val hashes = transform(ws, t => TextHash.tokenHashCol(t))
+    docs.select(col("doc_id"),
+      aggregate(hashes, lit(0L), (acc, h) => (acc * 1000003L + h) % lit(TextHash.P)).as("fp"))
+  }
+
+  /** pure-Scala twin of fingerprint (oracle/tests) */
+  def fingerprintS(content: String): Long =
+    content.split("\\s+").filter(_.nonEmpty)
+      .foldLeft(0L)((acc, t) => (acc * 1000003L + TextHash.tokenHash(t)) % TextHash.P)
+}

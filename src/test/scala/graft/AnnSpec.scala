@@ -1,0 +1,78 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: self is rank 1 with cos 1; ranks deterministic") {
+    val got = Ann.bruteForceTopK(emb, Ann.fixedQueries(spark, emb, 3), 5).collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    byQuery.foreach { case (q, rows) =>
+      val r1 = rows.find(_.getInt(1) == 1).get
+      assert(r1.getLong(2) == q, s"query $q rank-1 should be itself")
+      assert(math.abs(r1.getDouble(3) - 1.0) < 1e-9)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      // scores non-increasing with rank
+      val sorted = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("brute-force matches a scalar cosine computation") {
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = 0L
+    val want = vecs.toSeq.map { case (id, v) => (id, cos(vecs(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = Ann.bruteForceTopK(emb, Ann.fixedQueries(spark, emb, 1), 5)
+      .filter(col("query_id") === q).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    got.zip(want).foreach { case ((gi, gc), (wi, wc)) =>
+      assert(gi == wi); assert(math.abs(gc - wc) < 1e-9)
+    }
+  }
+
+  test("LSH bucket assignment is deterministic and balanced-ish") {
+    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val b1 = e.withColumn("b", Ann.bucketCol(col("v"), 64, 8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b2 = e.withColumn("b", Ann.bucketCol(col("v"), 64, 8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b1 == b2)
+    val sizes = b1.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max < b1.size) // more than one bucket in use
+  }
+
+  test("LSH top-k recall vs brute force is reasonable; hits are a subset ranked identically") {
+    val queries = Ann.fixedQueries(spark, emb, 5)
+    // bits sized to the corpus: 16 buckets over 500 vecs (+1-bit multiprobe
+    // => ~30% of the table scanned); production default 8 bits assumes many
+    // more rows per bucket
+    val brute = Ann.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Ann.lshTopK(emb, queries, dim = 64, k = 5, bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val hit = lsh.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / brute(q).size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.4, s"avg recall $avgRecall too low for multiprobe LSH")
+    // self vector always lands in its own bucket -> rank 1 everywhere
+    Ann.lshTopK(emb, queries, dim = 64, k = 5, bits = 4)
+      .filter(col("rank") === 1).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(2)))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.textan.TextHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // planted corpus: 0/1 exact dups; 2 near-dup of 0 (one token changed);
+  // 3 unrelated; 4 short (no 3-shingles)
+  def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "r", "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "r", "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "r", "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "r", "en", "one two three four five six seven eight nine ten"),
+      (4L, "r", "en", "hi yo")
+    ).toDF("doc_id", "repo", "lang", "content")
+  }
+
+  test("exact dedup groups identical content, keeps min doc_id") {
+    val got = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: distinct ordered 3-grams; short docs have none") {
+    val sh = Dedup.shingles(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(0L).contains("alpha beta gamma"))
+    assert(byDoc(0L).size == 8) // 10 tokens -> 8 shingles
+    assert(!byDoc.contains(4L))
+    assert(byDoc(0L) == byDoc(1L))
+  }
+
+  test("ngram Jaccard finds exact pair (1.0) and near pair, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    // docs 0 and 2 share 7 of their 8 shingles each: jaccard = 7/9
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(math.abs(pairs((0L, 2L)) - 7.0 / 9.0) < 1e-12)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash signature identical for identical docs, differs for unrelated") {
+    val sig = Dedup.minhashSignatures(docs, numHashes = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(3L))
+  }
+
+  test("minhash LSH recovers the exact-dup pair with verified jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs equal; hamming to near-dup small; pure-scala twin agrees") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val ham02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val ham03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(ham02 < ham03, s"near-dup hamming $ham02 should be < unrelated $ham03")
+    // scalar twin of the definition
+    def simhashS(terms: Seq[String]): Long = {
+      val tf = terms.groupBy(identity).view.mapValues(_.size).toMap
+      (0 to 30).map { j =>
+        val v = tf.map { case (t, f) =>
+          if (((TextHash.tokenHash(t) >> j) & 1) == 1) f.toLong else -f.toLong
+        }.sum
+        if (v > 0) 1L << j else 0L
+      }.sum
+    }
+    docs.collect().foreach { r =>
+      val terms = graft.analyze.Analyzer.analyze(r.getString(2), r.getString(3))
+      assert(sh(r.getLong(0)) == simhashS(terms), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("simhashPairs banded candidates are exact for hamming <= 3") {
+    val all = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == brute)
+  }
+
+  test("embedding cosine pairs: identical vectors cos=1, orthogonal excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f), 0),
+      (1L, Array(1.0f, 0.0f, 1.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.1f, 0.9f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairs(emb, threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-12)
+    assert(pairs.contains((0L, 3L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("token hash: Column form == pure Scala form (cross-engine determinism root)") {
+    import spark.implicits._
+    val words = Seq("spark", "a", "tok123", "snake_case", "Zz9")
+    val got = words.toDF("w").select(TextHash.tokenHashCol(col("w"))).collect().map(_.getLong(0))
+    assert(got.toSeq == words.map(TextHash.tokenHash))
+    // pinned value (verified against DuckDB's list_reduce in tools/check.py runs)
+    assert(TextHash.tokenHash("spark") == 109638365L)
+  }
+}

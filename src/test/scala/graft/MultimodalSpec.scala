@@ -1,0 +1,60 @@
+package graft
+
+import graft.mm.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("media table schema and deterministic metadata") {
+    val m = Multimodal.mediaFromDocuments(spark, sfDir)
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "bytes", "width", "height", "sample_rate"))
+    val rows = m.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expected = (r.media_id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      assert(r.modality == expected)
+      assert(r.bytes.nonEmpty)
+      assert(r.sample_rate == (if (r.media_id % 3 == 1) 16000 else 0))
+    }
+    // byte content round-trips the document text (opaque binary plumbing)
+    val doc0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+      .collect().head.getAs[String]("text")
+    assert(new String(rows.find(_.media_id == 0L).get.bytes, "UTF-8") == doc0)
+  }
+
+  test("feature extraction: mapPartitions batch shape, deterministic stub output") {
+    val m = Multimodal.mediaFromDocuments(spark, sfDir)
+    val f1 = Multimodal.extractFeatures(m).collect().map(r => r.media_id -> r).toMap
+    val f2 = Multimodal.extractFeatures(m).collect().map(r => r.media_id -> r).toMap
+    assert(f1.keySet == f2.keySet && f1.keySet.size == 500)
+    f1.foreach { case (id, r) =>
+      assert(r.feature.length == 8)
+      assert(r.checksum == f2(id).checksum)
+      assert(r.feature.toSeq == f2(id).feature.toSeq)
+      assert(r.n_bytes > 0)
+    }
+    // stub decode agrees with its scalar definition
+    val bytes = "abc".getBytes("UTF-8")
+    val feat = Multimodal.decodeStub(bytes, 8)
+    assert(feat(0) == 97 / 255.0f && feat(1) == 98 / 255.0f && feat(2) == 99 / 255.0f)
+  }
+
+  test("frame sampling: only video rows, deterministic frame count and content") {
+    val m = Multimodal.mediaFromDocuments(spark, sfDir)
+    val frames = Multimodal.sampleFrames(m, stride = 64, frameLen = 16).collect()
+    val vids = m.collect().filter(_.modality == "video")
+    val expect = vids.map(v => v.media_id -> math.max(0, (v.bytes.length - 16) / 64 + 1)).toMap
+    val got = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got == expect.filter(_._2 > 0))
+    // frame 0 is the first 16 bytes
+    val v0 = vids.minBy(_.media_id)
+    val f0 = frames.filter(r => r.getLong(0) == v0.media_id && r.getInt(1) == 0).head
+    assert(f0.getAs[Array[Byte]](2).toSeq == v0.bytes.take(16).toSeq)
+  }
+}

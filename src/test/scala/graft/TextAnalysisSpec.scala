@@ -1,0 +1,68 @@
+package graft
+
+import graft.textan.{TextAnalysis, TextHash}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "content")
+  }
+
+  test("langId: marker argmax with asc tie-break; no markers -> und") {
+    val d = df(
+      (0L, "the cat and the dog is here"),   // en
+      (1L, "der hund und die katze ist da"), // de
+      (2L, "xyz qqq zzz"),                   // und
+      (3L, "the le")                         // en=1, fr=1 -> tie -> 'en' (asc)
+    )
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L)._1 == "en" && got(0L)._2 == 4L) // the×2 + and + is
+    assert(got(1L)._1 == "de" && got(1L)._2 == 4L) // der + und + die + ist
+    assert(got(2L) == ("und", 0L))
+    assert(got(3L)._1 == "en" && got(3L)._2 == 1L)
+  }
+
+  test("quality features exact on a crafted doc") {
+    val d = df((0L, "the quick brown fox!"))
+    val r = TextAnalysis.quality(d).collect().head
+    assert(r.getLong(1) == 20L)  // n_chars
+    assert(r.getLong(2) == 4L)   // n_tokens
+    assert(r.getDouble(3) == ((3 + 5 + 5 + 4) / 4.0)) // avg token len 4.25
+    assert(r.getDouble(4) == 0.25) // "the" of 4
+    assert(r.getDouble(5) == 0.8)  // 16 alnum of 20 chars
+  }
+
+  test("token counts: ws vs BPE-ish pre-tokens") {
+    val d = df((0L, "foo_bar 123 baz!"), (1L, ""))
+    val got = TextAnalysis.tokenCounts(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ws: [foo_bar, 123, baz!] = 3; bpe-ish: foo _ bar 123 baz ! = 6
+    assert(got(0L) == ((3L, 6L)))
+    assert(got(1L) == ((0L, 0L)))
+  }
+
+  test("fingerprint: Column form == scalar twin; order-sensitive") {
+    val rows = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"), (2L, "alpha beta gamma"))
+    val got = TextAnalysis.fingerprint(df(rows: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, s) =>
+      assert(got(id) == TextAnalysis.fingerprintS(s), s"doc $id")
+    }
+    assert(got(0L) == got(2L))
+    assert(got(0L) != got(1L)) // order matters
+  }
+
+  test("mixer family: distinct, in-range, deterministic") {
+    val ms = (0 until 64).map(TextHash.mixer)
+    assert(ms.distinct.size == 64)
+    ms.foreach { case (a, b) =>
+      assert(a >= 1 && a < TextHash.P)
+      assert(b >= 0 && b < TextHash.P)
+    }
+    assert((0 until 64).map(TextHash.mixer) == ms)
+  }
+}
