@@ -9,14 +9,32 @@ object Bench {
 
   /** Full index-build pipeline, timed end-to-end: corpus scan → tokenize →
     * tf/df/dl aggregates → per-(term,shard) encode → salted merge → snapshot
-    * write with lineage. Returns (nDocs, seconds). */
-  def buildIndex(spark: SparkSession, sfDir: String, outDir: String): (Long, Double) = {
+    * write with lineage. Returns (nDocs, seconds).
+    * `source` is either an sfDir path or "gen:<nDocs>" (distributed
+    * deterministic generator — same content at any parallelism). */
+  def buildIndex(spark: SparkSession, source: String, outDir: String): (Long, Double) = {
     val t0 = System.nanoTime()
-    val corpus = Corpus.fromDocuments(spark, sfDir)
-    val tables = InvertedIndex.build(corpus)
+    def phase(name: String, t: Long): Long = {
+      val now = System.nanoTime()
+      if (sys.env.contains("BENCH_PHASES"))
+        System.err.println(f"[phase] $name: ${(now - t) / 1e9}%.2fs")
+      now
+    }
+    // corpus is consumed by exactly ONE pass (tokenize→postings): stream
+    // it, don't cache. nDocs comes from the generator size (gen) or the
+    // parquet metadata count.
+    val gen = source.startsWith("gen:")
+    val corpus =
+      if (gen) Corpus.generateDistributed(spark, source.stripPrefix("gen:").toLong, 32)
+      else Corpus.fromDocuments(spark, source)
+    val tables = InvertedIndex.build(corpus,
+      knownNDocs = if (gen) source.stripPrefix("gen:").toLong else -1L)
+    var t = phase("aggregates(nDocs+avgDl)", t0)
     val shards = IndexWriter.shardPostings(tables.postings, tables.docStats, tables.avgDl)
     IndexWriter.write(shards, outDir, snapshotId = 1L, resume = false)
     TableIO.writeMeta(outDir, TableIO.IndexMeta(tables.nDocs, tables.avgDl))
+    t = phase("encode+write+lineage", t)
+    tables.postings.unpersist() // reps would otherwise accumulate caches
     val secs = (System.nanoTime() - t0) / 1e9
     (tables.nDocs, secs)
   }

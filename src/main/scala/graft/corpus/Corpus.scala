@@ -83,6 +83,47 @@ object Corpus {
     spark.createDataset(generateRows(nDocs, nRepos, seed))
   }
 
+  /** one generated row, addressed purely by (i, nRepos, seed) — shared by
+    * the local and the distributed generator so both produce identical
+    * corpora. */
+  def generateRow(i: Long, nRepos: Int, seed: Long): CorpusRow = {
+    val repo = f"repo-${i % nRepos}%02d"
+    val lang = langs((i % langs.length).toInt)
+    val ext = lang match { case "py" => "py"; case l => l }
+    val path = f"src/main/file_$i%07d.$ext"
+    val ch = splitmix64(repo.hashCode.toLong ^ seed)
+    val cl = splitmix64(ch)
+    val commit = (f"$ch%016x$cl%016x" * 3).take(40)
+    val docSeed = splitmix64(seed ^ (i * 0x9E3779B97F4A7C15L))
+    val nTokens = 20 + (math.abs(docSeed) % 80).toInt
+    val sb = new StringBuilder
+    var h = docSeed
+    var t = 0
+    while (t < nTokens) {
+      h = splitmix64(h)
+      if (t > 0) sb.append(if (t % 7 == 0) ";\n" else " ")
+      sb.append(zipfToken(u01(h)))
+      t += 1
+    }
+    CorpusRow(repo, path, commit, lang, sb.toString)
+  }
+
+  /** Distributed deterministic generator: `spark.range` → per-row synth on
+    * executors (no driver-side materialization, no serial fraction) with
+    * `doc_id` = range index. Identical content for identical (n, repos,
+    * seed) at ANY parallelism — the fixed input of the scaling benchmark. */
+  def generateDistributed(spark: SparkSession, nDocs: Long, nRepos: Int,
+                          seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).mapPartitions { it =>
+      it.map { i =>
+        val r = generateRow(i, nRepos, seed)
+        (i, r.repo, r.path, r.commit, r.lang, r.content)
+      }
+    }.toDF("doc_id", "repo", "path", "commit", "lang", "content")
+      .withColumn("sha256", sha2(col("content"), 256))
+  }
+
   /** Deterministic derivation from the driver's documents.parquet
     * (FIXTURES.md §1): source→repo, doc_id→path/docId, text→content.
     * `doc_id` is already a dense unique id, so it IS the docId — this keeps

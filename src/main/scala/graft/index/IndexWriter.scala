@@ -29,7 +29,11 @@ case class ShardPosting(term: String, shard: Int, bucket: Int,
   */
 object IndexWriter {
 
-  case class Config(docsPerShard: Long = 1 << 16, nBuckets: Int = 16, saltWidth: Int = 64)
+  /** docsPerShard bounds every encode group (a Zipf-head term's postings
+    * within one shard ≤ docsPerShard) — it is the skew-defusing salt. 4096
+    * keeps hot-term groups small enough that no stage waits on a straggler,
+    * while tail terms (df ≈ 1) still cost one tiny group. */
+  case class Config(docsPerShard: Long = 4096, nBuckets: Int = 16, saltWidth: Int = 64)
 
   def bucketOf(term: String, nBuckets: Int): Int = {
     // must match the Column expression in bucketCol (Murmur3 hash of UTF8 string)
@@ -95,26 +99,35 @@ object IndexWriter {
     * committed buckets survive byte-identically (north rule; resume test).
     */
   def write(shards: Dataset[ShardPosting], tableDir: String, snapshotId: Long,
-            cfg: Config = Config(), resume: Boolean = true): TableIO.Manifest = {
+            cfg: Config = Config(), resume: Boolean = true,
+            auditLineage: Boolean = false): TableIO.Manifest = {
     val spark = shards.sparkSession
     val prev = if (resume) TableIO.readCurrent(tableDir) else None
     val committed = prev.map(_.committed).getOrElse(Set.empty)
-    val todo = shards.filter(s => !committed.contains(s.bucket))
-    val df = todo.toDF()
-    if (!df.isEmpty) {
-      df.repartition(col("bucket"))
-        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
-    }
-    // lineage over the data actually on disk for the new buckets
-    val onDisk = spark.read.parquet(s"$tableDir/data")
-      .filter(!col("bucket").isin(committed.toSeq.map(x => x: Any): _*))
-    val lineage = onDisk.groupBy("bucket").agg(
+    val todo0 = shards.filter(s => !committed.contains(s.bucket))
+    // cache the encoded blobs so the lineage aggregate below reuses them
+    // instead of re-running the whole encode (or re-reading the index)
+    val todo = todo0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // range-cluster on (bucket, term): write parallelism = all cores, but
+    // each task holds a contiguous (bucket, term) range => ~1 bucket dir
+    // per task => O(cores) output files, not O(cores × buckets)
+    todo.toDF().repartitionByRange(col("bucket"), col("term"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
+    // lineage: by default over the cached write set (identical rows);
+    // auditLineage re-reads from disk — the slower trust-nothing audit path
+    val lineageSrc =
+      if (auditLineage)
+        spark.read.parquet(s"$tableDir/data")
+          .filter(!col("bucket").isin(committed.toSeq.map(x => x: Any): _*))
+      else todo.toDF()
+    val lineage = lineageSrc.groupBy("bucket").agg(
       count(lit(1)).as("rows"),
       sum(length(col("bytes"))).as("bytes"),
       // order-insensitive deterministic aggregate hash of (term, payload)
       coalesce(bit_xor(xxhash64(col("term"), col("bytes"))), lit(0L)).as("hashAgg"))
       .collect()
       .map(r => TableIO.PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    todo.unpersist()
     val all = (prev.map(_.partitions).getOrElse(Nil) ++ lineage).sortBy(_.partition)
     val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all)
     TableIO.commit(tableDir, m)

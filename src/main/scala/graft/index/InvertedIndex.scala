@@ -58,19 +58,27 @@ object InvertedIndex {
   def docStats(tokens: DataFrame): DataFrame =
     tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
 
-  /** derive postings + docStats from one tokens pass (reuses the exploded
-    * stream; Catalyst will still plan two jobs unless cached — callers that
-    * need all three should cache tokens at build time). */
   case class Tables(postings: DataFrame, termStats: DataFrame, docStats: DataFrame,
                     nDocs: Long, avgDl: Double)
 
-  def build(corpus: DataFrame, cacheTokens: Boolean = true): Tables = {
-    val toks = if (cacheTokens) tokens(corpus).cache() else tokens(corpus)
-    val p = postings(toks)
-    val ts = termStats(toks)
-    val ds = docStats(toks)
-    val nDocs = corpus.count()
+  /** Postings-centric build: the exploded token stream is consumed EXACTLY
+    * once (by the tf aggregate); docStats (dl = Σtf) and termStats (df =
+    * row count per term) derive from the much smaller postings relation,
+    * which is cached serialized. Caching the raw exploded tokens instead
+    * costs ~5× the memory and the GC pressure anti-scales at high core
+    * counts. */
+  def build(corpus: DataFrame, cacheTokens: Boolean = true,
+            knownNDocs: Long = -1L): Tables = {
+    val p = postings(tokens(corpus))
+    val pc = if (cacheTokens)
+      p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else p
+    val ts = pc.groupBy("term").agg(count(lit(1)).as("df"))
+    val ds = pc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // one extra count job only when the caller can't supply N (generated
+    // corpora know their size; parquet counts are metadata-fast anyway)
+    val nDocs = if (knownNDocs >= 0) knownNDocs else corpus.count()
     val avgDl = ds.agg(avg(col("dl"))).head().getDouble(0)
-    Tables(p, ts, ds, nDocs, avgDl)
+    Tables(pc, ts, ds, nDocs, avgDl)
   }
 }

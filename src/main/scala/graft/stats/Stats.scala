@@ -1,0 +1,57 @@
+package graft.stats
+
+import graft.index.InvertedIndex
+import graft.io.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistics + run-status surfaces of the reference, Spark-shaped:
+  *
+  *  - per-repo + total pages/lemmas counts (GET /api/statistics,
+  *    /root/reference/src/main/java/searchengine/services/
+  *    StatisticsServiceImpl.java:30-87) — one rollup query instead of the
+  *    reference's hand-looped per-site count + running totals
+  *  - site/run status lineage (reference `site` table status mutations,
+  *    IndexingServiceImpl.java:95-122,209-238) — replaced by immutable
+  *    status rows derived from snapshot manifests: a run is INDEXED when
+  *    its manifest committed, INDEXING while absent, FAILED is a run row
+  *    with an error payload written by the driver on abort.
+  */
+object Stats {
+
+  /** grouping-sets rollup: per-repo rows + a total row (repo = 'ALL'). */
+  def statistics(corpus: DataFrame): DataFrame = {
+    val toks = InvertedIndex.tokens(corpus)
+    val pages = corpus.groupBy("repo").agg(count(lit(1)).as("pages"))
+    val lemmas = InvertedIndex.termStatsByRepo(toks)
+      .groupBy("repo").agg(count(lit(1)).as("lemmas"))
+    val per = pages.join(lemmas, "repo")
+    val total = per.agg(sum("pages").as("pages"), sum("lemmas").as("lemmas"))
+      .withColumn("repo", lit("ALL")).select("repo", "pages", "lemmas")
+    per.select("repo", "pages", "lemmas").union(total)
+  }
+
+  case class RunStatus(snapshotId: Long, status: String, partitions: Int,
+                       rows: Long, bytes: Long)
+
+  /** status rows from the snapshot history of an index table dir — the
+    * immutable replacement for the reference's in-place status updates. */
+  def runStatus(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val snaps = TableIO.listSnapshots(tableDir)
+    val current = TableIO.readCurrent(tableDir).map(_.snapshotId)
+    snaps.flatMap(id => TableIO.readSnapshot(tableDir, id)).map { m =>
+      RunStatus(m.snapshotId,
+        if (current.contains(m.snapshotId)) "INDEXED" else "SUPERSEDED",
+        m.partitions.size, m.partitions.map(_.rows).sum, m.partitions.map(_.bytes).sum)
+    }.toDF()
+  }
+
+  /** the reference's start-indexing guard: refuse when a run is in flight
+    * (IndexingServiceImpl.java:58-65 / SiteRepository.findByStatus). In
+    * snapshot terms: a data dir exists whose manifest isn't committed. */
+  def indexingInFlight(tableDir: String): Boolean = {
+    val dataDir = new java.io.File(s"$tableDir/data")
+    dataDir.exists && TableIO.readCurrent(tableDir).isEmpty
+  }
+}

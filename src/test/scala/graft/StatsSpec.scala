@@ -1,0 +1,42 @@
+package graft
+
+import graft.corpus.Corpus
+import graft.index.{IndexWriter, InvertedIndex}
+import graft.stats.Stats
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("statistics rollup: per-repo rows + ALL total (A8)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "r0", "en", "spark join"), (1L, "r0", "en", "spark"),
+      (2L, "r1", "en", "query plan scan")
+    ).toDF("doc_id", "repo", "lang", "content")
+    val got = Stats.statistics(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("r0") == ((2L, 2L))) // 2 pages; lemmas {spark, join}
+    assert(got("r1") == ((1L, 3L)))
+    assert(got("ALL") == ((3L, 5L)))
+  }
+
+  test("run status from snapshot history; in-flight guard (A9/S6)") {
+    val dir = Files.createTempDirectory("graft-stats").toString
+    assert(!Stats.indexingInFlight(dir))
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus, cacheTokens = false)
+    val cfg = IndexWriter.Config(docsPerShard = 64, nBuckets = 4)
+    val shards = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg)
+    IndexWriter.write(shards, dir, 1L, cfg)
+    val st1 = Stats.runStatus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st1 == Map(1L -> "INDEXED"))
+    assert(!Stats.indexingInFlight(dir))
+    IndexWriter.write(shards, dir, 2L, cfg)
+    val st2 = Stats.runStatus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st2 == Map(1L -> "SUPERSEDED", 2L -> "INDEXED"))
+  }
+}
