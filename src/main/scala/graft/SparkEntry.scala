@@ -164,6 +164,13 @@ object SparkEntry {
       Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // O3: pagination — second page (offset 10, limit 10) of the BM25 ranking
+    "ft_bm25_page2" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, k = 10, offset = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
     // J2: missing-term anti-join (error short-circuit path)
     "ft_missing_terms" -> ((s, dir) => {
       import s.implicits._
@@ -337,6 +344,8 @@ object SparkEntry {
          |) WHERE rank <= 10""".stripMargin,
     "ft_bm25_topk" -> bm25TopKSql(q2, 10),
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
+    "ft_bm25_page2" -> bm25TopKSql(q2, 20)
+      .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
     "ft_compressed_postings" ->
       s"WITH ${termsCte}, ${tstatsCte} SELECT term, df FROM tstats",
     "ft_missing_terms" ->

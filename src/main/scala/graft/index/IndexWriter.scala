@@ -134,6 +134,41 @@ object IndexWriter {
     m
   }
 
+  /** Incremental snapshot upsert (reference POST /api/indexPage,
+    * IndexingServiceImpl.java:84-94,244-264 delete+refetch+reindex;
+    * SURVEY.md §7.4): replace `docs` in the corpus and rebuild ONLY the
+    * buckets containing terms of the old or new versions of those docs.
+    * `fullShards` must be the shard postings of the UPDATED corpus (lazy —
+    * only the affected buckets are computed thanks to the bucket filter
+    * below), encoded with the snapshot's FROZEN avgDl (TableIO.readMeta):
+    * unaffected buckets' block-max bounds were baked with it, so scoring
+    * must keep using it until a full rebuild/compaction refreshes corpus
+    * statistics (standard incremental-IR practice). Returns the new
+    * manifest; untouched buckets keep their files and lineage
+    * byte-identically. */
+  def upsertBuckets(fullShards: Dataset[ShardPosting], tableDir: String,
+                    affectedTerms: Set[String], snapshotId: Long,
+                    cfg: Config = Config()): TableIO.Manifest = {
+    val spark = fullShards.sparkSession
+    val affectedBuckets = affectedTerms.map(bucketOf(_, cfg.nBuckets))
+    val prev = TableIO.readCurrent(tableDir)
+      .getOrElse(sys.error(s"upsert requires an existing committed index at $tableDir"))
+    // drop the affected buckets' data files, keep everything else
+    affectedBuckets.foreach { b =>
+      val p = java.nio.file.Path.of(tableDir, "data", s"bucket=$b")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    // manifest without the affected buckets == a resumable partial state;
+    // write() then rebuilds exactly those buckets from fullShards
+    TableIO.commit(tableDir, prev.copy(
+      partitions = prev.partitions.filterNot(p => affectedBuckets(p.partition))))
+    write(fullShards.filter(s => affectedBuckets(s.bucket)), tableDir, snapshotId, cfg)
+  }
+
   /** Read the index back, pruned to the query's terms: partition pruning on
     * bucket (only |terms| of nBuckets dirs are scanned) + pushed term
     * filter. */

@@ -29,11 +29,25 @@ object InvertedIndex {
   }
 
   /** Exploded token stream: (doc_id, repo, term). Column pruning keeps the
-    * parquet scan at (doc_id, source, lang, text) only. */
-  def tokens(corpus: DataFrame): DataFrame =
-    corpus.select(
-      col("doc_id"), col("repo"),
-      explode(termsForLang(col("content"), col("lang"))).as("term"))
+    * parquet scan at (doc_id, source, lang, text) only.
+    *
+    * A non-empty lexicon enables the reference's 1→N normal-form expansion
+    * (luceneMorph.getNormalForms analog, SURVEY.md §2.3 T4) via a
+    * broadcast-captured UDF — index-build-time only, never on the query
+    * hot path; the default (empty lexicon) stays fully codegen'd. */
+  def tokens(corpus: DataFrame,
+             lexicon: Analyzer.Lexicon = Analyzer.emptyLexicon): DataFrame = {
+    val arr = termsForLang(col("content"), col("lang"))
+    val expanded =
+      if (lexicon.isEmpty) arr
+      else {
+        val expand = udf((ts: Seq[String]) =>
+          if (ts == null) Seq.empty[String]
+          else ts.flatMap(Analyzer.normalForms(_, lexicon)))
+        expand(arr)
+      }
+    corpus.select(col("doc_id"), col("repo"), explode(expanded).as("term"))
+  }
 
   /** tf per (doc, term) — reference A1 (`counterWord`, Lemmatizator.java:1),
     * as one shuffle-partial hash aggregate. */

@@ -98,4 +98,17 @@ class IndexSpec extends AnyFunSuite {
       .join(t.docStats, "doc_id").filter(col("s") =!= col("dl")).count()
     assert(dlMismatch == 0)
   }
+
+  test("lexicon-enabled tokens: 1->N normal-form expansion in the engine path (T4)") {
+    import spark.implicits._
+    val lex: graft.analyze.Analyzer.Lexicon =
+      Map("running" -> Seq("run", "running"), "mice" -> Seq("mouse"))
+    val d = Seq((0L, "r", "en", "running mice fast")).toDF("doc_id", "repo", "lang", "content")
+    val got = InvertedIndex.tokens(d, lex).select("term").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("run", "running", "mouse", "fast"))
+    // df counts the expanded forms (reference semantics: lemma table rows)
+    val df = InvertedIndex.termStats(InvertedIndex.tokens(d, lex))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("run" -> 1L, "running" -> 1L, "mouse" -> 1L, "fast" -> 1L))
+  }
 }

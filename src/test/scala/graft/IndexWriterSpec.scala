@@ -97,4 +97,44 @@ class IndexWriterSpec extends AnyFunSuite {
       assert(new graft.index.PostingCodec.Decoded(s.bytes).numDocs == s.numDocs)
     }
   }
+
+  test("snapshot upsert: single-doc replacement rebuilds only affected buckets") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val corpus0 = Corpus.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val t0 = InvertedIndex.build(corpus0, cacheTokens = false)
+    IndexWriter.write(IndexWriter.shardPostings(t0.postings, t0.docStats, t0.avgDl, cfg),
+      dir, 1L, cfg)
+    graft.io.TableIO.writeMeta(dir, graft.io.TableIO.IndexMeta(t0.nDocs, t0.avgDl))
+    val before = indexFingerprint(dir)
+    val manifestBefore = graft.io.TableIO.readCurrent(dir).get
+
+    // replace doc 0's content; affected terms = old union new
+    val oldTerms = graft.analyze.Analyzer.queryTerms("en",
+      corpus0.filter(org.apache.spark.sql.functions.col("doc_id") === 0L)
+        .select("content").head().getString(0))
+    val newContent = "dup dup hash window"
+    val newTerms = graft.analyze.Analyzer.queryTerms("en", newContent)
+    val corpus1 = corpus0.withColumn("content",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 0L,
+        org.apache.spark.sql.functions.lit(newContent))
+        .otherwise(org.apache.spark.sql.functions.col("content")))
+    val meta = graft.io.TableIO.readMeta(dir).get
+    val t1 = InvertedIndex.build(corpus1, cacheTokens = false, knownNDocs = meta.nDocs)
+    val shards1 = IndexWriter.shardPostings(t1.postings, t1.docStats, meta.avgDl, cfg)
+    IndexWriter.upsertBuckets(shards1, dir, oldTerms ++ newTerms, 2L, cfg)
+
+    // result == full rebuild of corpus1 at the frozen avgDl
+    val fullDir = tmpDir()
+    IndexWriter.write(shards1, fullDir, 1L, cfg)
+    assert(indexFingerprint(dir) == indexFingerprint(fullDir))
+    // unaffected buckets kept their exact lineage rows
+    val affectedBuckets = (oldTerms ++ newTerms).map(IndexWriter.bucketOf(_, cfg.nBuckets))
+    val manifestAfter = graft.io.TableIO.readCurrent(dir).get
+    manifestBefore.partitions.filterNot(p => affectedBuckets(p.partition)).foreach { p =>
+      assert(manifestAfter.partitions.find(_.partition == p.partition).contains(p))
+    }
+    assert(manifestAfter.snapshotId == 2L)
+  }
 }
