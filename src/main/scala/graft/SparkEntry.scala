@@ -164,6 +164,14 @@ object SparkEntry {
       Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // F1: path-validity filter (reference validUrl: reject media/binary
+    // extensions and fragment links, IndexingServiceImpl.java:239-243)
+    "ft_valid_paths" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      c.filter(!col("path").rlike("\\.(jpg|jpeg|png|gif|pdf|doc|xml|mp3|mp4|zip)$") &&
+          !col("path").contains("#"))
+        .select("doc_id", "path")
+    }),
     // O3: pagination — second page (offset 10, limit 10) of the BM25 ranking
     "ft_bm25_page2" -> ((s, dir) => {
       val (_, t) = index(s, dir)
@@ -346,6 +354,10 @@ object SparkEntry {
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
+    "ft_valid_paths" ->
+      """SELECT doc_id, 'doc/' || doc_id AS path FROM documents
+        |WHERE NOT regexp_matches('doc/' || doc_id, '\.(jpg|jpeg|png|gif|pdf|doc|xml|mp3|mp4|zip)$')
+        |  AND NOT contains('doc/' || doc_id, '#')""".stripMargin,
     "ft_compressed_postings" ->
       s"WITH ${termsCte}, ${tstatsCte} SELECT term, df FROM tstats",
     "ft_missing_terms" ->
