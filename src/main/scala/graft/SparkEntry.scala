@@ -104,6 +104,16 @@ object SparkEntry {
       val (_, t) = index(spark, sfDir)
       IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl).cache()
     })
+  private val persistedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** write the compressed index of sfDir once per JVM, return its table dir */
+  def persistedIndex(spark: SparkSession, sfDir: String): String =
+    persistedCache.computeIfAbsent(s"${spark.hashCode}|$sfDir", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-qidx").toString
+      val (_, t) = index(spark, sfDir)
+      IndexWriter.write(shards(spark, sfDir), dir, 1L)
+      graft.io.TableIO.writeMeta(dir, graft.io.TableIO.IndexMeta(t.nDocs, t.avgDl))
+      dir
+    })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -202,6 +212,33 @@ object SparkEntry {
       val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
       val qShards = shards(s, dir).filter(sp => idfs.contains(sp.term))
       Wand.topK(qShards, idfs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // Disjunctive (OR) BM25 top-k: DataFrame aggregate path and classic
+    // block-max WAND — both rank-identical to the same SQL oracle
+    "ft_bm25_or_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.bm25TopKDisjunctive(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    "ft_wand_or_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
+      val qShards = shards(s, dir).filter(sp => idfs.contains(sp.term))
+      Wand.topKDisjunctive(qShards, idfs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // Cold-start query over the PERSISTED index: write-once per sfDir, then
+    // read back with bucket partition pruning + term pushdown; same oracle
+    "ft_wand_persisted" -> ((s, dir) => {
+      val idxDir = persistedIndex(s, dir)
+      val meta = graft.io.TableIO.readMeta(idxDir).get
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, meta.nDocs) }
+      Wand.topK(IndexWriter.readForTerms(s, idxDir, q2), idfs, meta.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
     // Salted two-phase shard merge: one global compressed list per term;
@@ -352,6 +389,9 @@ object SparkEntry {
          |) WHERE rank <= 10""".stripMargin,
     "ft_bm25_topk" -> bm25TopKSql(q2, 10),
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
+    "ft_bm25_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
+    "ft_wand_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
+    "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
     "ft_valid_paths" ->

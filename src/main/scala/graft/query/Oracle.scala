@@ -66,6 +66,20 @@ object Oracle {
         .slice(offset, offset + k)
     }
 
+    /** disjunctive (OR) variant: any doc containing ≥1 query term */
+    def topKDisjunctive(lang: String, query: String, k: Int): Seq[Scored] = {
+      val p = plan(lang, query)
+      if (p.missing.nonEmpty || p.isEmpty) return Nil
+      val planTerms = p.terms.map(_.term)
+      val candidate = planTerms.flatMap(t => postingList(t)).distinct
+      candidate.sorted.map { id =>
+        val present = planTerms.filter(t => tf.contains((id, t)))
+        val bm25 = present.sorted.map(t =>
+          Bm25.scoreS(tf((id, t)), df(t), dl(id), nDocs, avgDl)).sum
+        Scored(id, bm25, present.map(t => tf((id, t))).sum)
+      }.sortBy(s => (-s.bm25, s.docId)).take(k)
+    }
+
     def topKSumTf(lang: String, query: String, k: Int): Seq[Scored] = {
       val p = plan(lang, query)
       if (p.missing.nonEmpty || p.isEmpty) return Nil

@@ -63,6 +63,25 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Disjunctive (OR-semantics) BM25 top-k — same aggregate without the
+    * conjunction filter; the exhaustive twin of Wand.topKDisjunctive. */
+  def bm25TopKDisjunctive(postings: DataFrame, docStats: DataFrame,
+                          dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                          k: Int): DataFrame = {
+    val terms = dfs.keys.toSeq.sorted
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val scored = postings
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(docStats, "doc_id")
+      .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Reference-parity Σtf relevance (SearcherPage.java:91-107): absolute
     * score = Σ tf cast to int; relative = abs / max(abs) — the int cast and
     * the max-normalization replicated exactly (quarantined quirk, SURVEY.md

@@ -94,4 +94,87 @@ object Wand {
     top.withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
       .select(col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Classic DISJUNCTIVE block-max WAND (Broder et al. 2003 + block-max
+    * refinement, Ding & Suel 2011): OR-semantics top-k — any doc containing
+    * ≥1 query term scores. The reference itself is conjunctive-only; this is
+    * the standard IR extension a complete engine offers.
+    *
+    * Per shard: cursors kept docId-sorted; the pivot is the first cursor
+    * where the prefix sum of term-level upper bounds (idf·maxTfNorm of the
+    * whole list) reaches θ — docs before the pivot cannot enter the top-k
+    * and are skipped wholesale via skipTo (never decoded thanks to the
+    * block skip list). At the pivot, the tighter block-max bound gets a
+    * second chance to skip before exact scoring. Exact w.r.t. ties: prune
+    * only when bound < θ strictly (score == θ with smaller docId must
+    * still be scored to win the docId tie-break).
+    */
+  def topKDisjunctive(shards: Dataset[ShardPosting], idfs: Map[String, Double],
+                      avgDl: Double, k: Int): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val idfB = spark.sparkContext.broadcast(idfs)
+    val hits = shards.groupByKey(_.shard).flatMapGroups { (shard, it) =>
+      val idf = idfB.value
+      final class C(val w: Double, val cur: PostingCodec.Cursor, val termUB: Double)
+      val cursors = scala.collection.mutable.ArrayBuffer.from(
+        it.toArray.map { b =>
+          val dec = new PostingCodec.Decoded(b.bytes)
+          new C(idf(b.term), new PostingCodec.Cursor(dec), idf(b.term) * dec.maxTfNorm)
+        }.filter(!_.cur.exhausted))
+      implicit val ord: Ordering[Hit] = Ordering.by(h => (-h.score, h.docId))
+      val heap = new scala.collection.mutable.PriorityQueue[Hit]()(ord)
+      var theta = Double.NegativeInfinity
+      while (cursors.nonEmpty) {
+        val sorted = cursors.sortInPlace()(Ordering.by(_.cur.docId))
+        // pivot: first index where the prefix UB could reach theta
+        var acc = 0.0
+        var pivot = -1
+        var i = 0
+        while (pivot < 0 && i < sorted.length) {
+          acc += sorted(i).termUB
+          if (heap.size < k || acc >= theta) pivot = i
+          i += 1
+        }
+        if (pivot < 0) {
+          cursors.clear() // no remaining doc can reach theta
+        } else {
+          val pivotDoc = sorted(pivot).cur.docId
+          if (sorted(0).cur.docId == pivotDoc) {
+            // all cursors at pivotDoc participate; block-max second chance
+            var bmUB = 0.0
+            var j = 0
+            while (j <= pivot) { bmUB += sorted(j).w * sorted(j).cur.blockMaxTfNorm; j += 1 }
+            if (heap.size < k || bmUB >= theta) {
+              var score = 0.0
+              j = 0
+              while (j < sorted.length && sorted(j).cur.docId == pivotDoc) {
+                val c = sorted(j)
+                score += c.w * Bm25.tfNormS(c.cur.tf, c.cur.dl, avgDl)
+                j += 1
+              }
+              val h = Hit(shard, pivotDoc, score)
+              if (heap.size < k) { heap.enqueue(h); if (heap.size == k) theta = heap.head.score }
+              else if (score > theta || (score == theta && pivotDoc < heap.head.docId)) {
+                heap.dequeue(); heap.enqueue(h); theta = heap.head.score
+              }
+            }
+            // advance every cursor sitting on pivotDoc
+            var j2 = 0
+            while (j2 < sorted.length && sorted(j2).cur.docId == pivotDoc) {
+              sorted(j2).cur.next(); j2 += 1
+            }
+          } else {
+            // docs before the pivot can't win: jump the leading cursor
+            sorted(0).cur.skipTo(pivotDoc)
+          }
+          cursors.filterInPlace(!_.cur.exhausted)
+        }
+      }
+      heap.iterator.map(h => (h.docId, h.score))
+    }.toDF("doc_id", "score")
+    val top = hits.orderBy(desc("score"), asc("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
 }

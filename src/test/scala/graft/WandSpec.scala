@@ -57,6 +57,39 @@ class WandSpec extends AnyFunSuite {
       Seq("dup", "join spark", "hash join sort merge", "dup spark", "scan"))
   }
 
+  test("disjunctive WAND ≡ disjunctive DataFrame ≡ oracle (OR semantics)") {
+    Seq(
+      ("gen", Corpus.assignDocIds(Corpus.generate(spark, 400, 6).toDF()),
+        Seq("tok0 tok1", "tok42 tok123", "tok7 tok99 tok3")),
+      ("sf0.001", Corpus.fromDocuments(spark, "/root/testdata/sf0.001"),
+        Seq("dup spark", "hash join sort merge"))
+    ).foreach { case (name, corpus, qs) =>
+      val t = InvertedIndex.build(corpus)
+      val shardsDs = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg).cache()
+      val docs = corpus.select("doc_id", "repo", "lang", "content").collect()
+        .map(r => Oracle.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      val oracle = new Oracle.Index(docs.toIndexedSeq)
+      qs.foreach { q =>
+        val p = QueryFrontend.plan(t.termStats, "en", q)
+        if (!p.isEmpty) {
+          val dfs = p.terms.map(ti => ti.term -> ti.df).toMap
+          val idfs = p.terms.map(ti => ti.term -> Bm25.idfS(ti.df, t.nDocs)).toMap
+          val want = oracle.topKDisjunctive("en", q, 10)
+          val gotW = Wand.topKDisjunctive(shardsDs.filter(sp => idfs.contains(sp.term)),
+              idfs, t.avgDl, 10)
+            .collect().map(r => (r.getLong(1), r.getDouble(2)))
+          val gotD = Search.bm25TopKDisjunctive(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
+            .collect().map(r => (r.getLong(1), r.getDouble(2)))
+          assert(gotW.map(_._1).toSeq == want.map(_.docId), s"[$name/$q] WAND-OR docIds")
+          assert(gotD.map(_._1).toSeq == want.map(_.docId), s"[$name/$q] DF-OR docIds")
+          gotW.zip(want).foreach { case ((_, s), o) =>
+            assert(math.abs(s - o.bm25) < 1e-9, s"[$name/$q] score $s vs ${o.bm25}")
+          }
+        }
+      }
+    }
+  }
+
   test("merged global posting lists decode to the same postings as the shards") {
     val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
     val t = InvertedIndex.build(corpus)
