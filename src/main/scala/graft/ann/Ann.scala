@@ -60,9 +60,11 @@ object Ann {
       (if (probeHamming >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
     val qprobed = qb.select(col("query_id"), col("qv"),
       explode(array(probes.map(p => col("qbucket").bitwiseXOR(p)): _*)).as("bucket"))
+    // dedup candidate pairs BEFORE scoring: a vector reachable through
+    // several probe buckets must pay the 64-dim cosine only once
     val scored = e.join(broadcast(qprobed), "bucket")
-      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
       .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

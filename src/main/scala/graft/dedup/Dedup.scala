@@ -69,11 +69,14 @@ object Dedup {
   /** MinHash signature: numHashes min-aggregates over mixed shingle hashes
     * — one hash-aggregate pass, fully codegen'd (no UDF, no arrays until
     * the final struct). Output: (doc_id, s0 .. s{k-1}). */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
-      .withColumn("h", TextHash.tokenHashCol(col("shingle")))
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, n: Int = 3): DataFrame =
+    minhashSignaturesFrom(shingles(docs, n), numHashes)
+
+  /** signature aggregation over a (possibly shared/cached) shingle relation */
+  def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.withColumn("h", TextHash.tokenHashCol(col("shingle")))
     val aggs = (0 until numHashes).map(i => min(TextHash.mixCol(i, col("h"))).as(s"s$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over the signatures: bands of `rowsPerBand` signature
@@ -82,7 +85,10 @@ object Dedup {
     * any engine with the same hash family. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2,
                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(docs, numHashes, n)
+    // one cached shingle relation feeds BOTH the signatures and the
+    // exact-Jaccard verification below
+    val sh = shingles(docs, n).cache()
+    val sig = minhashSignaturesFrom(sh, numHashes)
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
@@ -93,8 +99,7 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-    // exact verify on candidates only
-    val sh = shingles(docs, n).cache()
+    // exact verify on candidates only (reuses the cached shingles)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")

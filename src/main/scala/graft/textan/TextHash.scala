@@ -20,7 +20,14 @@ object TextHash {
   def tokenHash(s: String): Long =
     s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
 
+  /** native codegen'd Catalyst expression (graft.functions.TokenHashExpr) —
+    * tight char loop instead of the interpreted HOF fold below */
   def tokenHashCol(c: Column): Column =
+    graft.functions.TokenHashExpr.token_hash(c)
+
+  /** the composable built-ins-only form, kept as the reference twin the
+    * native expression is tested against */
+  def tokenHashColHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
 
   def tokenHashSql(expr: String): String =
