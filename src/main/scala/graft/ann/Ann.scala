@@ -71,6 +71,90 @@ object Ann {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  // ---------------- IVF (inverted-file / coarse k-means) ----------------
+
+  /** Deterministic Lloyd's k-means over the embedding column: centroids
+    * initialized from the first `k` vec_ids (seed-free determinism), a few
+    * fixed iterations, L2 assignment. Returns the centroid matrix. At 100 TB
+    * the same loop runs on a sample; assignment stays a single broadcast
+    * pass over the table. */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int = 4): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].cache()
+    var centroids = e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray)
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = e.map { case (_, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, v)
+      }
+      centroids = assigned.groupByKey(_._1)
+        .mapGroups { (cid, it) =>
+          val acc = new Array[Double](centroids(0).length)
+          var n = 0
+          it.foreach { case (_, v) =>
+            var i = 0
+            while (i < v.length) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (cid, acc.map(_ / n))
+        }.collect().sortBy(_._1).map(_._2)
+    }
+    e.unpersist()
+    centroids
+  }
+
+  /** IVF ANN: table bucketed by nearest centroid (write-time at scale);
+    * queries probe the `nprobe` nearest centroid buckets, exact cosine
+    * within. Same output schema as bruteForceTopK; recall measured in
+    * AnnSpec. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(emb, nCentroids)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val probeUdf = udf((v: Seq[Double]) => {
+      val cs = bc.value
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    })
+    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", assignUdf(col("v")))
+    val qprobed = queries.withColumn("bucket", explode(probeUdf(col("qv"))))
+    val scored = e.join(broadcast(qprobed), "bucket")
+      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** the fixed query set used by the harness: the first `nq` vectors of the
     * embeddings table themselves. */
   def fixedQueries(spark: SparkSession, emb: DataFrame, nq: Int = 5): DataFrame =

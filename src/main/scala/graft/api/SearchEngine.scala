@@ -1,0 +1,113 @@
+package graft.api
+
+import graft.analyze.Analyzer
+import graft.index.{IndexWriter, InvertedIndex}
+import graft.io.TableIO
+import graft.query.{QueryFrontend, Search}
+import graft.stats.Stats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's API surface (controllers/ApiController.java:21-47) as a
+  * Spark-native facade — a user of the reference can switch endpoint by
+  * endpoint:
+  *
+  *   GET  /api/startIndexing  -> startIndexing(corpus)
+  *   POST /api/indexPage      -> indexPage(doc)
+  *   GET  /api/search         -> search(query, site, offset, limit)
+  *   GET  /api/statistics     -> statistics()
+  *   GET  /api/stopIndexing   -> (cooperative stop ≙ job abort + snapshot
+  *                                resume; see IndexWriter.write(resume))
+  *
+  * DTO shapes mirror dto/search/SearchResponce.java and the
+  * dto/statistics classes. The 60-second query-result cache replicates
+  * SearchServiceImpl.java:40-43,68-85 (off the correctness path).
+  */
+class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
+
+  case class SearchItem(site: String, siteName: String, uri: String,
+                        title: String, snippet: String, relevance: Double)
+  case class SearchResponse(result: Boolean, count: Long, data: Seq[SearchItem], error: String)
+  case class Statistics(sites: Long, pages: Long, lemmas: Long,
+                        detailed: Seq[(String, Long, Long)])
+
+  private var tables: InvertedIndex.Tables = _
+  private var indexed = false
+
+  /** full index build — refuses while one is in flight (reference guard,
+    * IndexingServiceImpl.java:58-65). */
+  def startIndexing(): Boolean = synchronized {
+    if (indexed && tables == null) return false
+    corpus = corpus.cache()
+    tables = InvertedIndex.build(corpus)
+    indexed = true
+    true
+  }
+
+  /** single-doc upsert (POST /api/indexPage): replace-by-doc_id, then
+    * recompute the in-memory tables (the persisted-index variant is
+    * IndexWriter.upsertBuckets). */
+  def indexPage(doc: DataFrame): Boolean = synchronized {
+    require(indexed, "index not built")
+    // incoming docs get their integrity column recomputed (input_hint
+    // invariant), never trusted from the caller
+    val doc2 =
+      if (corpus.columns.contains("sha256"))
+        doc.withColumn("sha256", sha2(col("content"), 256))
+      else doc
+    val ids = doc2.select("doc_id")
+    corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(doc2).cache()
+    tables = InvertedIndex.build(corpus)
+    true
+  }
+
+  // 60s TTL result cache (reference: SearchServiceImpl.outdated)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Option[String], Int, Int), (Long, SearchResponse)]()
+  val cacheTtlMs = 60000L
+
+  def search(query: String, site: Option[String] = None,
+             offset: Int = 0, limit: Int = 20): SearchResponse = {
+    require(indexed, "index not built")
+    val key = (query, site, offset, limit)
+    val now = System.currentTimeMillis()
+    val hit = cache.get(key)
+    if (hit != null && now - hit._1 < cacheTtlMs) return hit._2
+    val resp = doSearch(query, site, offset, limit)
+    cache.put(key, (now, resp))
+    resp
+  }
+
+  private def doSearch(query: String, site: Option[String],
+                       offset: Int, limit: Int): SearchResponse = {
+    // empty-after-analysis -> error (reference SearchServiceImpl.java:54-57)
+    val qTerms = Analyzer.queryTerms("en", query)
+    // (the reference's messages are Russian — "Задан пустой поисковый
+    // запрос" / "Нет данных по словам: …" — kept in English here)
+    if (qTerms.isEmpty)
+      return SearchResponse(result = false, 0, Nil, "Empty search query")
+    val plan = QueryFrontend.plan(tables.termStats, "en", query)
+    if (plan.missing.nonEmpty)
+      // reference sentinel row lists the missing words (SearcherPage.java:58-79)
+      return SearchResponse(result = false, 0, Nil,
+        s"No data for words: ${plan.missing.mkString(", ")}, ")
+    if (plan.isEmpty) return SearchResponse(result = true, 0, Nil, null)
+    val rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
+        tables.nDocs, tables.avgDl, query, "en", site, limit, offset)
+      .collect()
+    val items = rows.map { r =>
+      SearchItem(r.getAs[String]("repo"), r.getAs[String]("repo"),
+        r.getAs[String]("path"), r.getAs[String]("title"),
+        r.getAs[String]("snippet"), r.getAs[Double]("score"))
+    }
+    SearchResponse(result = true, items.length.toLong, items.toSeq, null)
+  }
+
+  def statistics(): Statistics = {
+    require(indexed, "index not built")
+    val rows = Stats.statistics(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = rows.find(_._1 == "ALL").getOrElse(("ALL", 0L, 0L))
+    val detailed = rows.filterNot(_._1 == "ALL").sortBy(_._1)
+    Statistics(detailed.length.toLong, total._2, total._3, detailed.toSeq)
+  }
+}

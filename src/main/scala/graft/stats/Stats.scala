@@ -47,6 +47,18 @@ object Stats {
     }.toDF()
   }
 
+  /** Skew telemetry over a written index (SURVEY.md §7.4-2 "verify no
+    * partition exceeds threshold in metrics"): per-bucket rows/bytes plus
+    * the largest single posting blob — hot-term skew shows up here first. */
+  def skewReport(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(s"$tableDir/data")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("blobs"),
+        sum(length(col("bytes"))).as("bytes"),
+        max(length(col("bytes"))).as("max_blob_bytes"),
+        max(col("numDocs")).as("max_blob_docs"))
+      .orderBy(desc("bytes"))
+
   /** the reference's start-indexing guard: refuse when a run is in flight
     * (IndexingServiceImpl.java:58-65 / SiteRepository.findByStatus). In
     * snapshot terms: a data dir exists whose manifest isn't committed. */

@@ -75,4 +75,22 @@ class AnnSpec extends AnyFunSuite {
       .filter(col("rank") === 1).collect()
       .foreach(r => assert(r.getLong(0) == r.getLong(2)))
   }
+
+  test("IVF: deterministic centroids, bounded buckets, reasonable recall") {
+    val c1 = Ann.ivfCentroids(emb, 8)
+    val c2 = Ann.ivfCentroids(emb, 8)
+    assert(c1.length == 8 && c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val queries = Ann.fixedQueries(spark, emb, 5)
+    val brute = Ann.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.ivfTopK(emb, queries, 5, nCentroids = 8, nprobe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.5, s"IVF avg recall too low: ${recalls.sum / recalls.size}")
+    // self always retrievable (its own bucket is the nearest centroid)
+    Ann.ivfTopK(emb, queries, 5, 8, 3).collect()
+      .filter(_.getInt(1) == 1).foreach(r => assert(r.getLong(0) == r.getLong(2)))
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.api.SearchEngine
+import graft.corpus.Corpus
+import org.scalatest.funsuite.AnyFunSuite
+
+/** API-facade behavior: endpoint semantics mirrored from the reference
+  * (ApiController paths, SearchResponce shape, error payloads, result
+  * cache, upsert visibility). */
+class SearchEngineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def freshEngine(): SearchEngine = {
+    val e = new SearchEngine(spark, Corpus.fromDocuments(spark, "/root/testdata/sf0.001"))
+    assert(e.startIndexing())
+    e
+  }
+  lazy val engine = freshEngine()
+
+  test("search returns decorated, ranked items") {
+    val r = engine.search("spark join", limit = 5)
+    assert(r.result && r.count == 5)
+    assert(r.data.head.relevance >= r.data.last.relevance)
+    assert(r.data.forall(i => i.snippet.contains("<b>")))
+    assert(r.data.forall(i => i.uri.startsWith("doc/")))
+  }
+
+  test("empty query and missing-term error payloads mirror the reference") {
+    val empty = engine.search("the a")
+    assert(!empty.result && empty.error != null)
+    val missing = engine.search("spark warpdrive flux")
+    assert(!missing.result)
+    assert(missing.error.contains("flux") && missing.error.contains("warpdrive"))
+  }
+
+  test("site-scoped search restricts results") {
+    val r = engine.search("spark join", site = Some("src3"), limit = 10)
+    assert(r.result)
+    assert(r.data.forall(_.site == "src3"))
+  }
+
+  test("result cache: repeated query within TTL returns the same object") {
+    val a = engine.search("hash", limit = 3)
+    val b = engine.search("hash", limit = 3)
+    assert(a eq b) // cache hit returns the identical response instance
+  }
+
+  test("statistics mirrors TotalStatistics + detailed items") {
+    val s = engine.statistics()
+    assert(s.sites == 20 && s.pages == 500)
+    assert(s.detailed.map(_._2).sum == s.pages)
+    assert(s.lemmas > 0)
+  }
+
+  test("indexPage upsert: new content is searchable, old is gone") {
+    import spark.implicits._
+    val e = freshEngine()
+    val before = e.search("dup", limit = 100)
+    val doc = Seq((0L, "src0", "doc/0",
+      "0000000000000000000000000000000000000000", "en", "dup dup dup unique999word"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    assert(e.indexPage(doc))
+    val after = e.search("unique999word", limit = 10)
+    assert(after.result && after.count == 1 && after.data.head.uri == "doc/0")
+    val dupAfter = e.search("dup", limit = 100)
+    assert(dupAfter.count == before.count + 1 ||
+      before.data.exists(_.uri == "doc/0") && dupAfter.count == before.count)
+  }
+}

@@ -39,4 +39,19 @@ class StatsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st2 == Map(1L -> "SUPERSEDED", 2L -> "INDEXED"))
   }
+
+  test("skew report: per-bucket blob metrics over a written index") {
+    val dir = Files.createTempDirectory("graft-skew").toString
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus, cacheTokens = false)
+    val cfg = IndexWriter.Config(docsPerShard = 64, nBuckets = 4)
+    IndexWriter.write(IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg), dir, 1L, cfg)
+    val rep = Stats.skewReport(spark, dir).collect()
+    assert(rep.nonEmpty && rep.length <= 4)
+    rep.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getInt(3).toLong <= r.getLong(2)) // max blob <= total bytes
+      assert(r.getInt(4) <= 64)                  // bounded by docsPerShard
+    }
+  }
 }
