@@ -311,6 +311,13 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
+    // IVF (coarse k-means) ANN — rows-only; recall asserted in AnnSpec
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.ivfTopK(emb, Ann.fixedQueries(s, emb, 5), 5, nCentroids = 8, nprobe = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
     // language-ID heuristic
     "text_lang_id" -> ((s, dir) => {
       val (c, _) = index(s, dir)
