@@ -34,8 +34,22 @@ object ScalingBench {
       val spark = SparkSession.builder()
         .master(master)
         .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", math.abs(cores).toString)
+        // 4 tasks per core: with exactly |cores| tasks a single skewed or
+        // unlucky task is a full-stage straggler; finer tasks level it
+        .config("spark.sql.shuffle.partitions", (4 * math.abs(cores)).toString)
+        // all executor JVMs share ONE virtual disk in this sandbox — put
+        // shuffle/spill files on tmpfs so scale-out isn't throttled by the
+        // shared device (a real cluster has per-node local NVMe)
+        .config("spark.local.dir", {
+          val d = "/dev/shm/graft-shuffle"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
+        })
         .config("spark.executor.memory", "3g")
+        // each 1-core executor JVM must BEHAVE like a 1-core node: without
+        // this every executor sizes GC/JIT thread pools for the 32 visible
+        // vCPUs, and N executors spawn N×(pools) of background threads that
+        // oversubscribe the box — penalizing exactly the high-N configs
+        .config("spark.executor.extraJavaOptions", "-XX:ActiveProcessorCount=1")
         .config("spark.executor.extraClassPath",
           sys.props.getOrElse("java.class.path", ""))
         .config("spark.sql.session.timeZone", "UTC")
@@ -50,21 +64,35 @@ object ScalingBench {
         Bench.deleteRec(new java.io.File(dir))
         (n, sec)
       }.drop(1)
+      // platform calibration: a pure-compute shuffle-light Spark job at the
+      // same level — the VM's own Spark-stack parallel ceiling, reported so
+      // the index-build efficiency can be read against what ANY job can
+      // achieve here (shared-host turbo/bandwidth effects included)
+      import org.apache.spark.sql.functions._
+      val calib = (0 to 1).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(60000000L)
+          .select(sha2(concat(lit("x"), col("id")), 256).as("h"))
+          .select(substring(col("h"), 1, 2).as("k"))
+          .groupBy("k").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val best = runs.map(_._2).min
       val n = runs.head._1
-      println(s"""{"level":"$master","files":$n,"sec":$best,"files_per_sec":${n / best}}""")
-      cores -> (n, best)
+      println(f"""{"level":"$master","files":$n,"sec":$best,"files_per_sec":${n / best},"calib_sec":$calib%.3f}""")
+      cores -> (n, best, calib)
     }
     if (timings.size >= 2) {
-      val (c1raw, (_, t1)) = timings.head
-      val (c2raw, (n, t2)) = timings.last
+      val (c1raw, (_, t1, cal1)) = timings.head
+      val (c2raw, (n, t2, cal2)) = timings.last
       val (c1, c2) = (math.abs(c1raw), math.abs(c2raw))
       val ratio = c2.toDouble / c1
       val eff = (t1 / t2) / ratio
-      println(f"""{"metric":"scaling_efficiency","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"files":$n,"sf":"$sfDir"}""")
+      val platformEff = (cal1 / cal2) / ratio
+      println(f"""{"metric":"scaling_efficiency","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"files":$n,"sf":"$sfDir"}""")
     }
   }
 }

@@ -33,15 +33,19 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
 
   private var tables: InvertedIndex.Tables = _
   private var indexed = false
+  private val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** full index build — refuses while one is in flight (reference guard,
-    * IndexingServiceImpl.java:58-65). */
-  def startIndexing(): Boolean = synchronized {
-    if (indexed && tables == null) return false
-    corpus = corpus.cache()
-    tables = InvertedIndex.build(corpus)
-    indexed = true
-    true
+    * IndexingServiceImpl.java:58-65; the reference answers the start
+    * endpoint with an error body while any site is INDEXING). */
+  def startIndexing(): Boolean = {
+    if (!inFlight.compareAndSet(false, true)) return false
+    try synchronized {
+      corpus = corpus.cache()
+      tables = InvertedIndex.build(corpus)
+      indexed = true
+      true
+    } finally inFlight.set(false)
   }
 
   /** single-doc upsert (POST /api/indexPage): replace-by-doc_id, then

@@ -108,10 +108,11 @@ object IndexWriter {
     // cache the encoded blobs so the lineage aggregate below reuses them
     // instead of re-running the whole encode (or re-reading the index)
     val todo = todo0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // range-cluster on (bucket, term): write parallelism = all cores, but
-    // each task holds a contiguous (bucket, term) range => ~1 bucket dir
-    // per task => O(cores) output files, not O(cores × buckets)
-    todo.toDF().repartitionByRange(col("bucket"), col("term"))
+    // hash-repartition on bucket: one task (and one file) per bucket dir,
+    // no sampling pass (repartitionByRange costs a FULL extra pass over the
+    // encoded blobs to sample ranges). Write parallelism = nBuckets — size
+    // nBuckets to the cluster (e.g. 4096 at 1000 executors), default 16.
+    todo.toDF().repartition(cfg.nBuckets, col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
     // lineage: by default over the cached write set (identical rows);
     // auditLineage re-reads from disk — the slower trust-nothing audit path
