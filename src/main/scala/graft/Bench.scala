@@ -83,8 +83,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""index_build_sec":$buildSec,"index_files":$nDocs,"files_per_sec":$filesPerSec,""" +
       s""""cpus":$cpus,"sf":"$sfDir",""" +
-      s""""scaling_efficiency_measured":0.947,""" +
-      s""""scaling_method":"graft.ScalingBench local-cluster[2,1] vs local-cluster[8,1], gen:400000, best-of-2 warm reps; see BASELINE.md"}""")
+      s""""scaling_efficiency_measured":0.80,""" +
+      s""""scaling_method":"graft.ScalingBench local-cluster[2,1] vs local-cluster[8,1] (ActiveProcessorCount-pinned executor JVMs), gen:400000, paired-run series with platform calibration, per-level minima; see BASELINE.md"}""")
     spark.stop()
   }
 }
