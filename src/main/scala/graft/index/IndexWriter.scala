@@ -104,6 +104,22 @@ object IndexWriter {
     val spark = shards.sparkSession
     val prev = if (resume) TableIO.readCurrent(tableDir) else None
     val committed = prev.map(_.committed).getOrElse(Set.empty)
+    // a crashed previous attempt may have left orphan files in buckets the
+    // manifest never committed; the write below APPENDS, so those dirs must
+    // be cleared first or their rows would double-count
+    val dataDir = java.nio.file.Path.of(tableDir, "data")
+    if (java.nio.file.Files.exists(dataDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dataDir).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("bucket=") && !committed.contains(n.stripPrefix("bucket=").toInt)
+        }
+        .foreach { p =>
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+    }
     val todo0 = shards.filter(s => !committed.contains(s.bucket))
     // cache the encoded blobs so the lineage aggregate below reuses them
     // instead of re-running the whole encode (or re-reading the index)

@@ -137,4 +137,26 @@ class IndexWriterSpec extends AnyFunSuite {
     }
     assert(manifestAfter.snapshotId == 2L)
   }
+
+  test("resume after crash that left orphan files: no duplicate rows") {
+    val shards = buildShards().cache()
+    val fullDir = tmpDir()
+    IndexWriter.write(shards, fullDir, 1L, cfg)
+    val wantFp = indexFingerprint(fullDir)
+
+    // crash simulation: data files fully written but manifest missing 3
+    // buckets (the commit never happened) — files stay ON DISK as orphans
+    val dir = tmpDir()
+    IndexWriter.write(shards, dir, 1L, cfg)
+    val m = TableIO.readCurrent(dir).get
+    val killed = m.partitions.map(_.partition).sorted.take(3).toSet
+    TableIO.commit(dir, m.copy(partitions = m.partitions.filterNot(p => killed(p.partition))))
+
+    // resume must clear the orphan dirs before re-appending
+    IndexWriter.write(shards, dir, 2L, cfg)
+    assert(indexFingerprint(dir) == wantFp)
+    val rows = spark.read.parquet(s"$dir/data").count()
+    val wantRows = spark.read.parquet(s"$fullDir/data").count()
+    assert(rows == wantRows, s"duplicate rows after orphan resume: $rows vs $wantRows")
+  }
 }
