@@ -186,6 +186,22 @@ object IndexWriter {
     write(fullShards.filter(s => affectedBuckets(s.bucket)), tableDir, snapshotId, cfg)
   }
 
+  /** Compaction: full rebuild of the index from the current corpus into a
+    * new snapshot with REFRESHED corpus statistics (nDocs/avgDl) — the
+    * periodic counterpart to upsertBuckets' frozen-stats model. After
+    * enough upserts drift the stats, compact restores exact BM25 global
+    * statistics. write(resume=false) clears every bucket dir first, so
+    * this is also the recovery path from arbitrary index corruption. */
+  def compact(corpus: org.apache.spark.sql.DataFrame, tableDir: String,
+              snapshotId: Long, cfg: Config = Config()): TableIO.Manifest = {
+    val tables = InvertedIndex.build(corpus)
+    val shards = shardPostings(tables.postings, tables.docStats, tables.avgDl, cfg)
+    val m = write(shards, tableDir, snapshotId, cfg, resume = false)
+    TableIO.writeMeta(tableDir, TableIO.IndexMeta(tables.nDocs, tables.avgDl))
+    tables.postings.unpersist()
+    m
+  }
+
   /** Read the index back, pruned to the query's terms: partition pruning on
     * bucket (only |terms| of nBuckets dirs are scanned) + pushed term
     * filter. */

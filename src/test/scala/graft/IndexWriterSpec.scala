@@ -159,4 +159,34 @@ class IndexWriterSpec extends AnyFunSuite {
     val wantRows = spark.read.parquet(s"$fullDir/data").count()
     assert(rows == wantRows, s"duplicate rows after orphan resume: $rows vs $wantRows")
   }
+
+  test("compact: refreshes stats after drifting upserts, single clean snapshot") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val corpus0 = Corpus.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val t0 = InvertedIndex.build(corpus0, cacheTokens = false)
+    IndexWriter.write(IndexWriter.shardPostings(t0.postings, t0.docStats, t0.avgDl, cfg), dir, 1L, cfg)
+    graft.io.TableIO.writeMeta(dir, graft.io.TableIO.IndexMeta(t0.nDocs, t0.avgDl))
+    // upsert with frozen stats (drift), then compact with a much longer doc
+    val newContent = (1 to 200).map(_ => "dup").mkString(" ")
+    val corpus1 = corpus0.withColumn("content",
+      when(col("doc_id") === 0L, lit(newContent)).otherwise(col("content")))
+    val meta0 = graft.io.TableIO.readMeta(dir).get
+    val t1 = InvertedIndex.build(corpus1, cacheTokens = false, knownNDocs = meta0.nDocs)
+    val affected = graft.analyze.Analyzer.queryTerms("en",
+      corpus0.filter(col("doc_id") === 0L).select("content").head.getString(0)) ++ Set("dup")
+    IndexWriter.upsertBuckets(IndexWriter.shardPostings(t1.postings, t1.docStats, meta0.avgDl, cfg),
+      dir, affected, 2L, cfg)
+    assert(graft.io.TableIO.readMeta(dir).get.avgDl == meta0.avgDl) // frozen
+    // compact refreshes
+    IndexWriter.compact(corpus1, dir, 3L, cfg)
+    val metaC = graft.io.TableIO.readMeta(dir).get
+    assert(metaC.avgDl > meta0.avgDl) // doc 0 got much longer
+    // index equals a from-scratch build at the fresh stats
+    val fullDir = tmpDir()
+    val tf = InvertedIndex.build(corpus1, cacheTokens = false)
+    IndexWriter.write(IndexWriter.shardPostings(tf.postings, tf.docStats, tf.avgDl, cfg), fullDir, 1L, cfg)
+    assert(indexFingerprint(dir) == indexFingerprint(fullDir))
+    assert(graft.io.TableIO.readCurrent(dir).get.snapshotId == 3L)
+  }
 }

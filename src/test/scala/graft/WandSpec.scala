@@ -106,4 +106,40 @@ class WandSpec extends AnyFunSuite {
     assert(decoded == want)
     assert(got.head.numDocs == want.size)
   }
+
+  test("randomized queries: WAND ≡ oracle over 30 seeded random term sets") {
+    val corpus = Corpus.assignDocIds(Corpus.generate(spark, 500, 8).toDF())
+    val t = InvertedIndex.build(corpus)
+    val shardsDs = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg).cache()
+    val docs = corpus.select("doc_id", "repo", "lang", "content").collect()
+      .map(r => Oracle.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val oracle = new Oracle.Index(docs.toIndexedSeq)
+    val vocabDfs = t.termStats.collect().map(r => r.getString(0)).sorted
+    var h = 0xC0FFEEL
+    (1 to 30).foreach { i =>
+      h = graft.corpus.Corpus.splitmix64(h)
+      val nTerms = 1 + (math.abs(h) % 3).toInt
+      val terms = (0 until nTerms).map { j =>
+        h = graft.corpus.Corpus.splitmix64(h)
+        vocabDfs((math.abs(h) % vocabDfs.length).toInt)
+      }.distinct
+      val q = terms.mkString(" ")
+      val p = QueryFrontend.plan(t.termStats, "en", q)
+      if (!p.isEmpty) {
+        val idfs = p.terms.map(ti => ti.term -> Bm25.idfS(ti.df, t.nDocs)).toMap
+        val want = oracle.topK("en", q, 10)
+        val got = Wand.topK(shardsDs.filter(sp => idfs.contains(sp.term)), idfs, t.avgDl, 10)
+          .collect().map(r => (r.getLong(1), r.getDouble(2)))
+        assert(got.map(_._1).toSeq == want.map(_.docId), s"[rand-$i '$q'] docIds")
+        got.zip(want).foreach { case ((_, sc), o) =>
+          assert(math.abs(sc - o.bm25) < 1e-9, s"[rand-$i '$q'] score")
+        }
+        // disjunctive too
+        val wantOr = oracle.topKDisjunctive("en", q, 10)
+        val gotOr = Wand.topKDisjunctive(shardsDs.filter(sp => idfs.contains(sp.term)), idfs, t.avgDl, 10)
+          .collect().map(r => r.getLong(1))
+        assert(gotOr.toSeq == wantOr.map(_.docId), s"[rand-$i '$q'] OR docIds")
+      }
+    }
+  }
 }
