@@ -210,7 +210,9 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
       val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
-      val qShards = shards(s, dir).filter(sp => idfs.contains(sp.term))
+      // Column-level isin, NOT a typed lambda: a Scala-closure filter would
+      // deserialize every ShardPosting (incl. the posting blob) per query
+      val qShards = shards(s, dir).filter(col("term").isin(idfs.keys.toSeq.map(x => x: Any): _*))
       Wand.topK(qShards, idfs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
@@ -226,7 +228,7 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
       val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
-      val qShards = shards(s, dir).filter(sp => idfs.contains(sp.term))
+      val qShards = shards(s, dir).filter(col("term").isin(idfs.keys.toSeq.map(x => x: Any): _*))
       Wand.topKDisjunctive(qShards, idfs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),

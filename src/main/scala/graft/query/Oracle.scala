@@ -28,7 +28,13 @@ object Oracle {
         .groupBy(_._1).map { case (t, v) => t -> v.size.toLong }
     val dl: Map[Long, Long] = terms.map { case (id, ts) => id -> ts.size.toLong }
     val nDocs: Long = docs.size.toLong
-    val avgDl: Double = if (docs.isEmpty) 0.0 else dl.values.sum.toDouble / dl.size
+    // avg over docs with >=1 token only — matches InvertedIndex.build (avg
+    // over docStats, which has no zero-length rows) and the DuckDB statsCte;
+    // an all-stopword doc must not drag avgDl down on one side only.
+    val avgDl: Double = {
+      val pos = dl.values.filter(_ > 0L)
+      if (pos.isEmpty) 0.0 else pos.sum.toDouble / pos.size
+    }
 
     def postingList(term: String): Seq[Long] =
       tf.keys.collect { case (id, t) if t == term => id }.toSeq.sorted

@@ -140,6 +140,11 @@ object Wand {
           cursors.clear() // no remaining doc can reach theta
         } else {
           val pivotDoc = sorted(pivot).cur.docId
+          // BMW pivot extension: cursors past the pivot index can sit on the
+          // same docId (sorted ⇒ contiguous) and contribute to the exact
+          // score, so the block-max bound must include them too — otherwise a
+          // doc whose tail cursors push it over θ is wrongly skipped.
+          while (pivot + 1 < sorted.length && sorted(pivot + 1).cur.docId == pivotDoc) pivot += 1
           if (sorted(0).cur.docId == pivotDoc) {
             // all cursors at pivotDoc participate; block-max second chance
             var bmUB = 0.0

@@ -90,6 +90,47 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("BMW pivot extension: same-doc cursors past the pivot index must count (regression)") {
+    import spark.implicits._
+    // Crafted case: doc 200 sits in the SECOND block of both lists with a
+    // small per-term block-max; either cursor's truncated bound is below θ
+    // but the two together beat it. A pivot that stops at the first cursor
+    // (pre-fix behavior) skips doc 200 and wrongly returns doc 1.
+    val avgDl = 50.0
+    def norm(tf: Int, dl: Int): Double = Bm25.tfNormS(tf, dl, avgDl)
+    def blob(ps: Seq[(Long, Int, Int)]): Array[Byte] =
+      PostingCodec.encode(
+        ps.map { case (d, tf, dl) => PostingCodec.Posting(d, tf, dl) }.toIndexedSeq,
+        (tf, dl) => norm(tf, dl))
+    val fillers = (3L to 129L).map(i => (i, 1, 10000)) // 127 tiny-score docs
+    val aPost = Seq((2L, 100, 100)) ++ fillers ++ Seq((200L, 5, 5)) // 129 => 2 blocks
+    val bPost = Seq((1L, 100, 100)) ++ fillers ++ Seq((200L, 5, 5))
+    val w = Bm25.idfS(129, 1000)
+    val theta = w * norm(100, 100)
+    // preconditions that make the case adversarial
+    assert(aPost.size > PostingCodec.blockSize && w * norm(5, 5) < theta && 2 * w * norm(5, 5) > theta)
+    val shardsDs = Seq(
+      index.ShardPosting("a", 0, 0, aPost.size, norm(100, 100).toFloat, blob(aPost)),
+      index.ShardPosting("b", 0, 0, bPost.size, norm(100, 100).toFloat, blob(bPost))).toDS()
+    val got = Wand.topKDisjunctive(shardsDs, Map("a" -> w, "b" -> w), avgDl, 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(200L), s"top-1 must be doc 200, got $got")
+    assert(math.abs(got.head._2 - 2 * w * norm(5, 5)) < 1e-9)
+  }
+
+  test("all-stopword doc: engine avgDl (over docs with postings) ≡ oracle") {
+    // a doc that analyzes to ZERO tokens must not drag avgDl down on one
+    // side only (the engine averages over docStats, which has no such doc)
+    val rows = Seq(
+      (0L, "r0", "en", "spark join query plan"),
+      (1L, "r0", "en", "the and of in"), // all stopwords -> zero tokens
+      (2L, "r1", "en", "join hash spark"),
+      (3L, "r1", "en", "query scan join spark plan"))
+    import spark.implicits._
+    val corpus = rows.toDF("doc_id", "repo", "lang", "content")
+    checkCorpus("stopdoc", corpus, Seq("spark join", "query", "join"))
+  }
+
   test("merged global posting lists decode to the same postings as the shards") {
     val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
     val t = InvertedIndex.build(corpus)
