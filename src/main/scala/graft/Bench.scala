@@ -78,13 +78,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // scaling efficiency is measured by graft.ScalingBench (separate
-    // executor JVMs, two levels, fixed generated input) and recorded in
-    // BASELINE.md §Measured — the fields here point the reader at it
+    // executor JVMs, two levels, fixed generated input), which RECORDS its
+    // summary to tools/scaling_latest.json; this bench only relays that
+    // recorded result (never a constant posing as an in-run measurement)
+    val scalingRecorded = {
+      val p = java.nio.file.Paths.get("tools/scaling_latest.json")
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
+      else "null"
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""index_build_sec":$buildSec,"index_files":$nDocs,"files_per_sec":$filesPerSec,""" +
       s""""cpus":$cpus,"sf":"$sfDir",""" +
-      s""""scaling_efficiency_measured":0.80,""" +
-      s""""scaling_method":"graft.ScalingBench local-cluster[2,1] vs local-cluster[8,1] (ActiveProcessorCount-pinned executor JVMs), gen:400000, paired-run series with platform calibration, per-level minima; see BASELINE.md"}""")
+      s""""scaling_recorded":$scalingRecorded,""" +
+      s""""scaling_method":"recorded by graft.ScalingBench: local-cluster[2,1] vs local-cluster[8,1] (ActiveProcessorCount-pinned executor JVMs), paired-run series with platform calibration, per-level minima; series in BASELINE.md"}""")
     spark.stop()
   }
 }

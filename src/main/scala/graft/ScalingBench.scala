@@ -92,7 +92,12 @@ object ScalingBench {
       val ratio = c2.toDouble / c1
       val eff = (t1 / t2) / ratio
       val platformEff = (cal1 / cal2) / ratio
-      println(f"""{"metric":"scaling_efficiency","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"files":$n,"sf":"$sfDir"}""")
+      val line = f"""{"metric":"scaling_efficiency","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"files":$n,"sf":"$sfDir"}"""
+      println(line)
+      // record the summary so graft.Bench can relay the latest actual run
+      val out = sys.env.getOrElse("SCALING_OUT", "tools/scaling_latest.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case _: java.io.IOException => () }
     }
   }
 }

@@ -305,15 +305,16 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
-    // LSH-bucketed ANN (multiprobe) — approximate; recall vs ann_topk is
-    // asserted in AnnSpec, rows-only here
+    // LSH-bucketed ANN (multiprobe) — approximate but deterministic; recall
+    // vs ann_topk asserted in AnnSpec, exact output hash-gated vs DuckDB
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.lshTopK(emb, Ann.fixedQueries(s, emb, 5), dim = 64, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
-    // IVF (coarse k-means) ANN — rows-only; recall asserted in AnnSpec
+    // IVF (coarse k-means) ANN — deterministic Lloyd's (ordered float
+    // accumulation), hash-gated vs an unrolled-SQL k-means twin
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.ivfTopK(emb, Ann.fixedQueries(s, emb, 5), 5, nCentroids = 8, nprobe = 3)
@@ -345,7 +346,7 @@ object SparkEntry {
       Multimodal.meta(Multimodal.mediaFromDocuments(s, dir))
     }),
     // multimodal: stubbed decode via mapPartitions (batch plumbing is real;
-    // decode is a deterministic fake) — rows-only, verified in MultimodalSpec
+    // decode is a deterministic fake) — checksum/meta hash-gated vs DuckDB
     "mm_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
         .toDF().select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
@@ -514,6 +515,11 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // deterministic by construction (splitmix64 planes / seed-free k-means),
+    // so the approximate paths get full hash gates, not rows-only checks
+    "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql,
+    "mm_features" -> mmFeaturesSql,
     "text_lang_id" -> {
       val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
       val cnts = langs.map { l =>
@@ -571,6 +577,101 @@ object SparkEntry {
         |FROM documents""".stripMargin
   )
 
+  // ---- ANN / multimodal oracle twins -----------------------------------
+  private val embDim = 64
+
+  /** LSH bucket id in SQL: per-plane dot product written as the SAME
+    * left-associated chain of double multiply-adds as Ann.bucketCol, with
+    * the splitmix64-derived plane constants inlined as literals
+    * (Double.toString round-trips, so DuckDB parses the identical double —
+    * the sign decisions are bit-identical). */
+  private def lshBucketSql(v: String, bits: Int = 8): String =
+    (0 until bits).map { b =>
+      val dot = (0 until embDim)
+        .map(d => s"$v[${d + 1}] * (${Ann.planeComponent(b, d)})").mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** squared L2 distance as the same 0.0-seeded left fold as the Scala
+    * while-loop in Ann.ivfCentroids/assignUdf */
+  private def d2Sql(v: String, cv: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range($embDim), " +
+      s"i -> ($v[CAST(i + 1 AS INTEGER)] - $cv[CAST(i + 1 AS INTEGER)]) * " +
+      s"($v[CAST(i + 1 AS INTEGER)] - $cv[CAST(i + 1 AS INTEGER)]))), (acc, x) -> acc + x)"
+
+  /** one Lloyd iteration: assign (ties → lowest cid) + per-dim mean summed
+    * in vec_id order (mirrors the sorted accumulation in ivfCentroids);
+    * a centroid with no members keeps its previous position. */
+  private def ivfIterSql(prev: String, a: String, m: String, next: String): String =
+    s"""$a AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${d2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM e, $prev c) WHERE rn = 1),
+       |$m AS (SELECT cid, i,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list(v[CAST(i + 1 AS INTEGER)] ORDER BY vec_id)), (acc, x) -> acc + x)
+       |         / count(*) AS mi
+       |       FROM $a, (SELECT unnest(range($embDim)) AS i) GROUP BY cid, i),
+       |$next AS (SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT cid FROM $m)
+       |          UNION ALL SELECT cid, list(mi ORDER BY i) AS cv FROM $m GROUP BY cid)""".stripMargin
+
+  private def annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |eb AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM eb WHERE vec_id < 5),
+       |pr AS (SELECT unnest(ARRAY[${(Seq(0L) ++ (0 until 8).map(b => 1L << b)).mkString(", ")}]) AS p),
+       |qp AS (SELECT query_id, xor(qbucket, CAST(p AS BIGINT)) AS bucket FROM q, pr),
+       |cand AS (SELECT DISTINCT qp.query_id, eb.vec_id FROM qp JOIN eb USING (bucket)),
+       |scored AS (SELECT c.query_id, c.vec_id, ${cosSql("qq.qv", "ee.v")} AS cos
+       |           FROM cand c JOIN q qq ON c.query_id = qq.query_id
+       |                JOIN eb ee ON c.vec_id = ee.vec_id)
+       |SELECT query_id, rank, vec_id, cos_r FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  private def annIvfSql: String = {
+    val iters = (1 to 4).map(t => ivfIterSql(s"c${t - 1}", s"a$t", s"m$t", s"c$t")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |$iters,
+       |fin AS (SELECT vec_id, v, cid AS bucket FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${d2Sql("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM e, c4 c) WHERE rn = 1),
+       |qp AS (SELECT query_id, qv, bucket FROM (
+       |  SELECT qe.vec_id AS query_id, qe.v AS qv, c.cid AS bucket,
+       |         row_number() OVER (PARTITION BY qe.vec_id
+       |                            ORDER BY ${d2Sql("qe.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |  FROM e qe, c4 c WHERE qe.vec_id < 5) WHERE rn <= 3),
+       |scored AS (SELECT qp.query_id, a.vec_id, ${cosSql("qp.qv", "a.v")} AS cos
+       |           FROM fin a JOIN qp ON a.bucket = qp.bucket)
+       |SELECT query_id, rank, vec_id, cos_r FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  /** byte-exact checksum twin: blob bytes recovered via hex() so multibyte
+    * UTF-8 text hashes identically to the Scala fold over Array[Byte] */
+  private def mmFeaturesSql: String = {
+    val hexval = (c: String) => s"(strpos('0123456789ABCDEF', $c) - 1)"
+    val byteAt = s"CAST(${hexval("substring(hx, CAST(2 * i + 1 AS INTEGER), 1)")} * 16 + " +
+      s"${hexval("substring(hx, CAST(2 * i + 2 AS INTEGER), 1)")} AS BIGINT)"
+    s"""WITH b AS (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents)
+       |SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |  (length(hx) // 2)::BIGINT AS n_bytes,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(length(hx) // 2), i -> $byteAt)),
+       |    (a, v) -> (a * 31 + v) % 2147483647) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** sequential-fold cosine between two float-list SQL expressions —
     * mirrors Dedup.cosine's left-to-right double accumulation exactly */
   private def cosSql(a: String, b: String): String = {
@@ -585,11 +686,14 @@ object SparkEntry {
   private def simhashSql: String =
     s"""WITH ${termsCte},
        |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
-       |ph AS (SELECT doc_id, tf, ${tokenHashSqlInner("term")} AS h FROM post),
+       |ph0 AS (SELECT doc_id, tf, ${tokenHashSqlInner("term")} AS h0 FROM post),
+       |ph AS (SELECT doc_id, tf,
+       |         (${TextHash.mixSql(100, "h0")}) + ((${TextHash.mixSql(101, "h0")}) << 31) AS h
+       |       FROM ph0),
        |bits AS (SELECT doc_id, j,
        |           CASE WHEN sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN tf ELSE -tf END) > 0
        |                THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-       |         FROM ph, (SELECT unnest(range(31)) AS j) GROUP BY doc_id, j)
+       |         FROM ph, (SELECT unnest(range(${graft.dedup.Dedup.simhashBits})) AS j) GROUP BY doc_id, j)
        |SELECT doc_id, sum(bit * (1::BIGINT << CAST(j AS INTEGER)))::BIGINT AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin
 }

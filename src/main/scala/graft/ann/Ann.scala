@@ -86,7 +86,7 @@ object Ann {
     var centroids = e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = e.map { case (_, v) =>
+      val assigned = e.map { case (id, v) =>
         val cs = bc.value
         var best = 0; var bestD = Double.MaxValue
         var c = 0
@@ -96,19 +96,28 @@ object Ann {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        (best, v)
+        (best, id, v)
       }
-      centroids = assigned.groupByKey(_._1)
+      // member sums accumulate in vec_id order: float addition is not
+      // associative, and a shuffle-order sum would make the centroids (and
+      // hence bucket assignment) run-dependent — this keeps k-means
+      // bit-reproducible across runs AND engines (the DuckDB oracle sums in
+      // the same order). Group size is bounded because at scale this loop
+      // runs on a sample (see scaladoc).
+      val updated = assigned.groupByKey(_._1)
         .mapGroups { (cid, it) =>
+          val members = it.toArray.sortBy(_._2)
           val acc = new Array[Double](centroids(0).length)
-          var n = 0
-          it.foreach { case (_, v) =>
+          members.foreach { case (_, _, v) =>
             var i = 0
             while (i < v.length) { acc(i) += v(i); i += 1 }
-            n += 1
           }
-          (cid, acc.map(_ / n))
-        }.collect().sortBy(_._1).map(_._2)
+          (cid, acc.map(_ / members.length))
+        }.collect().toMap
+      // a centroid that lost every member keeps its previous position (cid
+      // labels stay stable — no index compaction that would silently remap
+      // tie-breaks)
+      centroids = centroids.indices.map(c => updated.getOrElse(c, centroids(c))).toArray
     }
     e.unpersist()
     centroids

@@ -95,9 +95,24 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
       return SearchResponse(result = false, 0, Nil,
         s"No data for words: ${plan.missing.mkString(", ")}, ")
     if (plan.isEmpty) return SearchResponse(result = true, 0, Nil, null)
-    val rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
+    var rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
         tables.nDocs, tables.avgDl, query, "en", site, limit, offset)
       .collect()
+    if (rows.isEmpty && offset > 0) {
+      // reference quirk (SearchServiceImpl.java:101-118): an offset at or
+      // past the end of the result list clamps to the LAST element rather
+      // than returning an empty page
+      val scoped = site match {
+        case Some(r) => tables.postings.join(
+          corpus.filter(col("repo") === r).select("doc_id"), Seq("doc_id"), "left_semi")
+        case None => tables.postings
+      }
+      val total = Search.conjunctive(scoped, plan.terms.map(_.term)).count()
+      if (total > 0)
+        rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
+            tables.nDocs, tables.avgDl, query, "en", site, 1, (total - 1).toInt)
+          .collect()
+    }
     val items = rows.map { r =>
       SearchItem(r.getAs[String]("repo"), r.getAs[String]("repo"),
         r.getAs[String]("path"), r.getAs[String]("title"),

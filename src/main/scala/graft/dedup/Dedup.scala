@@ -115,16 +115,27 @@ object Dedup {
   }
 
   // ---------- SimHash --------------------------------------------------
-  /** 31-bit SimHash over analyzed terms weighted by tf: bit j of the hash
-    * is 1 iff Σ_term tf·(±1 by bit j of tokenHash(term)) > 0. Pure
-    * aggregates (explode bits × terms), no UDF. */
+  /** number of SimHash bits: 62 (two 31-bit mixed hashes of the term hash).
+    * At 100 TB the band buckets must stay sparse: with 62 bits and 4 bands
+    * of ~16 bits there are 2^15..2^16 keys per band, vs the 256 keys an
+    * 8-bit band would give — the difference between linear and quadratic
+    * candidate generation at N ≈ 10^10 docs. */
+  val simhashBits = 62
+
+  /** 62-bit SimHash over analyzed terms weighted by tf: bit j of the hash
+    * is 1 iff Σ_term tf·(±1 by bit j of h62(term)) > 0, where h62 packs two
+    * independent 31-bit mixes of the (cross-engine deterministic) term
+    * hash. Pure aggregates (explode bits × terms), no UDF. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = Analyzer.termsCol(col("content"), Analyzer.naturalStop)
     val tf = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", TextHash.tokenHashCol(col("term")))
+      .withColumn("h0", TextHash.tokenHashCol(col("term")))
+      // 62 independent bits from two mixer-family members (each < 2^31)
+      .withColumn("h", TextHash.mixCol(100, col("h0")) +
+        shiftleft(TextHash.mixCol(101, col("h0")), 31))
     val bits = tf.select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(30))).as("j"))
+        explode(sequence(lit(0), lit(simhashBits - 1))).as("j"))
       .groupBy("doc_id", "j")
       // shiftright's Scala wrapper only takes a literal bit count — the SQL
       // form accepts a column
@@ -136,12 +147,13 @@ object Dedup {
 
   /** near-dup pairs by SimHash hamming distance ≤ maxHamming, candidates
     * via 4-band exact-match (any band equal ⇒ candidate — covers all pairs
-    * with ≤ 3 differing bits across 31 bits split into 4 bands). */
+    * with ≤ 3 differing bits: 4 disjoint bands jointly covering all 62
+    * bits, so ≤ 3 flipped bits leave ≥ 1 band identical). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val shs = simhash(docs).cache()
-    // 4 bands of ~8 bits
+    // 4 bands of 16 bits (band 3 holds the top 14)
     val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band"), shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key")))
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("key")))
     val bands = shs.select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))

@@ -54,13 +54,20 @@ object Multimodal {
   }
 
   /** per-partition feature extraction over the binary column. Size-binned
-    * repartition first: partition key = log2 size bin, preventing byte-skew
-    * (all huge blobs on one executor). */
-  def extractFeatures(media: Dataset[MediaRow], dims: Int = 8): Dataset[MediaFeatures] = {
+    * repartition first: key = (log2-size bin, salt), so decode batches hold
+    * similar-sized blobs (uniform batch memory for a real codec) while the
+    * salt spreads each bin across the WHOLE cluster — parallelism scales
+    * with the cluster, never capped by a modulus, and one bin of 4K videos
+    * can't pile onto one executor. */
+  def extractFeatures(media: Dataset[MediaRow], dims: Int = 8,
+                      numPartitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val nPart = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     media
-      .repartition(col("media_id") % 16) // deterministic spread; real key: size bin
+      .repartition(nPart,
+        floor(log2(greatest(length(col("bytes")), lit(1)).cast("double"))).as("size_bin"),
+        pmod(col("media_id"), lit(nPart)).as("salt"))
       .mapPartitions { rows =>
         // per-partition init happens HERE in a real decoder (codec/model load)
         rows.map { r =>

@@ -65,12 +65,16 @@ class DedupSpec extends AnyFunSuite {
     val ham02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
     val ham03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
     assert(ham02 < ham03, s"near-dup hamming $ham02 should be < unrelated $ham03")
-    // scalar twin of the definition
+    // scalar twin of the definition (62 bits from two 31-bit mixes)
     def simhashS(terms: Seq[String]): Long = {
       val tf = terms.groupBy(identity).view.mapValues(_.size).toMap
-      (0 to 30).map { j =>
+      def h62(t: String): Long = {
+        val h0 = TextHash.tokenHash(t)
+        TextHash.mix(100, h0) + (TextHash.mix(101, h0) << 31)
+      }
+      (0 until Dedup.simhashBits).map { j =>
         val v = tf.map { case (t, f) =>
-          if (((TextHash.tokenHash(t) >> j) & 1) == 1) f.toLong else -f.toLong
+          if (((h62(t) >> j) & 1) == 1) f.toLong else -f.toLong
         }.sum
         if (v > 0) 1L << j else 0L
       }.sum

@@ -45,6 +45,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feat(0) == 97 / 255.0f && feat(1) == 98 / 255.0f && feat(2) == 99 / 255.0f)
   }
 
+  test("feature extraction parallelism scales with the cluster (no % 16 cap)") {
+    val m = Multimodal.mediaFromDocuments(spark, sfDir)
+    // at parallelism 32 the (size-bin, salt) key must actually occupy more
+    // than 16 partitions — the old media_id % 16 key could not
+    val feats = Multimodal.extractFeatures(m, numPartitions = 32)
+    assert(feats.rdd.getNumPartitions == 32)
+    val nonEmpty = feats.rdd.mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).sum()
+    assert(nonEmpty > 16, s"only $nonEmpty non-empty partitions")
+  }
+
   test("frame sampling: only video rows, deterministic frame count and content") {
     val m = Multimodal.mediaFromDocuments(spark, sfDir)
     val frames = Multimodal.sampleFrames(m, stride = 64, frameLen = 16).collect()

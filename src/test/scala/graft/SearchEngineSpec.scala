@@ -39,6 +39,17 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(r.data.forall(_.site == "src3"))
   }
 
+  test("offset past the end clamps to the last result (reference pagination quirk)") {
+    // total matches for this query is small; an offset far past it must
+    // return the LAST ranked element, not an empty page
+    // (SearchServiceImpl.java:101-118)
+    val all = engine.search("dup spark", limit = 1000)
+    assert(all.result && all.count > 0 && all.count < 900)
+    val past = engine.search("dup spark", offset = 5000, limit = 10)
+    assert(past.result && past.count == 1)
+    assert(past.data.head.uri == all.data.last.uri)
+  }
+
   test("result cache: repeated query within TTL returns the same object") {
     val a = engine.search("hash", limit = 3)
     val b = engine.search("hash", limit = 3)
