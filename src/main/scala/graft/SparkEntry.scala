@@ -1,6 +1,6 @@
 package graft
 
-import graft.analyze.Analyzer
+import graft.analyze.{Analyzer, DefaultLexicon, Html}
 import graft.ann.Ann
 import graft.corpus.Corpus
 import graft.dedup.Dedup
@@ -249,6 +249,30 @@ object SparkEntry {
       val merged = IndexWriter.mergeShards(shards(s, dir))
       merged.toDF().select(col("term"), col("numDocs").cast("long").as("df"))
     }),
+    // T4: 1→N normal-form expansion through the SHIPPED lexicon (reference
+    // luceneMorph.getNormalForms; golden LemmatizatorTest.java:10-17 shape)
+    "ft_postings_lex" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      InvertedIndex.postings(InvertedIndex.tokens(c, DefaultLexicon.lexicon))
+        .select("doc_id", "term", "tf")
+    }),
+    // T1 + title: HTML→text extraction over a deterministically HTML-wrapped
+    // variant of the corpus (reference Jsoup.parse(content).text() +
+    // SearchServiceImpl.java:284-296 title regexp)
+    "ft_html_extract" -> ((s, dir) => {
+      val c = Corpus.fromDocuments(s, dir)
+      val html = htmlWrapCol
+      c.select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), Html.title(col("html")).as("title"),
+          Html.extractText(col("html")).as("text"))
+    }),
+    // F4: HTTP-status gate (code <= 299, IndexingServiceImpl.java:135-137)
+    // over a synthesized deterministic status column
+    "ft_http_filter" -> ((s, dir) => {
+      val c = Corpus.fromDocuments(s, dir).withColumn("code",
+        when(col("doc_id") % 97 === 0, lit(404)).otherwise(lit(200)).cast("long"))
+      Corpus.httpOk(c).select("doc_id", "code")
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -449,6 +473,23 @@ object SparkEntry {
          |FROM topk JOIN documents USING (doc_id)""".stripMargin
     },
 
+    "ft_postings_lex" ->
+      s"""WITH ${termsCte}, ${lexCte},
+         |lexp AS (SELECT t.doc_id, coalesce(l.form, t.term) AS term
+         |         FROM terms t LEFT JOIN lex l ON t.term = l.surface),
+         |postx AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM lexp GROUP BY doc_id, term)
+         |SELECT doc_id, term, tf FROM postx""".stripMargin,
+    "ft_html_extract" ->
+      s"""WITH h AS (SELECT doc_id, $htmlWrapSql AS html FROM documents)
+         |SELECT doc_id, ${Html.sqlTitle("html")} AS title,
+         |       ${Html.sqlExtractText("html")} AS text
+         |FROM h""".stripMargin,
+    "ft_http_filter" ->
+      """SELECT doc_id, code FROM (
+        |  SELECT doc_id, (CASE WHEN doc_id % 97 = 0 THEN 404 ELSE 200 END)::BIGINT AS code
+        |  FROM documents)
+        |WHERE code <= 299""".stripMargin,
+
     // ===== training-data ops =====
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
@@ -576,6 +617,26 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END)::BIGINT AS sample_rate
         |FROM documents""".stripMargin
   )
+
+  // ---- HTML wrap / lexicon twins ---------------------------------------
+  /** deterministic HTML wrapper around the documents corpus (no external
+    * data): exercises script/style/tag stripping incl. a '<' inside script */
+  private def htmlWrapCol: org.apache.spark.sql.Column =
+    concat(lit("<html><head><title>Doc "), col("doc_id"), lit(" - "), col("repo"),
+      lit("</title><style>body { color: #000; }</style></head><body><p>"),
+      col("content"), lit("</p><script>var x = 1 < 2;</script></body></html>"))
+  private def htmlWrapSql: String =
+    "'<html><head><title>Doc ' || doc_id || ' - ' || source || " +
+      "'</title><style>body { color: #000; }</style></head><body><p>' || text || " +
+      "'</p><script>var x = 1 < 2;</script></body></html>'"
+
+  /** the shipped lexicon as a VALUES relation — the oracle applies the SAME
+    * surface→forms map as a 1→N left join */
+  private def lexCte: String = {
+    val vals = DefaultLexicon.lexicon.toSeq.sortBy(_._1)
+      .flatMap { case (sf, fs) => fs.map(f => s"('$sf', '$f')") }.mkString(", ")
+    s"lex(surface, form) AS (VALUES $vals)"
+  }
 
   // ---- ANN / multimodal oracle twins -----------------------------------
   private val embDim = 64

@@ -159,6 +159,12 @@ object Corpus {
     df.withColumn("doc_id", row_number().over(w).cast("long") + offsetUdf(col("repo")) - 1L)
   }
 
+  /** HTTP-status gate (reference IndexingServiceImpl.java:135-137: pages
+    * with code > 299 are never indexed). Static corpora synthesize the
+    * `code` column (200 unless the loader knows better); live fetch layers
+    * populate it from the response. */
+  def httpOk(df: DataFrame): DataFrame = df.filter(col("code") <= 299)
+
   /** Per-row content integrity invariant vs the source (input_hint):
     * recompute sha2(content,256) and compare with the carried column.
     * Returns the number of violating rows (0 == pass). */

@@ -121,9 +121,13 @@ object Search {
     val plan = QueryFrontend.plan(termStats, lang, query)
     def decorated(top: DataFrame, terms: Set[String]): DataFrame = {
       val snip = Snippets.makeSnippetUdf(terms)
+      // HTML corpora: snippet over the extracted text, title from <title>
+      // (reference SearchServiceImpl.java:284-296); code corpora fall back
+      // to identity text + path-as-title — both branches are codegen'd
+      // Columns evaluated on the final k rows only
       top.join(corpus.select("doc_id", "repo", "path", "lang", "content"), "doc_id")
-        .withColumn("title", col("path"))
-        .withColumn("snippet", snip(col("content"), col("lang")))
+        .withColumn("title", graft.analyze.Html.titleOf(col("content"), col("path")))
+        .withColumn("snippet", snip(graft.analyze.Html.textOf(col("content")), col("lang")))
         .select("rank", "doc_id", "repo", "path", "title", "snippet", "score")
         .orderBy("rank")
     }

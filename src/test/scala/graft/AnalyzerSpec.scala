@@ -40,6 +40,23 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.normalForms("x", lex) == Seq("x"))
   }
 
+  test("SHIPPED lexicon: inflections fold, ambiguity expands 1 -> N end-to-end") {
+    import graft.analyze.DefaultLexicon.lexicon
+    // the reference golden's shape: one surface word -> every normal form
+    assert(Analyzer.analyze("en", "data joins", lexicon) == Seq("data", "datum", "join"))
+    assert(Analyzer.analyze("en", "queries sorted fastest", lexicon) ==
+      Seq("query", "sort", "fast"))
+    assert(Analyzer.normalForms("axes", lexicon) == Seq("axe", "axis"))
+    // and through the Spark index-build path (tokens with lexicon UDF)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val c = Seq((0L, "r", "en", "the data joins tables"))
+      .toDF("doc_id", "repo", "lang", "content")
+    val got = graft.index.InvertedIndex.tokens(c, lexicon)
+      .collect().map(_.getString(2)).toList
+    assert(got == List("data", "datum", "join", "table"))
+  }
+
   test("analyze is total: empty, whitespace, symbol-only input") {
     assert(Analyzer.analyze("en", "") == Nil)
     assert(Analyzer.analyze("en", "   \t\n") == Nil)
