@@ -1,15 +1,17 @@
 package graft
 
 import graft.streaming.IncrementalIndex
-import graft.corpus.Corpus
+import graft.streaming.IncrementalIndex.ParquetStateStore
 import graft.index.InvertedIndex
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
-/** Incremental/streaming ingestion: batch-merge semantics (idempotent
-  * re-index, no df drift), the parquet state store's crash contract, and a
-  * real Structured Streaming file-source run end-to-end. */
+/** Incremental/streaming ingestion over the LSM-style batch log: merge
+  * semantics (idempotent re-index, no df drift), per-batch cost shape
+  * (delta stats + pushed-down point reads, never an O(index) rewrite),
+  * replay/crash contract, compaction, and a real Structured Streaming
+  * file-source run end-to-end. */
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -18,9 +20,15 @@ class StreamingSpec extends AnyFunSuite {
     rows.toSeq.toDF("doc_id", "repo", "lang", "content")
   }
 
+  def postSet(store: ParquetStateStore) =
+    IncrementalIndex.readPostings(store, spark).get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+  def dfMap(store: ParquetStateStore) =
+    IncrementalIndex.readTermStats(store, spark).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("mergeBatch: two batches accumulate; stats equal a from-scratch build") {
-    val dir = Files.createTempDirectory("graft-stream").toString
-    val store = new IncrementalIndex.ParquetStateStore(dir)
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
     val b1 = docsDf((0L, "r0", "en", "spark join query"), (1L, "r0", "en", "spark filter"))
     val b2 = docsDf((2L, "r1", "en", "join join plan"))
     IncrementalIndex.mergeBatch(store, b1, 0L)
@@ -29,78 +37,109 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "r1", "en", "join join plan"))
     val wantPost = InvertedIndex.postings(InvertedIndex.tokens(all))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val gotPost = store.read(spark, "postings").get
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(gotPost == wantPost)
-    val gotDf = store.read(spark, "term_stats").get
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(gotDf == Map("spark" -> 2L, "join" -> 2L, "query" -> 1L, "filter" -> 1L, "plan" -> 1L))
+    assert(postSet(store) == wantPost)
+    assert(dfMap(store) ==
+      Map("spark" -> 2L, "join" -> 2L, "query" -> 1L, "filter" -> 1L, "plan" -> 1L))
+    // doc_stats reconstruct too
+    val dl = IncrementalIndex.readDocStats(store, spark).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(0L -> 3L, 1L -> 2L, 2L -> 3L))
   }
 
   test("re-indexing the same doc is idempotent (no df drift — reference bug not replicated)") {
-    val dir = Files.createTempDirectory("graft-stream").toString
-    val store = new IncrementalIndex.ParquetStateStore(dir)
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
     val doc = docsDf((0L, "r0", "en", "spark join"))
     IncrementalIndex.mergeBatch(store, doc, 0L)
-    val df1 = store.read(spark, "term_stats").get.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df1 = dfMap(store)
     // reference increments lemma.frequency on every re-index
     // (IndexingServiceImpl.java:171-178 via :244-264); we must NOT
     IncrementalIndex.mergeBatch(store, doc, 1L)
     IncrementalIndex.mergeBatch(store, doc, 2L)
-    val df3 = store.read(spark, "term_stats").get.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(df3 == df1)
+    assert(dfMap(store) == df1)
   }
 
   test("upsert replaces a doc's old postings (delete + reindex in one path)") {
-    val dir = Files.createTempDirectory("graft-stream").toString
-    val store = new IncrementalIndex.ParquetStateStore(dir)
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
     IncrementalIndex.mergeBatch(store,
       docsDf((0L, "r0", "en", "alpha beta"), (1L, "r0", "en", "alpha gamma")), 0L)
-    IncrementalIndex.mergeBatch(store, docsDf((0L, "r0", "en", "delta")), 1L)
-    val post = store.read(spark, "postings").get.collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(post == Set((0L, "delta"), (1L, "alpha"), (1L, "gamma")))
-    val df = store.read(spark, "term_stats").get.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(df == Map("delta" -> 1L, "alpha" -> 1L, "gamma" -> 1L))
+    IncrementalIndex.upsertDoc(store, docsDf((0L, "r0", "en", "delta")))
+    assert(postSet(store).map(p => (p._1, p._2)) ==
+      Set((0L, "delta"), (1L, "alpha"), (1L, "gamma")))
+    assert(dfMap(store) == Map("delta" -> 1L, "alpha" -> 1L, "gamma" -> 1L))
   }
 
-  test("state store: uncommitted batch invisible, committed batch atomic") {
-    val dir = Files.createTempDirectory("graft-stream").toString
-    val store = new IncrementalIndex.ParquetStateStore(dir)
-    assert(store.read(spark, "postings").isEmpty)
+  test("per-batch work is a DELTA: point-read pushed to parquet, no stats recompute") {
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+    IncrementalIndex.mergeBatch(store,
+      docsDf((0L, "r", "en", "alpha beta"), (1L, "r", "en", "gamma beta"),
+        (2L, "r", "en", "alpha gamma")), 0L)
+    // the replaced-doc lookup compiles to an In(doc_id,...) filter pushed to
+    // the parquet scan — per-batch cost reads the touched docs' row groups,
+    // not the whole postings state
+    val probe = IncrementalIndex.postingsForDocs(store, spark, Seq(1L)).get
+    val plan = probe.queryExecution.executedPlan.toString
+    // Catalyst folds a 1-element isin to EqualTo; either way it reaches the scan
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(doc_id") || plan.contains("EqualTo(doc_id")),
+      s"expected pushed doc_id filter, plan:\n$plan")
+    // and the batch's own term_stats artifact holds signed deltas only
+    // (touched terms), not a recomputed full table
+    IncrementalIndex.mergeBatch(store, docsDf((1L, "r", "en", "alpha")), 1L)
+    val delta1 = spark.read.parquet(s"${store.dir}/term_stats/batch=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delta1 == Map("alpha" -> 1L, "gamma" -> -1L, "beta" -> -1L),
+      s"expected only touched-term deltas, got $delta1")
+    assert(dfMap(store) == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
+  }
+
+  test("crash contract: torn batch invisible; replay reproduces identical state") {
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
     IncrementalIndex.mergeBatch(store, docsDf((0L, "r", "en", "x y z")), 0L)
-    assert(store.latestBatch("postings").contains(0L))
-    // a torn write (data without commit pointer) is ignored by read
-    val orphan = s"$dir/postings/batch=99"
-    docsDf((9L, "r", "en", "orphan")).write.parquet(orphan)
-    assert(store.read(spark, "postings").get
-      .filter(col("doc_id") === 9L).count() == 0)
+    // a torn write (data without the pointer flip) is ignored by readers
+    docsDf((9L, "r", "en", "orphan")).write.parquet(s"${store.dir}/postings/batch=99")
+    assert(!postSet(store).exists(_._1 == 9L))
+    // replay AFTER commit (streaming checkpoint lost the ack): same batch id,
+    // same input — state must be byte-equal, not cancelled or doubled
+    val b1 = docsDf((0L, "r", "en", "x q"))
+    IncrementalIndex.mergeBatch(store, b1, 1L)
+    val (p1, d1) = (postSet(store), dfMap(store))
+    IncrementalIndex.mergeBatch(store, b1, 1L) // replay
+    assert(postSet(store) == p1 && dfMap(store) == d1)
+    assert(store.latestBatch.contains(1L))
+  }
+
+  test("compaction folds the log into one base batch with identical live tables") {
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+    IncrementalIndex.mergeBatch(store,
+      docsDf((0L, "r", "en", "alpha beta"), (1L, "r", "en", "gamma")), 0L)
+    IncrementalIndex.mergeBatch(store, docsDf((0L, "r", "en", "beta beta")), 1L)
+    val (p0, d0) = (postSet(store), dfMap(store))
+    IncrementalIndex.compactState(store, spark)
+    assert(postSet(store) == p0 && dfMap(store) == d0)
+    // read fan-in is now ONE batch
+    assert(store.batches("postings") == Seq(2L))
+    // and further merges keep working on top of the new base
+    IncrementalIndex.upsertDoc(store, docsDf((1L, "r", "en", "delta")))
+    assert(dfMap(store) == Map("beta" -> 1L, "delta" -> 1L))
   }
 
   test("end-to-end Structured Streaming: file source -> foreachBatch -> queryable state") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$dir/incoming"
-    val store = new IncrementalIndex.ParquetStateStore(s"$dir/state")
+    val store = new ParquetStateStore(s"$dir/state")
     docsDf((0L, "r0", "en", "spark join query"), (1L, "r0", "en", "hash join"))
       .write.parquet(inDir)
     val schema = docsDf().schema
-    val stream = spark.readStream.schema(schema).parquet(inDir)
-    val q = IncrementalIndex.start(stream, store, s"$dir/ckpt")
+    val q = IncrementalIndex.start(spark.readStream.schema(schema).parquet(inDir),
+      store, s"$dir/ckpt")
     q.awaitTermination(60000)
-    val df = store.read(spark, "term_stats").get.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(df == Map("spark" -> 1L, "join" -> 2L, "query" -> 1L, "hash" -> 1L))
+    assert(dfMap(store) == Map("spark" -> 1L, "join" -> 2L, "query" -> 1L, "hash" -> 1L))
     // second drop of files resumes from the checkpoint without reprocessing
     docsDf((2L, "r1", "en", "plan scan")).write.mode("append").parquet(inDir)
     val q2 = IncrementalIndex.start(spark.readStream.schema(schema).parquet(inDir),
       store, s"$dir/ckpt")
     q2.awaitTermination(60000)
-    val df2 = store.read(spark, "term_stats").get.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(df2 == Map("spark" -> 1L, "join" -> 2L, "query" -> 1L, "hash" -> 1L,
+    assert(dfMap(store) == Map("spark" -> 1L, "join" -> 2L, "query" -> 1L, "hash" -> 1L,
       "plan" -> 1L, "scan" -> 1L))
   }
 }
