@@ -24,6 +24,8 @@ object PlanCheck {
     IndexWriter.readForTerms(spark, dir, Seq("spark","join"), cfg).explain("formatted")
     println("=== postings build plan ===")
     InvertedIndex.postings(InvertedIndex.tokens(corpus)).explain("formatted")
+    println("=== sumTfTopK plan (normalization max must be a broadcast 1-row agg, no single-partition window) ===")
+    Search.sumTfTopK(t.postings, Seq("spark", "join"), 10).explain("formatted")
     spark.stop()
   }
 }

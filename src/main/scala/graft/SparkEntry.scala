@@ -266,6 +266,14 @@ object SparkEntry {
         .select(col("doc_id"), Html.title(col("html")).as("title"),
           Html.extractText(col("html")).as("text"))
     }),
+    // S2: recursive crawl frontier — iterative BFS (join + left_anti visited)
+    // over a deterministic synthetic link graph; DuckDB twin is a recursive CTE
+    "ft_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val (c, t) = index(s, dir)
+      graft.corpus.Crawl.frontier(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), Seq(0L).toDF("doc_id"), maxDepth = 8)
+    }),
     // F4: HTTP-status gate (code <= 299, IndexingServiceImpl.java:135-137)
     // over a synthesized deterministic status column
     "ft_http_filter" -> ((s, dir) => {
@@ -484,6 +492,21 @@ object SparkEntry {
          |SELECT doc_id, ${Html.sqlTitle("html")} AS title,
          |       ${Html.sqlExtractText("html")} AS text
          |FROM h""".stripMargin,
+    "ft_crawl_frontier" ->
+      """WITH RECURSIVE walk(doc_id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT e.dst, w.depth + 1
+        |  FROM walk w JOIN (
+        |    SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 3 + 7) % (SELECT count(*) FROM documents)
+        |    FROM documents) e
+        |  ON e.src = w.doc_id
+        |  WHERE w.depth < 8
+        |)
+        |SELECT doc_id, min(depth) AS depth FROM walk GROUP BY doc_id""".stripMargin,
     "ft_http_filter" ->
       """SELECT doc_id, code FROM (
         |  SELECT doc_id, (CASE WHEN doc_id % 97 = 0 THEN 404 ELSE 200 END)::BIGINT AS code

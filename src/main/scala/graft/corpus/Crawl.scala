@@ -1,0 +1,55 @@
+package graft.corpus
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recursive crawl frontier (reference SURVEY.md §2.1 S2: the ForkJoin
+  * recursive page walker, services/IndexingServiceImpl.java `PageRecursive` —
+  * follow links, skip visited, stop at a depth/visited bound) re-expressed
+  * as the Spark-native iterative BFS over a link table:
+  *
+  *   frontier_{d+1} = π_dst(edges ⋈ frontier_d) ∖ visited   (left_anti)
+  *
+  * Each level is ONE distributed join + anti-join — the thread-pool
+  * recursion of the reference becomes data parallelism, and the visited set
+  * (the reference's ConcurrentSkipListSet) becomes a table the anti-join
+  * maintains without locks. Depths are exact BFS depths (min over paths)
+  * because a node enters `visited` the first level it is reached.
+  *
+  * Scale notes: per level the frontier is `localCheckpoint`ed — iterative
+  * joins otherwise stack lineage until planning cost dominates (classic
+  * iterative-Spark pitfall); the loop stops as soon as a frontier is empty,
+  * and `maxDepth` bounds the crawl exactly like the reference's depth guard.
+  */
+object Crawl {
+
+  /** BFS over edges (src, dst) from `seeds` (doc_id). Returns
+    * (doc_id, depth) — depth = first level the crawl reached the doc,
+    * seeds at depth 0. */
+  def frontier(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    var visited = seeds.select(col("doc_id"), lit(0L).as("depth")).localCheckpoint(true)
+    var front = visited.select("doc_id")
+    var depth = 0L
+    while (depth < maxDepth && !front.isEmpty) {
+      depth += 1
+      val next = edges.join(front.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint(true) // cut the growing lineage each level
+      visited = visited.unionByName(next).localCheckpoint(true)
+      front = next.select("doc_id")
+    }
+    visited
+  }
+
+  /** deterministic synthetic link graph over the corpus doc ids (no
+    * external data): every doc links to (2i+1) mod N and (3i+7) mod N —
+    * branching 2 with cycles, like a real site graph. */
+  def syntheticEdges(docs: DataFrame, nDocs: Long): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    ids.select(col("doc_id").as("src"), ((col("doc_id") * 2 + 1) % nDocs).as("dst"))
+      .unionByName(
+        ids.select(col("doc_id").as("src"), ((col("doc_id") * 3 + 7) % nDocs).as("dst")))
+  }
+}

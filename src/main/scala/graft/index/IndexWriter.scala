@@ -72,7 +72,14 @@ object IndexWriter {
     * per term (north star "merge shards with a salted-key repartition").
     * Phase 1 groups (term, shard/saltWidth) — bounded fan-in concat of
     * ordered runs; phase 2 concatenates the salt-level runs. Blobs are
-    * concatenated without decoding (PostingCodec.concat). */
+    * concatenated without decoding (PostingCodec.concat).
+    *
+    * SCALE CAUTION: phase 2 deliberately materializes ONE blob per term —
+    * unbounded for a df≈N head term. It exists for export/df-audit shapes
+    * (the `ft_compressed_postings` oracle); the QUERY path never consumes
+    * merged blobs (Wand reads bounded per-(term,shard) runs). Keep it that
+    * way: a query operator over merged blobs would reintroduce the hot-term
+    * skew the sharded layout removes. */
   def mergeShards(shards: Dataset[ShardPosting], cfg: Config = Config()): Dataset[ShardPosting] = {
     val spark = shards.sparkSession
     import spark.implicits._

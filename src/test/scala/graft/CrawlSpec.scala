@@ -1,0 +1,51 @@
+package graft
+
+import graft.corpus.Crawl
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iterative BFS crawl frontier ≡ scalar BFS: exact min depths, visited-set
+  * semantics (each doc once), depth bound, early stop on an exhausted
+  * frontier. */
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def scalarBfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxDepth: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var depth = 0L
+    var visited = seeds.map(_ -> 0L).toMap
+    var front = seeds.toSet
+    while (depth < maxDepth && front.nonEmpty) {
+      depth += 1
+      val next = front.flatMap(s => adj.getOrElse(s, Nil)).diff(visited.keySet)
+      visited = visited ++ next.map(_ -> depth)
+      front = next
+    }
+    visited
+  }
+
+  test("frontier ≡ scalar BFS on the synthetic cyclic graph (min depths)") {
+    val n = 60L
+    val edges = (0L until n).flatMap(i => Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 7) % n)))
+    val got = Crawl.frontier(edges.toDF("src", "dst"), Seq(0L).toDF("doc_id"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarBfs(edges, Seq(0L), 8))
+    assert(got(0L) == 0L && got.values.max <= 8L)
+  }
+
+  test("early stop: a finite chain halts before maxDepth; nodes visited once") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rows = Crawl.frontier(edges, Seq(0L).toDF("doc_id"), 100).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(rows.length == 4) // no duplicate visits despite 100 allowed levels
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("multiple seeds crawl in one pass; shared descendants get the min depth") {
+    val edges = Seq((0L, 5L), (9L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Crawl.frontier(edges, Seq(0L, 9L).toDF("doc_id"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 9L -> 0L, 5L -> 1L, 6L -> 2L))
+  }
+}
