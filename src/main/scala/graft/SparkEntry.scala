@@ -6,7 +6,7 @@ import graft.corpus.Corpus
 import graft.dedup.Dedup
 import graft.index.{IndexWriter, InvertedIndex, ShardPosting}
 import graft.mm.Multimodal
-import graft.query.{Bm25, QueryFrontend, Search, Wand}
+import graft.query.{Bm25, QueryFrontend, Search, Snippets, Wand}
 import graft.textan.{TextAnalysis, TextHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -281,6 +281,13 @@ object SparkEntry {
         when(col("doc_id") % 97 === 0, lit(404)).otherwise(lit(200)).cast("long"))
       Corpus.httpOk(c).select("doc_id", "code")
     }),
+    // A6/A7 + §2.9: snippet pipeline (sentence argmax, 30-word trim around
+    // the first hit, <b> highlight) over every doc for the fixed query terms
+    "ft_snippet" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val snip = graft.query.Snippets.makeSnippetUdf(q2.toSet)
+      c.select(col("doc_id"), snip(col("content"), lit("en")).as("snippet"))
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -492,6 +499,7 @@ object SparkEntry {
          |SELECT doc_id, ${Html.sqlTitle("html")} AS title,
          |       ${Html.sqlExtractText("html")} AS text
          |FROM h""".stripMargin,
+    "ft_snippet" -> snippetSql,
     "ft_crawl_frontier" ->
       """WITH RECURSIVE walk(doc_id, depth) AS (
         |  SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS depth
@@ -660,6 +668,46 @@ object SparkEntry {
       .flatMap { case (sf, fs) => fs.map(f => s"('$sf', '$f')") }.mkString(", ")
     s"lex(surface, form) AS (VALUES $vals)"
   }
+
+  /** word-matches-query predicate of the snippet pipeline: analyze the word
+    * (same token chain as the index) and test membership in the fixed query
+    * set — `v` is the SQL variable holding the word */
+  private def snipMatchSql(v: String): String = {
+    val stopsIn = stops.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    val termsIn = q2.sorted.map(t => s"'$t'").mkString(", ")
+    s"len(list_filter(${Analyzer.sqlTokens(v)}, " +
+      s"t -> t <> '' AND t NOT IN ($stopsIn) AND t IN ($termsIn))) > 0"
+  }
+
+  /** DuckDB twin of Snippets.makeSnippet (sentence argmax with index
+    * tie-break, 30-word window from first hit − 15, single-space join,
+    * <b> wrap) — mirrors SearchServiceImpl.java:135-296 semantics */
+  private def snippetSql: String =
+    s"""WITH sraw AS (SELECT doc_id, regexp_split_to_array(text, '[.!?]\\s*') AS arr FROM documents),
+       |sent0 AS (SELECT doc_id, unnest(arr) AS sentence, unnest(range(len(arr))) AS idx FROM sraw),
+       |scnt AS (SELECT doc_id, idx, sentence,
+       |  len(list_filter(regexp_split_to_array(sentence, '[«»“”[:punct:]\\s]+'),
+       |      w -> w <> '' AND ${snipMatchSql("w")})) AS cnt
+       |  FROM sent0 WHERE sentence <> ''),
+       |best AS (SELECT doc_id, sentence FROM (
+       |  SELECT doc_id, sentence,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, idx ASC) AS rn
+       |  FROM scnt) WHERE rn = 1),
+       |wrds AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(sentence, '\\s+'), w -> w <> '') AS ws FROM best),
+       |win AS (SELECT doc_id, ws,
+       |  CASE WHEN len(ws) < ${Snippets.snippetWords + 1} THEN ws
+       |       ELSE ws[CAST(st + 1 AS INTEGER):CAST(st + ${Snippets.snippetWords} AS INTEGER)] END AS sw
+       |  FROM (SELECT doc_id, ws,
+       |          CASE WHEN len(hl) > 0 THEN greatest(0, hl[1] - ${Snippets.snippetWords / 2}) ELSE 0 END AS st
+       |        FROM (SELECT doc_id, ws,
+       |                list_filter(range(len(ws)), i -> ${snipMatchSql("ws[CAST(i + 1 AS INTEGER)]")}) AS hl
+       |              FROM wrds))),
+       |snip AS (SELECT doc_id, array_to_string(list_transform(sw,
+       |  w -> CASE WHEN ${snipMatchSql("w")} THEN '<b>' || w || '</b>' ELSE w END), ' ') AS snippet
+       |  FROM win)
+       |SELECT d.doc_id, coalesce(s.snippet, '') AS snippet
+       |FROM documents d LEFT JOIN snip s ON d.doc_id = s.doc_id""".stripMargin
 
   // ---- ANN / multimodal oracle twins -----------------------------------
   private val embDim = 64
