@@ -81,8 +81,11 @@ object Bench {
     // executor JVMs, two levels, fixed generated input), which RECORDS its
     // summary to tools/scaling_latest.json; this bench only relays that
     // recorded result (never a constant posing as an in-run measurement)
+    // same resolution rule as the writer (ScalingBench's SCALING_OUT), so
+    // launching from a different cwd can't silently yield null
     val scalingRecorded = {
-      val p = java.nio.file.Paths.get("tools/scaling_latest.json")
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SCALING_OUT", "tools/scaling_latest.json"))
       if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim
       else "null"
     }

@@ -108,10 +108,14 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
         case None => tables.postings
       }
       val total = Search.conjunctive(scoped, plan.terms.map(_.term)).count()
-      if (total > 0)
+      if (total > 0) {
+        // Dataset.offset takes an Int; clamp so a >2^31-row match count
+        // can't become a negative offset
+        val lastOffset = math.min(total - 1, Int.MaxValue.toLong - 1).toInt
         rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
-            tables.nDocs, tables.avgDl, query, "en", site, 1, (total - 1).toInt)
+            tables.nDocs, tables.avgDl, query, "en", site, 1, lastOffset)
           .collect()
+      }
     }
     val items = rows.map { r =>
       SearchItem(r.getAs[String]("repo"), r.getAs[String]("repo"),

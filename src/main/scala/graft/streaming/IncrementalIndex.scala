@@ -36,28 +36,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalIndex {
 
-  /** parquet-dir batch store with one atomic commit pointer */
+  /** parquet-dir batch store with one atomic commit pointer.
+    *
+    * INTERNAL batch ids (dir names, the pointer) are allocated by the store
+    * (always latest+1) and are a SEPARATE id space from Structured
+    * Streaming's checkpoint batch ids: the pointer's third field records the
+    * highest APPLIED streaming id, so replays skip exactly-once WITHOUT the
+    * two spaces ever colliding (a streaming id can no longer overwrite a
+    * compacted base or an upsert batch). One state dir pairs with ONE
+    * streaming checkpoint lineage — reusing the store with a fresh
+    * checkpoint (stream ids restarting at 0) requires a fresh state dir,
+    * the same pairing rule every foreachBatch sink has. */
   final class ParquetStateStore(val dir: String) {
     private def pointerPath = java.nio.file.Paths.get(s"$dir/_committed")
 
-    /** (latest, base) committed batch ids, if any batch ever committed */
-    def pointer: Option[(Long, Long)] = {
+    /** (latest, base, lastAppliedStreamId) — lastStream = -1 if none yet */
+    def pointer: Option[(Long, Long, Long)] = {
       if (!java.nio.file.Files.exists(pointerPath)) None
       else java.nio.file.Files.readString(pointerPath).trim.split("\\s+") match {
-        case Array(l, b) => Some((l.toLong, b.toLong))
-        case Array(l)    => Some((l.toLong, 0L))
-        case _           => None
+        case Array(l, b, s) => Some((l.toLong, b.toLong, s.toLong))
+        case Array(l, b)    => Some((l.toLong, b.toLong, -1L))
+        case Array(l)       => Some((l.toLong, 0L, -1L))
+        case _              => None
       }
     }
     def latestBatch: Option[Long] = pointer.map(_._1)
+    def lastStreamId: Long = pointer.map(_._3).getOrElse(-1L)
+    /** next internal batch id (store-allocated, never caller-chosen) */
+    def nextBatch: Long = latestBatch.map(_ + 1).getOrElse(0L)
 
     /** committed, visible batch ids in [base, min(latest, before-1)] that
       * exist on disk for `name` (a batch may lack rows for a table).
-      * `before` (exclusive) lets a REPLAYED batch read only strictly older
-      * state — never the dirs it is about to overwrite. */
+      * `before` (exclusive) lets an uncommitted batch read only strictly
+      * older state — never the dirs it is writing. */
     def batches(name: String, before: Long = Long.MaxValue): Seq[Long] = pointer match {
       case None => Nil
-      case Some((latest, base)) =>
+      case Some((latest, base, _)) =>
         (base to math.min(latest, before - 1)).filter(b =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$name/batch=$b")))
     }
@@ -66,13 +80,15 @@ object IncrementalIndex {
       df.write.mode("overwrite").parquet(s"$dir/$name/batch=$batchId")
 
     /** atomic pointer flip — publishes every table of the batch at once.
-      * A replayed (already-committed) batch id never regresses the pointer. */
-    def commit(batchId: Long, base: Long = -1L): Unit = {
-      val lat = math.max(batchId, pointer.map(_._1).getOrElse(Long.MinValue))
-      val b = if (base >= 0) base else pointer.map(_._2).getOrElse(0L)
+      * `streamId >= 0` additionally records the streaming batch as applied. */
+    def commit(batchId: Long, base: Long = -1L, streamId: Long = -1L): Unit = {
+      val prev = pointer
+      val lat = math.max(batchId, prev.map(_._1).getOrElse(Long.MinValue))
+      val b = if (base >= 0) base else prev.map(_._2).getOrElse(0L)
+      val s = math.max(streamId, prev.map(_._3).getOrElse(-1L))
       val tmp = java.nio.file.Paths.get(s"$dir/_committed.tmp")
       java.nio.file.Files.createDirectories(tmp.getParent)
-      java.nio.file.Files.writeString(tmp, s"$lat $b")
+      java.nio.file.Files.writeString(tmp, s"$lat $b $s")
       java.nio.file.Files.move(tmp, pointerPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -131,21 +147,32 @@ object IncrementalIndex {
 
   /** merge one micro-batch of docs (doc_id, repo, lang, content) into the
     * state — exactly what the foreachBatch closure runs. */
-  def mergeBatch(store: ParquetStateStore, batch: DataFrame, batchId: Long): Unit = {
+  def mergeBatch(store: ParquetStateStore, batch: DataFrame, streamId: Long = -1L): Unit = {
+    if (streamId >= 0 && streamId <= store.lastStreamId) return // replay: already applied
     val spark = batch.sparkSession
-    val deltaPost = InvertedIndex.postings(InvertedIndex.tokens(batch)).cache()
-    val docIds = batch.select("doc_id").distinct()
-    val idList = docIds.collect().map(_.getLong(0)).toSeq
+    val batchId = store.nextBatch // storage id is ALWAYS store-allocated
+    // within-batch last-writer-wins is undefined (no sequence column), so a
+    // batch carrying several versions of one doc keeps ONE deterministic
+    // version — never a tf/dl union of versions no source ever held
+    val oneVersion = batch.withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(sha2(col("content"), 256).desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val deltaPost = InvertedIndex.postings(InvertedIndex.tokens(oneVersion)).cache()
+    val docIds = oneVersion.select("doc_id").distinct().cache()
     // df decrements from the replaced docs' OLD postings (point-read), df
-    // increments from the delta — old stats are never recomputed
-    // `before = batchId`: a replay of an already-committed batch reads ONLY
-    // strictly older state, so it reproduces the original deltas instead of
-    // cancelling against its own previous attempt (and never reads a dir it
-    // is overwriting)
+    // increments from the delta — old stats are never recomputed. Reads see
+    // only batches < batchId: committed state, never this batch's own dirs
+    // (a crashed attempt's orphans stay invisible and get overwritten).
+    // Strategy decided from a COUNT — collecting a huge id list is exactly
+    // what the fallback branch exists to avoid.
+    val nIds = docIds.count()
     val removed =
       if (store.latestBatch.isEmpty) None
-      else if (idList.size <= isinThreshold) postingsForDocs(store, spark, idList, batchId)
-      else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
+      else if (nIds <= isinThreshold) {
+        val idList = docIds.collect().map(_.getLong(0)).toSeq
+        postingsForDocs(store, spark, idList, batchId)
+      } else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
     val added = deltaPost.groupBy("term").agg(count(lit(1)).as("ddf"))
     val termDelta = removed match {
       case Some(old) =>
@@ -156,12 +183,12 @@ object IncrementalIndex {
     val docDelta = deltaPost.groupBy("doc_id").agg(sum("tf").as("dl"))
     // write every table, THEN flip the pointer (atomic publish)
     store.writeTable("postings", deltaPost, batchId)
-    import spark.implicits._
-    store.writeTable("doc_ids", idList.toDF("doc_id"), batchId)
+    store.writeTable("doc_ids", docIds, batchId)
     store.writeTable("term_stats", termDelta, batchId)
     store.writeTable("doc_stats", docDelta, batchId)
-    store.commit(batchId)
-    deltaPost.unpersist(): Unit
+    store.commit(batchId, streamId = streamId)
+    deltaPost.unpersist()
+    docIds.unpersist(): Unit
   }
 
   /** fold the whole batch log into a fresh base batch (bounds read fan-in
@@ -170,16 +197,18 @@ object IncrementalIndex {
     readPostings(store, spark) match {
       case None => ()
       case Some(p) =>
-        val next = store.latestBatch.map(_ + 1).getOrElse(0L)
+        val next = store.nextBatch
         val posts = p.cache()
+        val dstats = readDocStats(store, spark).get.cache() // reconstructed ONCE
         store.writeTable("postings", posts, next)
         store.writeTable("doc_ids", posts.select("doc_id").distinct()
-          .unionByName(readDocStats(store, spark).get.select("doc_id")).distinct(), next)
+          .unionByName(dstats.select("doc_id")).distinct(), next)
         store.writeTable("term_stats",
           posts.groupBy("term").agg(count(lit(1)).as("ddf")), next)
-        store.writeTable("doc_stats", readDocStats(store, spark).get, next)
+        store.writeTable("doc_stats", dstats, next)
         store.commit(next, base = next)
-        posts.unpersist(): Unit
+        posts.unpersist()
+        dstats.unpersist(): Unit
     }
 
   /** wire a streaming docs source into the merge — file source, rate
@@ -197,8 +226,8 @@ object IncrementalIndex {
 
   /** Single-doc upsert (reference POST /api/indexPage,
     * IndexingServiceImpl.java:84-94,244-264): one-row batch through the
-    * same merge path; batch ids advance monotonically from the committed
-    * pointer (replay-safe — no hash-derived ids that could collide). */
+    * same merge path; storage ids are store-allocated, so upserts can
+    * interleave freely with streaming batches and compaction. */
   def upsertDoc(state: ParquetStateStore, doc: DataFrame): Unit =
-    mergeBatch(state, doc, state.latestBatch.map(_ + 1).getOrElse(0L))
+    mergeBatch(state, doc)
 }

@@ -123,6 +123,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(dfMap(store) == Map("beta" -> 1L, "delta" -> 1L))
   }
 
+  test("stream ids never collide with compaction/upsert batches (separate id spaces)") {
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+    IncrementalIndex.mergeBatch(store, docsDf((0L, "r", "en", "alpha")), 0L)
+    IncrementalIndex.mergeBatch(store, docsDf((1L, "r", "en", "beta")), 1L)
+    IncrementalIndex.compactState(store, spark) // folds into base batch 2
+    // the stream's NEXT checkpoint id is 2 — storage ids are store-allocated,
+    // so this must land in a fresh batch, not overwrite the compacted base
+    IncrementalIndex.mergeBatch(store, docsDf((2L, "r", "en", "gamma")), 2L)
+    assert(dfMap(store) == Map("alpha" -> 1L, "beta" -> 1L, "gamma" -> 1L))
+    // and a stale (already-applied) stream id is skipped entirely
+    IncrementalIndex.mergeBatch(store, docsDf((3L, "r", "en", "delta")), 1L)
+    assert(!dfMap(store).contains("delta"))
+  }
+
+  test("a batch carrying two versions of one doc keeps ONE deterministic version") {
+    val b = docsDf((0L, "r", "en", "alpha beta"), (0L, "r", "en", "gamma"))
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+    IncrementalIndex.mergeBatch(store, b)
+    val terms = postSet(store).map(_._2)
+    assert(terms == Set("alpha", "beta") || terms == Set("gamma"),
+      s"must be one version's terms, not a union: $terms")
+    // deterministic: a fresh store ingesting the same batch picks the same version
+    val store2 = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+    IncrementalIndex.mergeBatch(store2, b)
+    assert(postSet(store2) == postSet(store))
+  }
+
   test("end-to-end Structured Streaming: file source -> foreachBatch -> queryable state") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$dir/incoming"

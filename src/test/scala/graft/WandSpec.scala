@@ -123,7 +123,7 @@ class WandSpec extends AnyFunSuite {
     // side only (the engine averages over docStats, which has no such doc)
     val rows = Seq(
       (0L, "r0", "en", "spark join query plan"),
-      (1L, "r0", "en", "the and of in"), // all stopwords -> zero tokens
+      (1L, "r0", "en", "the a the a"), // all naturalStop words -> zero tokens
       (2L, "r1", "en", "join hash spark"),
       (3L, "r1", "en", "query scan join spark plan"))
     import spark.implicits._
