@@ -44,14 +44,23 @@ object IndexWriter {
 
   /** Encode per-(term, shard) runs. Input: postings (doc_id, term, tf)
     * joined with docStats (dl). Group size bounded by docsPerShard — the
-    * in-memory sort inside mapGroups is safe at any corpus scale. */
+    * in-memory sort inside mapGroups is safe at any corpus scale.
+    * `buckets` pre-filters on the term-hash bucket BEFORE the join/encode
+    * (a codegen'd Column predicate), so a bucket-scoped rebuild never pays
+    * the encode of untouched buckets. */
   def shardPostings(postings: DataFrame, docStats: DataFrame, avgDl: Double,
-                    cfg: Config = Config()): Dataset[ShardPosting] = {
+                    cfg: Config = Config(),
+                    buckets: Option[Set[Int]] = None): Dataset[ShardPosting] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val dps = cfg.docsPerShard
     val nb = cfg.nBuckets
-    val joined = postings.join(docStats, "doc_id")
+    val src = buckets match {
+      case Some(bs) =>
+        postings.filter(bucketCol(col("term"), nb).isin(bs.toSeq.map(x => x: Any): _*))
+      case None => postings
+    }
+    val joined = src.join(docStats, "doc_id")
       .select(col("term"), col("doc_id"), col("tf").cast("int").as("tf"),
         col("dl").cast("int").as("dl"),
         (col("doc_id") / lit(dps)).cast("int").as("shard"))
@@ -162,18 +171,18 @@ object IndexWriter {
     * IndexingServiceImpl.java:84-94,244-264 delete+refetch+reindex;
     * SURVEY.md §7.4): replace `docs` in the corpus and rebuild ONLY the
     * buckets containing terms of the old or new versions of those docs.
-    * `fullShards` must be the shard postings of the UPDATED corpus (lazy —
-    * only the affected buckets are computed thanks to the bucket filter
-    * below), encoded with the snapshot's FROZEN avgDl (TableIO.readMeta):
-    * unaffected buckets' block-max bounds were baked with it, so scoring
-    * must keep using it until a full rebuild/compaction refreshes corpus
-    * statistics (standard incremental-IR practice). Returns the new
-    * manifest; untouched buckets keep their files and lineage
-    * byte-identically. */
-  def upsertBuckets(fullShards: Dataset[ShardPosting], tableDir: String,
-                    affectedTerms: Set[String], snapshotId: Long,
+    * `postings`/`docStats` are those of the UPDATED corpus; the affected
+    * buckets are pre-filtered BEFORE the shard encode (shardPostings'
+    * bucket predicate — a typed filter after mapGroups could not skip the
+    * encode work), and everything is encoded with the snapshot's FROZEN
+    * `frozenAvgDl` (TableIO.readMeta): unaffected buckets' block-max bounds
+    * were baked with it, so scoring must keep using it until a full
+    * rebuild/compaction refreshes corpus statistics (standard
+    * incremental-IR practice). Returns the new manifest; untouched buckets
+    * keep their files and lineage byte-identically. */
+  def upsertBuckets(postings: DataFrame, docStats: DataFrame, frozenAvgDl: Double,
+                    tableDir: String, affectedTerms: Set[String], snapshotId: Long,
                     cfg: Config = Config()): TableIO.Manifest = {
-    val spark = fullShards.sparkSession
     val affectedBuckets = affectedTerms.map(bucketOf(_, cfg.nBuckets))
     val prev = TableIO.readCurrent(tableDir)
       .getOrElse(sys.error(s"upsert requires an existing committed index at $tableDir"))
@@ -187,10 +196,12 @@ object IndexWriter {
       }
     }
     // manifest without the affected buckets == a resumable partial state;
-    // write() then rebuilds exactly those buckets from fullShards
+    // write() then rebuilds exactly those buckets, and ONLY those buckets
+    // ever reach the encoder
     TableIO.commit(tableDir, prev.copy(
       partitions = prev.partitions.filterNot(p => affectedBuckets(p.partition))))
-    write(fullShards.filter(s => affectedBuckets(s.bucket)), tableDir, snapshotId, cfg)
+    write(shardPostings(postings, docStats, frozenAvgDl, cfg, Some(affectedBuckets)),
+      tableDir, snapshotId, cfg)
   }
 
   /** Compaction: full rebuild of the index from the current corpus into a

@@ -98,6 +98,17 @@ class IndexWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketOf (driver) == bucketCol (Column): the upsert pre-filter relies on it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val terms = (0 until 500).map(i => s"tok$i") ++
+      Seq("spark", "join", "dup", "Ünïcode", "snake_case", "", "a")
+    val got = terms.toDF("term")
+      .select(col("term"), IndexWriter.bucketCol(col("term"), 16).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach(t => assert(got(t) == IndexWriter.bucketOf(t, 16), s"term '$t'"))
+  }
+
   test("snapshot upsert: single-doc replacement rebuilds only affected buckets") {
     import spark.implicits._
     val dir = tmpDir()
@@ -122,12 +133,13 @@ class IndexWriterSpec extends AnyFunSuite {
         .otherwise(org.apache.spark.sql.functions.col("content")))
     val meta = graft.io.TableIO.readMeta(dir).get
     val t1 = InvertedIndex.build(corpus1, cacheTokens = false, knownNDocs = meta.nDocs)
-    val shards1 = IndexWriter.shardPostings(t1.postings, t1.docStats, meta.avgDl, cfg)
-    IndexWriter.upsertBuckets(shards1, dir, oldTerms ++ newTerms, 2L, cfg)
+    IndexWriter.upsertBuckets(t1.postings, t1.docStats, meta.avgDl,
+      dir, oldTerms ++ newTerms, 2L, cfg)
 
     // result == full rebuild of corpus1 at the frozen avgDl
     val fullDir = tmpDir()
-    IndexWriter.write(shards1, fullDir, 1L, cfg)
+    IndexWriter.write(IndexWriter.shardPostings(t1.postings, t1.docStats, meta.avgDl, cfg),
+      fullDir, 1L, cfg)
     assert(indexFingerprint(dir) == indexFingerprint(fullDir))
     // unaffected buckets kept their exact lineage rows
     val affectedBuckets = (oldTerms ++ newTerms).map(IndexWriter.bucketOf(_, cfg.nBuckets))
@@ -175,7 +187,7 @@ class IndexWriterSpec extends AnyFunSuite {
     val t1 = InvertedIndex.build(corpus1, cacheTokens = false, knownNDocs = meta0.nDocs)
     val affected = graft.analyze.Analyzer.queryTerms("en",
       corpus0.filter(col("doc_id") === 0L).select("content").head.getString(0)) ++ Set("dup")
-    IndexWriter.upsertBuckets(IndexWriter.shardPostings(t1.postings, t1.docStats, meta0.avgDl, cfg),
+    IndexWriter.upsertBuckets(t1.postings, t1.docStats, meta0.avgDl,
       dir, affected, 2L, cfg)
     assert(graft.io.TableIO.readMeta(dir).get.avgDl == meta0.avgDl) // frozen
     // compact refreshes
