@@ -41,7 +41,12 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
   def startIndexing(): Boolean = {
     if (!inFlight.compareAndSet(false, true)) return false
     try synchronized {
-      corpus = corpus.cache()
+      // HTTP-status gate (reference IndexingServiceImpl.java:135-137):
+      // error pages never enter the index
+      val gated =
+        if (corpus.columns.contains("code")) graft.corpus.Corpus.httpOk(corpus)
+        else corpus
+      corpus = gated.cache()
       tables = InvertedIndex.build(corpus)
       indexed = true
       true
@@ -55,10 +60,16 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
     require(indexed, "index not built")
     // incoming docs get their integrity column recomputed (input_hint
     // invariant), never trusted from the caller
-    val doc2 =
+    val doc1 =
       if (corpus.columns.contains("sha256"))
         doc.withColumn("sha256", sha2(col("content"), 256))
       else doc
+    // an upserted page was by definition fetched successfully (the caller
+    // hands us its content) unless it carries an explicit status
+    val doc2 =
+      if (corpus.columns.contains("code") && !doc1.columns.contains("code"))
+        doc1.withColumn("code", lit(200).cast("int"))
+      else doc1
     val ids = doc2.select("doc_id")
     corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(doc2).cache()
     tables = InvertedIndex.build(corpus)

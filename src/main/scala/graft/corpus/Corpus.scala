@@ -139,7 +139,10 @@ object Corpus {
         substring(sha2(col("source"), 256), 1, 40).as("commit"),
         col("lang"),
         col("text").as("content"),
-        sha2(col("text"), 256).as("sha256"))
+        sha2(col("text"), 256).as("sha256"),
+        // static corpus: every doc was 'fetched' successfully — a live
+        // fetch layer overwrites this with the real response status
+        lit(200).cast("int").as("code"))
   }
 
   /** docId assignment for corpora without an id column — scale-safe variant
@@ -160,10 +163,12 @@ object Corpus {
   }
 
   /** HTTP-status gate (reference IndexingServiceImpl.java:135-137: pages
-    * with code > 299 are never indexed). Static corpora synthesize the
-    * `code` column (200 unless the loader knows better); live fetch layers
-    * populate it from the response. */
-  def httpOk(df: DataFrame): DataFrame = df.filter(col("code") <= 299)
+    * with code > 299 are never indexed). `fromDocuments` synthesizes
+    * `code` = 200 (static corpus); live fetch layers populate it from the
+    * response. NULL status = fetch never completed ⇒ rejected, not
+    * silently kept. */
+  def httpOk(df: DataFrame): DataFrame =
+    df.filter(coalesce(col("code"), lit(Int.MaxValue)) <= 299)
 
   /** Per-row content integrity invariant vs the source (input_hint):
     * recompute sha2(content,256) and compare with the carried column.

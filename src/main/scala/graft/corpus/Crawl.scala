@@ -27,7 +27,10 @@ object Crawl {
     * (doc_id, depth) — depth = first level the crawl reached the doc,
     * seeds at depth 0. */
   def frontier(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    var visited = seeds.select(col("doc_id"), lit(0L).as("depth")).localCheckpoint(true)
+    // distinct: a duplicated seed must not surface twice in the output
+    // (the level-wise anti-join only guards re-VISITS, not the level-0 rows)
+    var visited = seeds.select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(0L).as("depth")).localCheckpoint(true)
     var front = visited.select("doc_id")
     var depth = 0L
     while (depth < maxDepth && !front.isEmpty) {

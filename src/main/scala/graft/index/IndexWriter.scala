@@ -186,17 +186,9 @@ object IndexWriter {
     val affectedBuckets = affectedTerms.map(bucketOf(_, cfg.nBuckets))
     val prev = TableIO.readCurrent(tableDir)
       .getOrElse(sys.error(s"upsert requires an existing committed index at $tableDir"))
-    // drop the affected buckets' data files, keep everything else
-    affectedBuckets.foreach { b =>
-      val p = java.nio.file.Path.of(tableDir, "data", s"bucket=$b")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
     // manifest without the affected buckets == a resumable partial state;
-    // write() then rebuilds exactly those buckets, and ONLY those buckets
+    // write() clears the now-uncommitted bucket dirs itself (its orphan
+    // cleanup) and rebuilds exactly those buckets — and ONLY those buckets
     // ever reach the encoder
     TableIO.commit(tableDir, prev.copy(
       partitions = prev.partitions.filterNot(p => affectedBuckets(p.partition))))

@@ -94,6 +94,10 @@ object Search {
     // normalization max as a broadcast 1-row aggregate, NOT an empty-
     // partitionBy window: the window form funnels every candidate through a
     // single task — a bottleneck when a hot query matches millions of docs.
+    // The max's subtree duplicates the aggregation, but the shuffle exchange
+    // is canonically identical so Spark's ReuseExchange serves both sides
+    // from one postings scan + shuffle; only the (small) post-shuffle agg
+    // runs twice. (Parity path, not the BM25 scale path.)
     val maxAbs = scored.agg(max(col("abs_rank")).as("max_abs"))
     val withRel = scored.crossJoin(broadcast(maxAbs)).withColumn("rel_rank",
       col("abs_rank").cast("double") / col("max_abs"))
@@ -106,12 +110,20 @@ object Search {
   /** Full flagship search: front-end plan → BM25 top-k → decorate with
     * repo/path/title/snippet on the final k rows only (reference
     * SearchServiceImpl.java:101-118). repoFilter: None ≙ the `-101`
-    * all-sites sentinel (ApiController.java:42). */
+    * all-sites sentinel (ApiController.java:42).
+    *
+    * `htmlAware` must MATCH how the index was built: true (default) when
+    * ingestion ran Html.textOf before tokenizing (HTML corpora — titles
+    * come from <title>, snippets from extracted text); false when the index
+    * is over raw content (code corpora — a stored template file that merely
+    * LOOKS like HTML must keep path-as-title and raw-text snippets, or the
+    * decoration would diverge from what was indexed). */
   def search(corpus: DataFrame, postings: DataFrame, docStats: DataFrame,
              termStats: DataFrame, nDocs: Long, avgDl: Double,
              query: String, lang: String = "en",
              repoFilter: Option[String] = None,
-             limit: Int = 10, offset: Int = 0): DataFrame = {
+             limit: Int = 10, offset: Int = 0,
+             htmlAware: Boolean = true): DataFrame = {
     val scopedPostings = repoFilter match {
       case Some(r) =>
         // partition-pruned when postings carry repo; else semi-join on docs
@@ -125,9 +137,14 @@ object Search {
       // (reference SearchServiceImpl.java:284-296); code corpora fall back
       // to identity text + path-as-title — both branches are codegen'd
       // Columns evaluated on the final k rows only
+      val title =
+        if (htmlAware) graft.analyze.Html.titleOf(col("content"), col("path"))
+        else col("path")
+      val snipSrc =
+        if (htmlAware) graft.analyze.Html.textOf(col("content")) else col("content")
       top.join(corpus.select("doc_id", "repo", "path", "lang", "content"), "doc_id")
-        .withColumn("title", graft.analyze.Html.titleOf(col("content"), col("path")))
-        .withColumn("snippet", snip(graft.analyze.Html.textOf(col("content")), col("lang")))
+        .withColumn("title", title)
+        .withColumn("snippet", snip(snipSrc, col("lang")))
         .select("rank", "doc_id", "repo", "path", "title", "snippet", "score")
         .orderBy("rank")
     }

@@ -44,8 +44,10 @@ class CrawlSpec extends AnyFunSuite {
 
   test("multiple seeds crawl in one pass; shared descendants get the min depth") {
     val edges = Seq((0L, 5L), (9L, 5L), (5L, 6L)).toDF("src", "dst")
-    val got = Crawl.frontier(edges, Seq(0L, 9L).toDF("doc_id"), 10)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(0L -> 0L, 9L -> 0L, 5L -> 1L, 6L -> 2L))
+    // duplicate seed must not duplicate output rows
+    val rows = Crawl.frontier(edges, Seq(0L, 9L, 0L).toDF("doc_id"), 10).collect()
+    assert(rows.length == 4)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 9L -> 0L, 5L -> 1L, 6L -> 2L))
   }
 }

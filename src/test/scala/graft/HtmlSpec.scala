@@ -41,6 +41,21 @@ class HtmlSpec extends AnyFunSuite {
     assert(got == code)
   }
 
+  test("htmlAware=false: a raw-indexed template file keeps path title + raw snippet") {
+    // a CODE corpus indexed RAW may store an html template; decoration must
+    // match the indexing choice, not re-sniff per row
+    val code = Seq(
+      (0L, "r", "tpl/index.html", "c0", "en", page),
+      (1L, "r", "src/a.scala", "c1", "en", "plain spark join code"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    val t = InvertedIndex.build(code) // raw: markup tokens ARE indexed
+    val got = Search.search(code, t.postings, t.docStats, t.termStats, t.nDocs, t.avgDl,
+      query = "spark join", lang = "en", limit = 5, htmlAware = false).collect()
+    val tpl = got.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(tpl.getAs[String]("title") == "tpl/index.html") // NOT "Spark Joins"
+    assert(got.forall(r => r.getAs[String]("snippet").contains("<b>")))
+  }
+
   test("search over an HTML corpus: tag-free index, <title> title, clean snippet") {
     val html = Seq(
       (0L, "site1", "page/0", "c0", "en", page),

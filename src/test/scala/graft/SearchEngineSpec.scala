@@ -63,6 +63,20 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(s.lemmas > 0)
   }
 
+  test("HTTP-status gate: error pages never enter the index (code > 299)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val c = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+      .withColumn("code", when(col("doc_id") === 0L, lit(404)).otherwise(col("code")))
+    val word0 = graft.analyze.Analyzer
+      .analyze("en", c.filter(col("doc_id") === 0L).select("content").head.getString(0)).head
+    val e = new SearchEngine(spark, c)
+    assert(e.startIndexing())
+    val r = e.search(word0, limit = 1000)
+    assert(!r.data.exists(_.uri == "doc/0"), "404 page must not be searchable")
+    assert(e.statistics().pages == 499)
+  }
+
   test("indexPage upsert: new content is searchable, old is gone") {
     import spark.implicits._
     val e = freshEngine()
