@@ -288,6 +288,18 @@ object SparkEntry {
       val snip = graft.query.Snippets.makeSnippetUdf(q2.toSet)
       c.select(col("doc_id"), snip(col("content"), lit("en")).as("snippet"))
     }),
+    // Positional index (positions over the analyzed token sequence) and
+    // exact adjacent-phrase matching — beyond the reference's tf-only index
+    "ft_positions" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.index.Positional.positionalPostings(c)
+        .select(col("doc_id"), col("term"), col("tf"),
+          array_join(col("positions"), ",").as("positions_s"))
+    }),
+    "ft_phrase" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.index.Positional.phraseTopK(graft.index.Positional.tokenPositions(c), q2, 10)
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -298,6 +310,17 @@ object SparkEntry {
     }),
 
     // ===== training-data pipeline operators =====
+    // deterministic hash train/val/test split (stable under data growth)
+    "split_assign" -> ((s, dir) => {
+      graft.pipeline.Splits.assign(Corpus.fromDocuments(s, dir))
+    }),
+    // benchmark-contamination audit: bench set = doc_id < 20 stand-in
+    "dedup_contamination" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.contamination(c.filter(col("doc_id") >= 20), c.filter(col("doc_id") < 20))
+        .select(col("train_id"), col("bench_id"), col("overlap"),
+          round(col("contamination"), 4).as("contamination_r"))
+    }),
     // exact dedup (hash-groupBy on content sha)
     "dedup_exact" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -500,6 +523,29 @@ object SparkEntry {
          |       ${Html.sqlExtractText("html")} AS text
          |FROM h""".stripMargin,
     "ft_snippet" -> snippetSql,
+    "ft_positions" ->
+      s"""WITH ${tokArrCte},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr)
+         |SELECT doc_id, term, count(*)::BIGINT AS tf,
+         |       array_to_string(list(pos ORDER BY pos), ',') AS positions_s
+         |FROM tp GROUP BY doc_id, term""".stripMargin,
+    "ft_phrase" -> phraseSql(q2, 10),
+    "split_assign" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
+         |      FROM documents)""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH ${shinglesCte},
+         |bs AS (SELECT doc_id AS bench_id, shingle FROM shd WHERE doc_id < 20),
+         |tr AS (SELECT doc_id AS train_id, shingle FROM shd WHERE doc_id >= 20),
+         |bsz AS (SELECT bench_id, count(*) AS bsz FROM bs GROUP BY bench_id),
+         |inter AS (SELECT train_id, bench_id, count(*)::BIGINT AS overlap
+         |          FROM tr JOIN bs USING (shingle) GROUP BY train_id, bench_id)
+         |SELECT train_id, bench_id, overlap, round(overlap::DOUBLE / bsz, 4) AS contamination_r
+         |FROM inter JOIN bsz USING (bench_id)""".stripMargin,
     "ft_crawl_frontier" ->
       """WITH RECURSIVE walk(doc_id, depth) AS (
         |  SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS depth
@@ -648,6 +694,24 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END)::BIGINT AS sample_rate
         |FROM documents""".stripMargin
   )
+
+  /** exact-adjacent-phrase top-k: per term i, starts = pos − i; a
+    * (doc, start) hit by all |terms| streams is one phrase occurrence —
+    * mirrors Positional.phraseMatches */
+  private def phraseSql(terms: Seq[String], k: Int): String = {
+    val shifts = terms.zipWithIndex.map { case (t, i) =>
+      s"SELECT doc_id, pos - $i AS start FROM tp WHERE term = '$t'"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${tokArrCte},
+       |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+       |m AS ($shifts),
+       |hits AS (SELECT doc_id, start FROM m GROUP BY doc_id, start HAVING count(*) = ${terms.size}),
+       |ph AS (SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM hits GROUP BY doc_id)
+       |SELECT rank, doc_id, phrase_tf FROM (
+       |  SELECT row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS rank,
+       |         doc_id, phrase_tf
+       |  FROM ph) WHERE rank <= $k""".stripMargin
+  }
 
   // ---- HTML wrap / lexicon twins ---------------------------------------
   /** deterministic HTML wrapper around the documents corpus (no external

@@ -165,6 +165,26 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  // ---------- benchmark contamination ----------------------------------
+  /** Cross-corpus contamination check (the train-vs-eval n-gram overlap
+    * audit run before training, cf. the GPT-3 appendix methodology):
+    * for every (train doc, benchmark doc) pair sharing ≥ 1 shingle, the
+    * fraction of the BENCHMARK doc's shingles present in the train doc.
+    * Inverted shingle join — never an all-pairs product; the benchmark side
+    * is small by nature and broadcastable. */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 3,
+                    threshold: Double = 0.0): DataFrame = {
+    val ts = shingles(train, n).select(col("doc_id").as("train_id"), col("shingle"))
+    val bs = shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle"))
+    val bsz = bs.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+    ts.join(bs, "shingle")
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("overlap"))
+      .join(bsz, "bench_id")
+      .withColumn("contamination", col("overlap").cast("double") / col("bsz"))
+      .filter(col("contamination") >= threshold)
+      .select("train_id", "bench_id", "overlap", "contamination")
+  }
+
   // ---------- embedding cosine ----------------------------------------
   /** exact cosine over float-vector column; `blocked` self-join keyed on a
     * coarse LSH sign-bucket would be the 100 TB path — here pairs come from

@@ -1,0 +1,64 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Positional index + exact phrase matching — beyond the reference (its
+  * `index` table stores only tf, model/Index.java), but a capability any
+  * complete fulltext engine offers and the standard next step after BM25
+  * (positions → phrases → proximity).
+  *
+  * Positions are indices into the STOP-FILTERED token sequence (the same
+  * sequence the tf index sees), so phrase adjacency means "adjacent after
+  * analysis" — mirrored exactly by the DuckDB oracle over the ordered token
+  * array.
+  *
+  * Scale shape: phrase matching is pure relational algebra — per query
+  * term i, project (doc_id, pos − i) from the positional postings and keep
+  * the (doc_id, start) groups hit by ALL k terms (the count-k conjunctive
+  * shape of Search.conjunctive, reused on (doc, start) instead of (doc)).
+  * One shuffle on (doc_id, start); no per-doc array materialization on the
+  * query path, hot terms shard exactly like the tf index.
+  */
+object Positional {
+
+  /** (doc_id, term, pos) — posexplode over the analyzed token array */
+  def tokenPositions(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        posexplode(InvertedIndex.termsForLang(col("content"), col("lang"))))
+      .select(col("doc_id"), col("col").as("term"), col("pos").cast("long").as("pos"))
+
+  /** positional postings: (doc_id, term, tf, positions asc) */
+  def positionalPostings(corpus: DataFrame): DataFrame =
+    tokenPositions(corpus)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** docs containing `terms` as an exact adjacent phrase:
+    * (doc_id, phrase_tf = number of occurrences). `tokenPos` is the
+    * (doc_id, term, pos) relation from [[tokenPositions]] (or the exploded
+    * form of a persisted positional index). */
+  def phraseMatches(tokenPos: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    val k = terms.size
+    val shifted = terms.zipWithIndex.map { case (t, i) =>
+      tokenPos.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce(_ unionByName _)
+    // a (doc, start) hit by all k shifted streams = a phrase occurrence
+    // ((term,pos) is unique per doc, so each i contributes ≤ 1 row per group)
+    shifted.groupBy("doc_id", "start").agg(count(lit(1)).as("n"))
+      .filter(col("n") === k)
+      .groupBy("doc_id").agg(count(lit(1)).as("phrase_tf"))
+  }
+
+  /** phrase top-k: most occurrences first, ties by doc_id asc */
+  def phraseTopK(tokenPos: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val top = phraseMatches(tokenPos, terms)
+      .orderBy(desc("phrase_tf"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("phrase_tf"), asc("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "phrase_tf")
+  }
+}

@@ -96,6 +96,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("contamination: benchmark-shingle fraction found in train docs") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "r", "en", "alpha beta gamma delta epsilon zeta"), // superset of bench 0
+      (11L, "r", "en", "one two three four five six"))
+      .toDF("doc_id", "repo", "lang", "content")
+    val bench = Seq(
+      (0L, "r", "en", "alpha beta gamma delta"), // 2 shingles, both in train 10
+      (1L, "r", "en", "seven eight nine ten"))   // disjoint
+      .toDF("doc_id", "repo", "lang", "content")
+    val got = Dedup.contamination(train, bench)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map((10L, 0L) -> ((2L, 1.0)))) // full containment; no other pair
+    // threshold filters
+    assert(Dedup.contamination(train, bench, threshold = 1.1).count() == 0)
+  }
+
   test("embedding cosine pairs: identical vectors cos=1, orthogonal excluded") {
     import spark.implicits._
     val emb = Seq(

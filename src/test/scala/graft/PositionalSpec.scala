@@ -1,0 +1,67 @@
+package graft
+
+import graft.index.Positional
+import graft.pipeline.Splits
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positional index, exact phrase matching, and deterministic splits. */
+class PositionalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "r", "en", "spark join spark join fast"), // "spark join" twice
+    (1L, "r", "en", "join spark"),                 // reversed: no match
+    (2L, "r", "en", "spark the join"),             // stopword removed -> adjacent!
+    (3L, "r", "en", "spark fast join"),            // gap: no match
+    (4L, "r", "en", "alpha alpha alpha"))          // repeated-term phrase
+    .toDF("doc_id", "repo", "lang", "content")
+
+  test("positions index the analyzed (stop-filtered) sequence") {
+    val got = Positional.positionalPostings(docs)
+      .filter(col("doc_id") === 2L).collect()
+      .map(r => r.getString(1) -> r.getSeq[Long](3).toList).toMap
+    // "the" removed => spark at 0, join at 1
+    assert(got == Map("spark" -> List(0L), "join" -> List(1L)))
+  }
+
+  test("exact adjacent phrase: counts occurrences, respects order and analysis") {
+    val tp = Positional.tokenPositions(docs)
+    val got = Positional.phraseMatches(tp, Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L), s"got $got")
+    // repeated-term phrase needs genuinely consecutive occurrences
+    val rep = Positional.phraseMatches(tp, Seq("alpha", "alpha"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(4L -> 2L)) // positions 0,1,2 -> starts 0 and 1
+  }
+
+  test("phraseTopK ranks by occurrences then doc_id") {
+    val tp = Positional.tokenPositions(docs)
+    val got = Positional.phraseTopK(tp, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toList == List((1L, 0L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("splits: deterministic, Column == scalar, proportions roughly 80/10/10") {
+    val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val got = Splits.assign(ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    got.foreach { case (id, b, s) =>
+      assert(b == Splits.bucketS(id))
+      val want = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(s == want)
+    }
+    val byS = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byS("train") > 1500 && byS("train") < 1700, byS.toString)
+    assert(byS("val") > 130 && byS("val") < 280, byS.toString)
+    assert(byS("test") > 130 && byS("test") < 280, byS.toString)
+    // stability: assignment is a pure function of doc_id — a grown corpus
+    // never moves an existing doc across splits
+    val grown = Splits.assign((0L until 4000L).map(Tuple1(_)).toDF("doc_id"))
+      .filter(col("doc_id") < 2000).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (id, _, s) => assert(grown(id) == s) }
+  }
+}
