@@ -70,8 +70,13 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
       if (corpus.columns.contains("code") && !doc1.columns.contains("code"))
         doc1.withColumn("code", lit(200).cast("int"))
       else doc1
+    // HTTP gate on the upsert path too (reference delete+reindex: an error
+    // re-fetch REMOVES the old version and indexes nothing,
+    // IndexingServiceImpl.java:135-137 via :244-264)
+    val docOk =
+      if (doc2.columns.contains("code")) graft.corpus.Corpus.httpOk(doc2) else doc2
     val ids = doc2.select("doc_id")
-    corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(doc2).cache()
+    corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(docOk).cache()
     tables = InvertedIndex.build(corpus)
     true
   }

@@ -175,7 +175,9 @@ object Dedup {
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 3,
                     threshold: Double = 0.0): DataFrame = {
     val ts = shingles(train, n).select(col("doc_id").as("train_id"), col("shingle"))
-    val bs = shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle"))
+    // cached: feeds BOTH the join and the per-doc size aggregate (the two
+    // sit on different exchanges, so ReuseExchange can't serve them)
+    val bs = shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle")).cache()
     val bsz = bs.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
     ts.join(bs, "shingle")
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("overlap"))

@@ -15,7 +15,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   state/doc_ids/batch=<id>     doc_ids (re)written by batch <id>
   *   state/term_stats/batch=<id>  SIGNED df deltas (+new terms, −replaced)
   *   state/doc_stats/batch=<id>   (doc_id, dl) of the batch docs
-  *   state/_committed             "<latest> <base>" — single atomic pointer
+  *   state/_committed             "<latest> <base> <lastAppliedStreamId>" —
+  *                                single atomic pointer (3rd field = highest
+  *                                Structured-Streaming batch id applied)
   *
   * Per-batch WRITE cost is O(|batch| + |touched docs|), never O(index): a
   * batch appends its deltas and flips one pointer. The old snapshot design
@@ -154,9 +156,11 @@ object IncrementalIndex {
     // within-batch last-writer-wins is undefined (no sequence column), so a
     // batch carrying several versions of one doc keeps ONE deterministic
     // version — never a tf/dl union of versions no source ever held
+    // total order: sha alone ties when two versions differ only in lang/repo
+    // (which change tokenization) — the extra keys keep the pick replayable
     val oneVersion = batch.withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(sha2(col("content"), 256).desc)))
+          .orderBy(sha2(col("content"), 256).desc, col("lang").desc, col("repo").desc)))
       .filter(col("_rn") === 1).drop("_rn")
     val deltaPost = InvertedIndex.postings(InvertedIndex.tokens(oneVersion)).cache()
     val docIds = oneVersion.select("doc_id").distinct().cache()

@@ -77,6 +77,20 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(e.statistics().pages == 499)
   }
 
+  test("indexPage with an error status removes the old version, indexes nothing") {
+    import spark.implicits._
+    val e = freshEngine()
+    // re-fetch of page 0 came back 404: reference deletes the old page and
+    // the status gate skips indexing the new fetch
+    val doc = Seq((0L, "src0", "doc/0",
+      "0000000000000000000000000000000000000000", "en", "error page body", 404))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content", "code")
+    assert(e.indexPage(doc))
+    assert(e.statistics().pages == 499)
+    val r = e.search("error", limit = 10)
+    assert(!r.data.exists(_.uri == "doc/0"))
+  }
+
   test("indexPage upsert: new content is searchable, old is gone") {
     import spark.implicits._
     val e = freshEngine()
