@@ -288,6 +288,16 @@ object SparkEntry {
       val snip = graft.query.Snippets.makeSnippetUdf(q2.toSet)
       c.select(col("doc_id"), snip(col("content"), lit("en")).as("snippet"))
     }),
+    // Per-site collapse: best result per repo from a top-100 pool, re-ranked
+    "ft_collapse_repo" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val pool = Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 100)
+        .join(c.select("doc_id", "repo"), "doc_id")
+      Search.collapseByRepo(pool, perRepo = 1, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("repo"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // Positional index (positions over the analyzed token sequence) and
     // exact adjacent-phrase matching — beyond the reference's tf-only index
     "ft_positions" -> ((s, dir) => {
@@ -315,9 +325,10 @@ object SparkEntry {
       graft.pipeline.Splits.assign(Corpus.fromDocuments(s, dir))
     }),
     // benchmark-contamination audit: bench set = doc_id < 20 stand-in
+    // (single-pass split variant: one shingle computation for both sides)
     "dedup_contamination" -> ((s, dir) => {
       val (c, _) = index(s, dir)
-      Dedup.contamination(c.filter(col("doc_id") >= 20), c.filter(col("doc_id") < 20))
+      Dedup.contaminationSplit(c, col("doc_id") < 20)
         .select(col("train_id"), col("bench_id"), col("overlap"),
           round(col("contamination"), 4).as("contamination_r"))
     }),
@@ -522,6 +533,28 @@ object SparkEntry {
          |SELECT doc_id, ${Html.sqlTitle("html")} AS title,
          |       ${Html.sqlExtractText("html")} AS text
          |FROM h""".stripMargin,
+    "ft_collapse_repo" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id
+         |),
+         |pool AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM scored WHERE n_terms = ${q2.size}) WHERE rank <= 100),
+         |coll AS (SELECT doc_id, score, repo FROM (
+         |  SELECT pl.doc_id, pl.score, dd.source AS repo,
+         |         row_number() OVER (PARTITION BY dd.source
+         |                            ORDER BY pl.score DESC, pl.doc_id ASC) AS rr
+         |  FROM pool pl JOIN documents dd USING (doc_id)) WHERE rr = 1)
+         |SELECT rank, doc_id, repo, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, repo, round(score, 4) AS score_r
+         |  FROM coll) WHERE rank <= 10""".stripMargin
+    },
     "ft_snippet" -> snippetSql,
     "ft_positions" ->
       s"""WITH ${tokArrCte},

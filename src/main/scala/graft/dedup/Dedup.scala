@@ -173,11 +173,28 @@ object Dedup {
     * Inverted shingle join — never an all-pairs product; the benchmark side
     * is small by nature and broadcastable. */
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 3,
-                    threshold: Double = 0.0): DataFrame = {
-    val ts = shingles(train, n).select(col("doc_id").as("train_id"), col("shingle"))
-    // cached: feeds BOTH the join and the per-doc size aggregate (the two
-    // sit on different exchanges, so ReuseExchange can't serve them)
-    val bs = shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle")).cache()
+                    threshold: Double = 0.0): DataFrame =
+    contaminationPairs(
+      shingles(train, n).select(col("doc_id").as("train_id"), col("shingle")),
+      // cached: feeds BOTH the join and the per-doc size aggregate (the two
+      // sit on different exchanges, so ReuseExchange can't serve them)
+      shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle")).cache(),
+      threshold)
+
+  /** contamination when train and bench are partitions of ONE corpus —
+    * shingles are computed in a single cached pass and split by the
+    * predicate (a doc_id Column), instead of tokenizing the corpus twice. */
+  def contaminationSplit(docs: DataFrame, isBench: Column, n: Int = 3,
+                         threshold: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    contaminationPairs(
+      sh.filter(!isBench).select(col("doc_id").as("train_id"), col("shingle")),
+      sh.filter(isBench).select(col("doc_id").as("bench_id"), col("shingle")),
+      threshold)
+  }
+
+  private def contaminationPairs(ts: DataFrame, bs: DataFrame,
+                                 threshold: Double): DataFrame = {
     val bsz = bs.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
     ts.join(bs, "shingle")
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("overlap"))

@@ -107,6 +107,22 @@ object Search {
       .select("rank", "doc_id", "abs_rank", "rel_rank")
   }
 
+  /** Per-site collapse (host dedup of result pages — the standard SERP
+    * diversity step; beyond the reference, which returns every page of a
+    * site): keep the best `perRepo` results per repo out of a deeper
+    * candidate pool, then re-rank globally. `results` must carry
+    * (doc_id, repo, score); ties break by doc_id everywhere. The per-repo
+    * window runs on the already-cut pool (≤ pool-k rows), never the full
+    * candidate set. */
+  def collapseByRepo(results: DataFrame, perRepo: Int = 1, k: Int = 10): DataFrame = {
+    val perW = Window.partitionBy("repo").orderBy(desc("score"), asc("doc_id"))
+    val kept = results.withColumn("_rr", row_number().over(perW))
+      .filter(col("_rr") <= perRepo).drop("_rr")
+    kept.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("repo"), col("score"))
+  }
+
   /** Full flagship search: front-end plan → BM25 top-k → decorate with
     * repo/path/title/snippet on the final k rows only (reference
     * SearchServiceImpl.java:101-118). repoFilter: None ≙ the `-101`

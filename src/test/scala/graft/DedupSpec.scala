@@ -111,6 +111,11 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map((10L, 0L) -> ((2L, 1.0)))) // full containment; no other pair
     // threshold filters
     assert(Dedup.contamination(train, bench, threshold = 1.1).count() == 0)
+    // single-pass split variant agrees with the two-table form
+    val all = train.unionByName(bench)
+    val gotSplit = Dedup.contaminationSplit(all, col("doc_id") < 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotSplit == got)
   }
 
   test("embedding cosine pairs: identical vectors cos=1, orthogonal excluded") {

@@ -144,6 +144,22 @@ class SearchSpec extends AnyFunSuite {
     assert(hitIds.subsetOf(inRepo))
   }
 
+  test("collapseByRepo keeps the best result per repo, re-ranked globally") {
+    import spark.implicits._
+    val pool = Seq(
+      (1L, "rA", 9.0), (2L, "rA", 8.0), // rA: doc 1 wins
+      (3L, "rB", 8.5),
+      (4L, "rC", 8.5), (5L, "rC", 8.5)  // rC tie: lowest doc_id (4) wins
+    ).toDF("doc_id", "repo", "score")
+    val got = Search.collapseByRepo(pool, perRepo = 1, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(got.toList == List((1, 1L, "rA"), (2, 3L, "rB"), (3, 4L, "rC")))
+    // perRepo = 2 keeps two from rC
+    val got2 = Search.collapseByRepo(pool, perRepo = 2, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(got2 == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("adding a non-matching doc never changes top-k (stability property)") {
     val base = (0 until 60).map(i =>
       Oracle.Doc(i.toLong, "r", "en", if (i % 3 == 0) s"alpha beta gamma x$i" else s"alpha delta x$i"))
