@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * scaling claim needs an input where compute dominates. Identical corpus
   * content at every parallelism level by construction.
   *
-  * Usage: runMain graft.ScalingBench [sfDir|gen:N] [levels:8,32] [reps:2]
+  * Usage: runMain graft.ScalingBench [sfDir|gen:N] [levels:8,32] [reps:2] [runId]
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
@@ -92,12 +92,20 @@ object ScalingBench {
       val ratio = c2.toDouble / c1
       val eff = (t1 / t2) / ratio
       val platformEff = (cal1 / cal2) / ratio
-      val line = f"""{"metric":"scaling_efficiency","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"files":$n,"sf":"$sfDir"}"""
+      // run identifier so Bench consumers can detect a stale relay (a failed
+      // write below would otherwise report a previous run's numbers as
+      // current, with nothing to tell them apart)
+      val runId = args.lift(3).getOrElse(System.currentTimeMillis().toString)
+      val line = f"""{"metric":"scaling_efficiency","run_id":"$runId","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"files":$n,"sf":"$sfDir"}"""
       println(line)
       // record the summary so graft.Bench can relay the latest actual run
       val out = sys.env.getOrElse("SCALING_OUT", "tools/scaling_latest.json")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-      catch { case _: java.io.IOException => () }
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[scaling] WARNING: failed to record $out (${e.getMessage}); " +
+            "Bench will relay a STALE previous run — compare run_id")
+      }
     }
   }
 }

@@ -310,6 +310,24 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       graft.index.Positional.phraseTopK(graft.index.Positional.tokenPositions(c), q2, 10)
     }),
+    // Proximity ("phrase within slop"): same count-k-over-windowed-starts
+    // relational shape as ft_phrase, slop=2 — the natural next query
+    // operator after exact phrase
+    "ft_proximity" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.index.Positional.proximityTopK(
+        graft.index.Positional.tokenPositions(c), q2, slop = 2, k = 10)
+    }),
+    // T2/T4 TRUE reference-domain parity: Russian analyzer branch (ё-fold +
+    // Cyrillic class, Lemmatizator.java:1) + Russian 1→N lexicon over a
+    // deterministically Russian-wrapped corpus variant
+    "ft_postings_ru" -> ((s, dir) => {
+      val c = Corpus.fromDocuments(s, dir)
+        .withColumn("content", ruWrapCol)
+        .withColumn("lang", lit("ru"))
+      InvertedIndex.postings(InvertedIndex.tokens(c, DefaultLexicon.russian))
+        .select("doc_id", "term", "tf")
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -382,7 +400,9 @@ object SparkEntry {
     // vs ann_topk asserted in AnnSpec, exact output hash-gated vs DuckDB
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.lshTopK(emb, Ann.fixedQueries(s, emb, 5), dim = 64, k = 5)
+      // bits pinned to 8 (matching the inlined-plane oracle SQL); the
+      // production default derives bits from N via Ann.deriveBits
+      Ann.lshTopK(emb, Ann.fixedQueries(s, emb, 5), dim = 64, k = 5, bits = 8)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
@@ -563,6 +583,16 @@ object SparkEntry {
          |       array_to_string(list(pos ORDER BY pos), ',') AS positions_s
          |FROM tp GROUP BY doc_id, term""".stripMargin,
     "ft_phrase" -> phraseSql(q2, 10),
+    "ft_proximity" -> proximitySql(q2, 2, 10),
+    "ft_postings_ru" ->
+      s"""WITH ru AS (SELECT doc_id, $ruWrapSql AS rtext FROM documents),
+         |rt AS (SELECT doc_id, unnest(${Analyzer.sqlTokensRu("rtext")}) AS term FROM ru),
+         |rterms AS (SELECT doc_id, term FROM rt
+         |           WHERE ${Analyzer.sqlStopPredicate("term", Analyzer.ruStop)}),
+         |$ruLexCte,
+         |lexp AS (SELECT t.doc_id, coalesce(l.form, t.term) AS term
+         |         FROM rterms t LEFT JOIN rulex l ON t.term = l.surface)
+         |SELECT doc_id, term, count(*)::BIGINT AS tf FROM lexp GROUP BY doc_id, term""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
@@ -744,6 +774,52 @@ object SparkEntry {
        |  SELECT row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS rank,
        |         doc_id, phrase_tf
        |  FROM ph) WHERE rank <= $k""".stripMargin
+  }
+
+  /** ordered proximity (phrase within `slop`) top-k: term i matches start
+    * when pos ∈ [start + i, start + i + slop] — mirrors
+    * Positional.proximityMatches (distinct per term INDEX, count-k, count
+    * starts) */
+  private def proximitySql(terms: Seq[String], slop: Int, k: Int): String = {
+    val shifts = terms.zipWithIndex.map { case (t, i) =>
+      s"SELECT doc_id, unnest(range(pos - $i - $slop, pos - $i + 1)) AS start, $i AS ti FROM tp WHERE term = '$t'"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${tokArrCte},
+       |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+       |m AS ($shifts),
+       |md AS (SELECT DISTINCT doc_id, start, ti FROM m),
+       |hits AS (SELECT doc_id, start FROM md GROUP BY doc_id, start HAVING count(*) = ${terms.size}),
+       |ph AS (SELECT doc_id, count(*)::BIGINT AS prox_tf FROM hits GROUP BY doc_id)
+       |SELECT rank, doc_id, prox_tf FROM (
+       |  SELECT row_number() OVER (ORDER BY prox_tf DESC, doc_id ASC) AS rank,
+       |         doc_id, prox_tf
+       |  FROM ph) WHERE rank <= $k""".stripMargin
+  }
+
+  // ---- Russian corpus wrap + lexicon twins -----------------------------
+  /** deterministic Russian content per doc (no external data): fixed
+    * sentence + two doc_id-indexed picks. Exercises ё-fold (Ёжик/ёлка),
+    * the Cyrillic char class (Latin/digits/punctuation stripped), the ru
+    * stoplist (и/в) and the 1→N lexicon (вчатв/стали/банка/дома/мыши). */
+  private val ruPick7 = Seq("дом", "вчатв", "стали", "печи", "ёлка", "банка", "леса")
+  private val ruPick3 = Seq("дома", "мыши", "хорошо")
+  private def ruWrapCol: org.apache.spark.sql.Column =
+    concat_ws(" ",
+      lit("Ёжик и дом;"),
+      elt(((col("doc_id") % 7 + 1).cast("int") +: ruPick7.map(lit)): _*),
+      lit("в лесу not-русский text123"),
+      elt(((col("doc_id") % 3 + 1).cast("int") +: ruPick3.map(lit)): _*))
+  private def ruWrapSql: String = {
+    def pick(words: Seq[String], m: Int) =
+      s"list_extract(ARRAY[${words.map(w => s"'$w'").mkString(", ")}], CAST(doc_id % $m + 1 AS INTEGER))"
+    s"'Ёжик и дом;' || ' ' || ${pick(ruPick7, 7)} || ' ' || " +
+      s"'в лесу not-русский text123' || ' ' || ${pick(ruPick3, 3)}"
+  }
+  /** the Russian lexicon as a VALUES relation (same 1→N join as lexCte) */
+  private def ruLexCte: String = {
+    val vals = DefaultLexicon.russian.toSeq.sortBy(_._1)
+      .flatMap { case (sf, fs) => fs.map(f => s"('$sf', '$f')") }.mkString(", ")
+    s"rulex(surface, form) AS (VALUES $vals)"
   }
 
   // ---- HTML wrap / lexicon twins ---------------------------------------

@@ -34,9 +34,13 @@ object Analyzer extends Serializable {
     "java"  -> Set("public", "private", "static", "void", "class", "import", "if", "else", "for", "while", "return", "new", "final"),
     "py"    -> Set("def", "class", "import", "from", "if", "else", "for", "while", "return", "pass", "none")
   )
+  /** Russian particles/conjunctions/prepositions — the stoplist analog of
+    * the reference's part-of-speech filter over Russian morphology
+    * (SearcherPage.java:156-194 drops СОЮЗ/МЕЖД/ПРЕДЛ/ЧАСТ). */
+  val ruStop: Set[String] = Set("и", "в", "не", "на", "с", "по", "а", "но", "что", "как", "же", "за", "из", "у", "о")
 
   def stopSet(lang: String): Set[String] =
-    codeStop.getOrElse(lang, naturalStop)
+    if (lang == "ru") ruStop else codeStop.getOrElse(lang, naturalStop)
 
   // --- identifier splitting (pure) -------------------------------------
   // Order matters and is mirrored exactly in sqlNormalize below:
@@ -58,6 +62,23 @@ object Analyzer extends Serializable {
   def rawTokens(s: String): Seq[String] =
     normalize(s).split(" +").toSeq.filter(_.nonEmpty)
 
+  // --- Russian branch (the reference's ACTUAL language domain) ----------
+  // Exact reference chain (tools/Lemmatizator.java:1 getLemmsInPage →
+  // getWordsFromText): 1. fold ё→е / Ё→Е  2. strip to [а-яА-ЯёЁ ]
+  // 3. toLowerCase  4. trim + split " +". Order preserved verbatim so the
+  // two engines (and the DuckDB twin) agree character-for-character.
+  def normalizeRu(s: String): String = {
+    val folded = s.replace('ё', 'е').replace('Ё', 'Е')
+    val stripped = folded.replaceAll("[^а-яА-ЯёЁ ]", " ")
+    stripped.toLowerCase(java.util.Locale.ROOT).trim
+  }
+
+  def rawTokensRu(s: String): Seq[String] =
+    normalizeRu(s).split(" +").toSeq.filter(_.nonEmpty)
+
+  private def rawTokensFor(lang: String, s: String): Seq[String] =
+    if (lang == "ru") rawTokensRu(s) else rawTokens(s)
+
   /** Normal-forms lexicon: surface form -> ALL normal forms (ambiguity
     * preserved, like luceneMorph; reference test LemmatizatorTest.java:10-17
     * expects each surface word to expand to every normal form). Default
@@ -71,10 +92,11 @@ object Analyzer extends Serializable {
     if (token.length < 2) Seq(token) // <2-char bypass (SearchServiceImpl.java:270-274)
     else lexicon.getOrElse(token, Seq(token))
 
-  /** Full chain: normalize -> split -> stop-filter -> normal-forms. */
+  /** Full chain: normalize -> split -> stop-filter -> normal-forms.
+    * `lang = "ru"` routes through the Cyrillic normalizer. */
   def analyze(lang: String, text: String, lexicon: Lexicon = emptyLexicon): Seq[String] = {
     val stops = stopSet(lang)
-    rawTokens(text).filterNot(stops).flatMap(normalForms(_, lexicon))
+    rawTokensFor(lang, text).filterNot(stops).flatMap(normalForms(_, lexicon))
   }
 
   /** Distinct query terms, preserving nothing of order (the reference keeps a
@@ -102,6 +124,18 @@ object Analyzer extends Serializable {
     else filter(arr, t => !t.isin(stops.toSeq.map(x => x: Any): _*))
   }
 
+  /** Russian token chain as a codegen'd Column — same four steps as
+    * normalizeRu, in the reference's order. */
+  def tokensColRu(text: Column): Column = {
+    val folded = regexp_replace(regexp_replace(text, "ё", "е"), "Ё", "Е")
+    val stripped = regexp_replace(folded, "[^а-яА-ЯёЁ ]", " ")
+    filter(split(trim(lower(stripped)), " +"), t => length(t) > 0)
+  }
+
+  /** Stop-filtered Russian token array. */
+  def termsColRu(text: Column): Column =
+    filter(tokensColRu(text), t => !t.isin(ruStop.toSeq.map(x => x: Any): _*))
+
   /** DuckDB SQL fragment computing the same token stream from a text column.
     * Used to assemble oracle SQL; `col` is the SQL expression for the text.
     * Mirrors normalize()+rawTokens() exactly (RE2 semantics match Java here:
@@ -115,4 +149,11 @@ object Analyzer extends Serializable {
   def sqlStopPredicate(termExpr: String, stops: Set[String]): String =
     if (stops.isEmpty) s"$termExpr <> ''"
     else s"$termExpr <> '' AND $termExpr NOT IN (${stops.toSeq.sorted.map(s => s"'$s'").mkString(", ")})"
+
+  /** DuckDB twin of tokensColRu (utf8proc lower() handles Cyrillic; RE2
+    * char classes operate on code points, matching Java's BMP behavior
+    * here). */
+  def sqlTokensRu(col: String): String =
+    s"regexp_split_to_array(trim(lower(regexp_replace(regexp_replace(regexp_replace($col, " +
+      s"'ё', 'е', 'g'), 'Ё', 'Е', 'g'), '[^а-яА-ЯёЁ ]', ' ', 'g'))), ' +')"
 }

@@ -44,4 +44,21 @@ object DefaultLexicon {
     "axes" -> Seq("axe", "axis"),
     "leaves" -> Seq("leaf", "leave"),
     "building" -> Seq("build", "building"))
+
+  /** Russian fixture lexicon — TRUE reference-domain parity for T4
+    * (RussianLuceneMorphology analog). Contains the reference golden's own
+    * expansion (LemmatizatorTest.java:10-17: `вчатв` → `вчатва`, `дом` →
+    * `дом`) plus classic 1→N ambiguities (`стали` → сталь|стать,
+    * `банка` → банк|банка) so the ambiguity-preserving mechanics run on
+    * genuine Cyrillic input. Consumed by the DuckDB oracle as a VALUES
+    * join (SparkEntry ruLexCte), identically. */
+  val russian: Analyzer.Lexicon = Map(
+    "вчатв" -> Seq("вчатва"),            // the committed reference golden
+    "дома" -> Seq("дом"),
+    "стали" -> Seq("сталь", "стать"),    // ambiguous noun/verb
+    "банка" -> Seq("банк", "банка"),     // ambiguous genitive/nominative
+    "печи" -> Seq("печь"),
+    "леса" -> Seq("лес"),
+    "елка" -> Seq("елка"),               // post-fold surface of ёлка
+    "мыши" -> Seq("мышь"))
 }

@@ -47,14 +47,31 @@ object Ann {
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Scale-aware bucket-bit count: 2^bits ≈ n / targetBucketSize, floored at
+    * 8 bits and capped at 32 (a probe term is codegen'd per bit). A fixed
+    * default (the old `bits = 8` ⇒ 256 buckets forever) means ~4×10^7
+    * vectors per probe at N = 10^10 — the default must grow with N so the
+    * safe behavior is the default one. */
+  def deriveBits(n: Long, targetBucketSize: Long = 4096L): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucketSize))
+    val ceilLog2 =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.min(32, math.max(8, ceilLog2))
+  }
+
   /** LSH-bucketed ANN: probe only buckets within `probeHamming` bit flips of
     * the query's bucket (multiprobe). Returns the same schema as
-    * bruteForceTopK; recall < 1 by construction, measured in AnnSpec. */
+    * bruteForceTopK; recall < 1 by construction, measured in AnnSpec.
+    * `bits <= 0` (the default) derives the bucket count from the table size
+    * via [[deriveBits]] (one metadata-cheap count); pass an explicit value
+    * to pin the layout (the harness pins 8 for its committed oracle). */
   def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              bits: Int = 8, probeHamming: Int = 1): DataFrame = {
+              bits: Int = 0, probeHamming: Int = 1): DataFrame = {
+    val nBits = if (bits > 0) bits else deriveBits(emb.count())
     val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("bucket", bucketCol(col("v"), dim, bits))
-    val qb = queries.withColumn("qbucket", bucketCol(col("qv"), dim, bits))
+      .withColumn("bucket", bucketCol(col("v"), dim, nBits))
+    val qb = queries.withColumn("qbucket", bucketCol(col("qv"), dim, nBits))
     // multiprobe: expand each query to its bucket + all single-bit flips
     val probes: Seq[org.apache.spark.sql.Column] = lit(0L) +:
       (if (probeHamming >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
@@ -74,16 +91,29 @@ object Ann {
   // ---------------- IVF (inverted-file / coarse k-means) ----------------
 
   /** Deterministic Lloyd's k-means over the embedding column: centroids
-    * initialized from the first `k` vec_ids (seed-free determinism), a few
-    * fixed iterations, L2 assignment. Returns the centroid matrix. At 100 TB
-    * the same loop runs on a sample; assignment stays a single broadcast
-    * pass over the table. */
-  def ivfCentroids(emb: DataFrame, k: Int, iters: Int = 4): Array[Array[Double]] = {
+    * initialized from the `k` lowest vec_ids of the loop input (seed-free
+    * determinism), a few fixed iterations, L2 assignment.
+    *
+    * The centroid LOOP runs on at most `maxSample` vectors: when the table
+    * exceeds that, a deterministic hash-permille filter on vec_id (xxhash64
+    * — value-addressed, so the sample is identical at any partitioning)
+    * selects the loop input. Lloyd's needs only representative statistics;
+    * full-table assignment stays a single broadcast pass (ivfTopK). This
+    * both bounds the per-iteration scan to O(maxSample) and bounds every
+    * mapGroups group below (a centroid's member set) by the sample size —
+    * the whole-group materialization is safe BECAUSE the loop input is
+    * capped. Returns the centroid matrix. */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int = 4,
+                   maxSample: Long = 100000L): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val all = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = all.count()
+    val permille = if (n <= maxSample) 1000L else math.max(1L, maxSample * 1000L / n)
+    val e = (if (permille >= 1000L) all
+             else all.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(permille)))
       .as[(Long, Seq[Double])].cache()
-    var centroids = e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray)
+    var centroids = e.orderBy(col("vec_id")).limit(k).collect().sortBy(_._1).map(_._2.toArray)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val assigned = e.map { case (id, v) =>
@@ -102,8 +132,8 @@ object Ann {
       // associative, and a shuffle-order sum would make the centroids (and
       // hence bucket assignment) run-dependent — this keeps k-means
       // bit-reproducible across runs AND engines (the DuckDB oracle sums in
-      // the same order). Group size is bounded because at scale this loop
-      // runs on a sample (see scaladoc).
+      // the same order). Group size is bounded by maxSample: the loop input
+      // `e` is the capped sample, never the raw table.
       val updated = assigned.groupByKey(_._1)
         .mapGroups { (cid, it) =>
           val members = it.toArray.sortBy(_._2)
@@ -128,10 +158,11 @@ object Ann {
     * within. Same output schema as bruteForceTopK; recall measured in
     * AnnSpec. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nprobe: Int = 4,
+              maxSample: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(emb, nCentroids)
+    val cents = ivfCentroids(emb, nCentroids, maxSample = maxSample)
     val bc = spark.sparkContext.broadcast(cents)
     val assignUdf = udf((v: Seq[Double]) => {
       val cs = bc.value

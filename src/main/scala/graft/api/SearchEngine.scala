@@ -1,61 +1,206 @@
 package graft.api
 
-import graft.analyze.Analyzer
+import graft.analyze.{Analyzer, Html}
 import graft.index.{IndexWriter, InvertedIndex}
 import graft.io.TableIO
 import graft.query.{QueryFrontend, Search}
 import graft.stats.Stats
+import graft.streaming.IncrementalIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The reference's API surface (controllers/ApiController.java:21-47) as a
   * Spark-native facade — a user of the reference can switch endpoint by
   * endpoint:
   *
-  *   GET  /api/startIndexing  -> startIndexing(corpus)
+  *   GET  /api/startIndexing  -> startIndexing() / startIndexingPersisted(dir)
   *   POST /api/indexPage      -> indexPage(doc)
   *   GET  /api/search         -> search(query, site, offset, limit)
   *   GET  /api/statistics     -> statistics()
-  *   GET  /api/stopIndexing   -> (cooperative stop ≙ job abort + snapshot
-  *                                resume; see IndexWriter.write(resume))
+  *   GET  /api/stopIndexing   -> stopIndexing()  (cooperative flag; a
+  *                               persisted build aborts at the next bucket-
+  *                               group boundary, records FAILED status, and
+  *                               a restart resumes from committed buckets)
   *
-  * DTO shapes mirror dto/search/SearchResponce.java and the
-  * dto/statistics classes. The 60-second query-result cache replicates
+  * DTO shapes mirror dto/search/SearchResponce.java and the dto/statistics
+  * classes (DetailedStatisticsItem carries status/statusTime/error). The
+  * 60-second query-result cache replicates
   * SearchServiceImpl.java:40-43,68-85 (off the correctness path).
+  *
+  * Index maintenance is INCREMENTAL: the facade's live tables are backed by
+  * the LSM batch log (IncrementalIndex.ParquetStateStore), so `indexPage`
+  * costs O(page) — tokenize the one doc, point-read its old postings,
+  * append a delta batch — exactly the reference's per-page cost profile
+  * (IndexingServiceImpl.java:244-264), never an O(corpus) rebuild. The
+  * corpus DataFrame is localCheckpoint'ed after each replace so repeated
+  * upserts cannot grow the analyzed plan. Reads reconstruct live tables
+  * from the batch log lazily (cached until the next mutation); the log is
+  * compacted once its batch fan-in exceeds `compactEvery`.
+  *
+  * Ingestion runs extract-then-lemmatize (reference: Jsoup text() before
+  * Lemmatizator, tools/Lemmatizator.java:1): `indexedView` normalizes HTML
+  * content via Html.textOf before tokenization, keeping the index coherent
+  * with the htmlAware=true decoration in Search.search. The stored corpus
+  * keeps RAW content (reference `page.content` stores the fetched HTML).
+  *
+  * `clock` supplies statusTime timestamps (driver-side wall clock — the
+  * engine itself stays wall-clock-free and deterministic).
   */
-class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
+class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
+                   stateDir: Option[String] = None,
+                   clock: () => Long = () => System.currentTimeMillis()) {
 
   case class SearchItem(site: String, siteName: String, uri: String,
                         title: String, snippet: String, relevance: Double)
   case class SearchResponse(result: Boolean, count: Long, data: Seq[SearchItem], error: String)
+  /** reference dto/statistics/DetailedStatisticsItem.java field-for-field
+    * (url ≙ site, name ≙ siteName) */
+  case class DetailedItem(site: String, siteName: String, status: String,
+                          statusTime: Long, error: String, pages: Long, lemmas: Long)
   case class Statistics(sites: Long, pages: Long, lemmas: Long,
-                        detailed: Seq[(String, Long, Long)])
+                        detailed: Seq[DetailedItem])
 
-  private var tables: InvertedIndex.Tables = _
+  private[graft] var corpus: DataFrame = initialCorpus
   private var indexed = false
   private val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val cancel = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private var lastErr: String = null
+  private var indexStatusTime: Long = 0L
+
+  // ---- LSM state store backing the live tables -------------------------
+  private val baseDir = stateDir.getOrElse(
+    java.nio.file.Files.createTempDirectory("graft-engine-state").toString)
+  private var runSeq = 0
+  private[graft] var store: IncrementalIndex.ParquetStateStore = _
+  /** batch fan-in bound before the log is folded into a fresh base */
+  val compactEvery = 64
+
+  private def freshStore(): IncrementalIndex.ParquetStateStore = {
+    runSeq += 1
+    val d = s"$baseDir/run-$runSeq"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    new IncrementalIndex.ParquetStateStore(d)
+  }
+
+  /** extract-then-lemmatize view: what the tokenizer sees (HTML stripped,
+    * code/plain text passed through) — the stored corpus stays raw. */
+  private def indexedView(df: DataFrame): DataFrame =
+    df.withColumn("content", Html.textOf(col("content")))
+
+  // ---- lazily reconstructed live tables (invalidated per mutation) -----
+  private var live: Option[InvertedIndex.Tables] = None
+
+  private def invalidateTables(): Unit = {
+    live.foreach { t =>
+      t.postings.unpersist(); t.termStats.unpersist(); t.docStats.unpersist(): Unit
+    }
+    live = None
+  }
+
+  private[graft] def tables: InvertedIndex.Tables = synchronized {
+    live.getOrElse {
+      val p = IncrementalIndex.readPostings(store, spark).get
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val ts = IncrementalIndex.readTermStats(store, spark).get.cache()
+      val ds = IncrementalIndex.readDocStats(store, spark).get.cache()
+      val nDocs = corpus.count() // checkpointed blocks — no source rescan
+      val avgRow = ds.agg(avg(col("dl"))).head()
+      val avgDl = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
+      val t = InvertedIndex.Tables(p, ts, ds, nDocs, avgDl)
+      live = Some(t)
+      t
+    }
+  }
 
   /** full index build — refuses while one is in flight (reference guard,
     * IndexingServiceImpl.java:58-65; the reference answers the start
-    * endpoint with an error body while any site is INDEXING). */
+    * endpoint with an error body while any site is INDEXING). A repeated
+    * call rebuilds into a fresh state lineage (the reference's re-crawl). */
   def startIndexing(): Boolean = {
     if (!inFlight.compareAndSet(false, true)) return false
     try synchronized {
+      cancel.set(false)
       // HTTP-status gate (reference IndexingServiceImpl.java:135-137):
       // error pages never enter the index
       val gated =
         if (corpus.columns.contains("code")) graft.corpus.Corpus.httpOk(corpus)
         else corpus
       corpus = gated.cache()
-      tables = InvertedIndex.build(corpus)
+      invalidateTables()
+      store = freshStore()
+      // one whole-corpus batch through the SAME merge path upserts use —
+      // the initial build is just the first (big) delta
+      IncrementalIndex.mergeBatch(store, indexedView(corpus))
+      indexStatusTime = clock()
+      lastErr = null
       indexed = true
       true
     } finally inFlight.set(false)
   }
 
-  /** single-doc upsert (POST /api/indexPage): replace-by-doc_id, then
-    * recompute the in-memory tables (the persisted-index variant is
-    * IndexWriter.upsertBuckets). */
+  /** Full build into a PERSISTED bucket-partitioned index at `tableDir`,
+    * committing bucket groups incrementally: a stop (or crash) leaves the
+    * committed buckets resumable, and a restart call skips them
+    * byte-identically (IndexWriter.write resume contract). Returns false
+    * if stopped before completion (FAILED status + lastError recorded —
+    * reference IndexingServiceImpl.java:67-83). */
+  def startIndexingPersisted(tableDir: String, snapshotId: Long = 1L,
+                             cfg: IndexWriter.Config = IndexWriter.Config(),
+                             groupSize: Int = 4,
+                             onGroupCommitted: Int => Unit = _ => ()): Boolean = {
+    if (!inFlight.compareAndSet(false, true)) return false
+    try {
+      cancel.set(false)
+      val gated =
+        if (corpus.columns.contains("code")) graft.corpus.Corpus.httpOk(corpus)
+        else corpus
+      synchronized { corpus = gated.cache() }
+      val t = InvertedIndex.build(indexedView(corpus))
+      val shards = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER) // encode once across groups
+      try {
+        val committed0 = TableIO.readCurrent(tableDir).map(_.committed).getOrElse(Set.empty)
+        val groups = (0 until cfg.nBuckets).filterNot(committed0).grouped(groupSize).toSeq
+        for (g <- groups) {
+          if (cancel.get()) {
+            // cooperative stop observed at a group boundary: committed
+            // buckets stay, FAILED status row records the abort
+            lastErr = "Indexing stopped by user"
+            TableIO.recordFailure(tableDir, snapshotId, clock(), lastErr)
+            return false
+          }
+          IndexWriter.write(
+            shards.filter(col("bucket").isin(g.map(x => x: Any): _*)),
+            tableDir, snapshotId, cfg, statusTime = clock())
+          // progress callback (status heartbeat analog; also lets tests
+          // drive a deterministic mid-build stopIndexing)
+          onGroupCommitted(g.size)
+        }
+        TableIO.writeMeta(tableDir, TableIO.IndexMeta(t.nDocs, t.avgDl))
+        indexStatusTime = clock()
+        lastErr = null
+        true
+      } finally {
+        shards.unpersist()
+        t.postings.unpersist(): Unit
+      }
+    } finally inFlight.set(false)
+  }
+
+  /** GET /api/stopIndexing: arm the cooperative stop flag. Returns false
+    * when no indexing run is in flight (the reference's "Индексация не
+    * запущена" error body, IndexingServiceImpl.java:67-71). */
+  def stopIndexing(): Boolean = {
+    if (!inFlight.get()) return false
+    cancel.set(true)
+    true
+  }
+
+  /** single-doc upsert (POST /api/indexPage): replace-by-doc_id in the
+    * corpus (lineage cut by localCheckpoint), then an O(page) delta batch
+    * through the LSM store — delete-only for gated error re-fetches,
+    * tokenize-and-merge otherwise. The full corpus is never re-tokenized. */
   def indexPage(doc: DataFrame): Boolean = synchronized {
     require(indexed, "index not built")
     // incoming docs get their integrity column recomputed (input_hint
@@ -76,8 +221,21 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
     val docOk =
       if (doc2.columns.contains("code")) graft.corpus.Corpus.httpOk(doc2) else doc2
     val ids = doc2.select("doc_id")
-    corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(docOk).cache()
-    tables = InvertedIndex.build(corpus)
+    // corpus replace over the PREVIOUS checkpoint's in-memory blocks + the
+    // new row(s); the eager localCheckpoint cuts lineage so the analyzed
+    // plan stays constant-size across unbounded repeated upserts
+    corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(docOk)
+      .localCheckpoint(true)
+    // O(page) index delta: docs whose re-fetch was gated out are deletions;
+    // the rest merge through the batch log (which itself removes their old
+    // postings via point-read + signed df deltas)
+    val delIds = ids.join(docOk.select("doc_id"), Seq("doc_id"), "left_anti")
+    if (!delIds.isEmpty) IncrementalIndex.deleteDocs(store, delIds)
+    if (!docOk.isEmpty) IncrementalIndex.mergeBatch(store, indexedView(docOk))
+    // bound read fan-in: fold the log once it grows past compactEvery
+    if (store.pointer.exists(p => p._1 - p._2 >= compactEvery))
+      IncrementalIndex.compactState(store, spark)
+    invalidateTables()
     true
   }
 
@@ -99,37 +257,38 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
 
   private def doSearch(query: String, site: Option[String],
                        offset: Int, limit: Int): SearchResponse = {
+    val t = tables
     // empty-after-analysis -> error (reference SearchServiceImpl.java:54-57)
     val qTerms = Analyzer.queryTerms("en", query)
     // (the reference's messages are Russian — "Задан пустой поисковый
     // запрос" / "Нет данных по словам: …" — kept in English here)
     if (qTerms.isEmpty)
       return SearchResponse(result = false, 0, Nil, "Empty search query")
-    val plan = QueryFrontend.plan(tables.termStats, "en", query)
+    val plan = QueryFrontend.plan(t.termStats, "en", query)
     if (plan.missing.nonEmpty)
       // reference sentinel row lists the missing words (SearcherPage.java:58-79)
       return SearchResponse(result = false, 0, Nil,
         s"No data for words: ${plan.missing.mkString(", ")}, ")
     if (plan.isEmpty) return SearchResponse(result = true, 0, Nil, null)
-    var rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
-        tables.nDocs, tables.avgDl, query, "en", site, limit, offset)
+    var rows = Search.search(corpus, t.postings, t.docStats, t.termStats,
+        t.nDocs, t.avgDl, query, "en", site, limit, offset)
       .collect()
     if (rows.isEmpty && offset > 0) {
       // reference quirk (SearchServiceImpl.java:101-118): an offset at or
       // past the end of the result list clamps to the LAST element rather
       // than returning an empty page
       val scoped = site match {
-        case Some(r) => tables.postings.join(
+        case Some(r) => t.postings.join(
           corpus.filter(col("repo") === r).select("doc_id"), Seq("doc_id"), "left_semi")
-        case None => tables.postings
+        case None => t.postings
       }
       val total = Search.conjunctive(scoped, plan.terms.map(_.term)).count()
       if (total > 0) {
         // Dataset.offset takes an Int; clamp so a >2^31-row match count
         // can't become a negative offset
         val lastOffset = math.min(total - 1, Int.MaxValue.toLong - 1).toInt
-        rows = Search.search(corpus, tables.postings, tables.docStats, tables.termStats,
-            tables.nDocs, tables.avgDl, query, "en", site, 1, lastOffset)
+        rows = Search.search(corpus, t.postings, t.docStats, t.termStats,
+            t.nDocs, t.avgDl, query, "en", site, 1, lastOffset)
           .collect()
       }
     }
@@ -143,10 +302,14 @@ class SearchEngine(spark: SparkSession, var corpus: DataFrame) {
 
   def statistics(): Statistics = {
     require(indexed, "index not built")
-    val rows = Stats.statistics(corpus).collect()
+    // lemma counts over the SAME view the index tokenized (coherence with
+    // indexedView); pages count over the stored corpus
+    val rows = Stats.statistics(indexedView(corpus)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val total = rows.find(_._1 == "ALL").getOrElse(("ALL", 0L, 0L))
-    val detailed = rows.filterNot(_._1 == "ALL").sortBy(_._1)
+    val detailed = rows.filterNot(_._1 == "ALL").sortBy(_._1).map { case (site, pages, lemmas) =>
+      DetailedItem(site, site, "INDEXED", indexStatusTime, lastErr, pages, lemmas)
+    }
     Statistics(detailed.length.toLong, total._2, total._3, detailed.toSeq)
   }
 }

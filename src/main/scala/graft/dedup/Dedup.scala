@@ -46,7 +46,7 @@ object Dedup {
     * drops ubiquitous shingles before the join — the standard candidate
     * prune that keeps the join linear-ish under Zipf skew. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        maxShingleDf: Long = 1000L): DataFrame = {
+                        maxShingleDf: Long = 1000L, eager: Boolean = true): DataFrame = {
     val sh = shingles(docs, n).cache()
     val kept = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
@@ -57,12 +57,13 @@ object Dedup {
     val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
     val inter = a.join(b, "shingle").filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+    finishAudit(out, eager, sh)
   }
 
   // ---------- MinHash + LSH -------------------------------------------
@@ -84,7 +85,7 @@ object Dedup {
     * shingle sets) then verifies ≥ threshold. Deterministic: same pairs in
     * any engine with the same hash family. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 2,
-                      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                      n: Int = 3, threshold: Double = 0.8, eager: Boolean = true): DataFrame = {
     // one cached shingle relation feeds BOTH the signatures and the
     // exact-Jaccard verification below
     val sh = shingles(docs, n).cache()
@@ -106,12 +107,13 @@ object Dedup {
       .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("shingle2")), "b_id")
       .filter(col("shingle") === col("shingle2"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+    finishAudit(out, eager, sh)
   }
 
   // ---------- SimHash --------------------------------------------------
@@ -149,7 +151,7 @@ object Dedup {
     * via 4-band exact-match (any band equal ⇒ candidate — covers all pairs
     * with ≤ 3 differing bits: 4 disjoint bands jointly covering all 62
     * bits, so ≤ 3 flipped bits leave ≥ 1 band identical). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, eager: Boolean = true): DataFrame = {
     val shs = simhash(docs).cache()
     // 4 bands of 16 bits (band 3 holds the top 14)
     val bandCols = (0 until 4).map(b =>
@@ -160,9 +162,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("x.simhash").as("ha"),
         col("y.doc_id").as("b_id"), col("y.simhash").as("hb")).distinct()
-    cand.withColumn("hamming", expr("bit_count(ha ^ hb)"))
+    val out = cand.withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
+    finishAudit(out, eager, shs)
   }
 
   // ---------- benchmark contamination ----------------------------------
@@ -173,30 +176,51 @@ object Dedup {
     * Inverted shingle join — never an all-pairs product; the benchmark side
     * is small by nature and broadcastable. */
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 3,
-                    threshold: Double = 0.0): DataFrame =
-    contaminationPairs(
+                    threshold: Double = 0.0, eager: Boolean = true): DataFrame = {
+    // cached: feeds BOTH the join and the per-doc size aggregate (the two
+    // sit on different exchanges, so ReuseExchange can't serve them)
+    val bs = shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle")).cache()
+    val out = contaminationPairs(
       shingles(train, n).select(col("doc_id").as("train_id"), col("shingle")),
-      // cached: feeds BOTH the join and the per-doc size aggregate (the two
-      // sit on different exchanges, so ReuseExchange can't serve them)
-      shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle")).cache(),
-      threshold)
+      bs, threshold)
+    finishAudit(out, eager, bs)
+  }
 
   /** contamination when train and bench are partitions of ONE corpus —
     * shingles are computed in a single cached pass and split by the
-    * predicate (a doc_id Column), instead of tokenizing the corpus twice. */
+    * predicate (a doc_id Column), instead of tokenizing the corpus twice.
+    * `eager = true` (default) materializes the (small) pair result via
+    * localCheckpoint and releases the shingle cache before returning — a
+    * long-lived session running many audits leaks no executor storage;
+    * `eager = false` returns the lazy plan (caller owns the cache). */
   def contaminationSplit(docs: DataFrame, isBench: Column, n: Int = 3,
-                         threshold: Double = 0.0): DataFrame = {
+                         threshold: Double = 0.0, eager: Boolean = true): DataFrame = {
     val sh = shingles(docs, n).cache()
-    contaminationPairs(
+    val out = contaminationPairs(
       sh.filter(!isBench).select(col("doc_id").as("train_id"), col("shingle")),
       sh.filter(isBench).select(col("doc_id").as("bench_id"), col("shingle")),
       threshold)
+    finishAudit(out, eager, sh)
   }
 
-  private def contaminationPairs(ts: DataFrame, bs: DataFrame,
-                                 threshold: Double): DataFrame = {
+  /** eager audit epilogue: pin the result (tiny vs its inputs), then drop
+    * the shingle caches the plan fed on — the caches must outlive the PLAN
+    * only until materialization, not the session. */
+  private def finishAudit(out: DataFrame, eager: Boolean,
+                          cached: DataFrame*): DataFrame =
+    if (!eager) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      cached.foreach(_.unpersist())
+      pinned
+    }
+
+  private[graft] def contaminationPairs(ts: DataFrame, bs: DataFrame,
+                                        threshold: Double): DataFrame = {
     val bsz = bs.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
-    ts.join(bs, "shingle")
+    // the bench side is small by nature — broadcast pins the physical plan
+    // (train shingles never shuffle) even when stats are stale
+    ts.join(broadcast(bs), "shingle")
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("overlap"))
       .join(bsz, "bench_id")
       .withColumn("contamination", col("overlap").cast("double") / col("bsz"))

@@ -116,7 +116,7 @@ object IndexWriter {
     */
   def write(shards: Dataset[ShardPosting], tableDir: String, snapshotId: Long,
             cfg: Config = Config(), resume: Boolean = true,
-            auditLineage: Boolean = false): TableIO.Manifest = {
+            auditLineage: Boolean = false, statusTime: Long = 0L): TableIO.Manifest = {
     val spark = shards.sparkSession
     val prev = if (resume) TableIO.readCurrent(tableDir) else None
     val committed = prev.map(_.committed).getOrElse(Set.empty)
@@ -162,7 +162,7 @@ object IndexWriter {
       .map(r => TableIO.PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     todo.unpersist()
     val all = (prev.map(_.partitions).getOrElse(Nil) ++ lineage).sortBy(_.partition)
-    val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all)
+    val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all, statusTime)
     TableIO.commit(tableDir, m)
     m
   }

@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
 
   /** Per-lang stop set as a Column CASE chain (constant-folded per branch).
-    * Corpora with a single effective stop set collapse to one branch. */
+    * Corpora with a single effective stop set collapse to one branch.
+    * `lang = "ru"` dispatches to the Cyrillic analyzer (the reference's
+    * actual domain: ё-fold + [а-яА-ЯёЁ ] class, Lemmatizator.java:1). */
   def termsForLang(text: Column, lang: Column): Column = {
     val allLangSets = Analyzer.codeStop
-    allLangSets.foldRight(Analyzer.termsCol(text, Analyzer.naturalStop)) {
+    val base = allLangSets.foldRight(Analyzer.termsCol(text, Analyzer.naturalStop)) {
       case ((l, stops), elseCol) =>
         when(lang === lit(l), Analyzer.termsCol(text, stops)).otherwise(elseCol)
     }
+    when(lang === lit("ru"), Analyzer.termsColRu(text)).otherwise(base)
   }
 
   /** Exploded token stream: (doc_id, repo, term). Column pruning keeps the

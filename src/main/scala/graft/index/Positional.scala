@@ -61,4 +61,41 @@ object Positional {
         row_number().over(Window.orderBy(desc("phrase_tf"), asc("doc_id"))).cast("long"))
       .select("rank", "doc_id", "phrase_tf")
   }
+
+  /** Ordered proximity ("phrase within slop"): a start position matches
+    * when term i occurs at some pos ∈ [start + i, start + i + slop] for
+    * EVERY i — slop = 0 degenerates to exact [[phraseMatches]]. Returns
+    * (doc_id, prox_tf = number of matching starts).
+    *
+    * Same relational shape as phrase: per (term i, occurrence pos) the
+    * candidate starts are pos − i − slop .. pos − i (a bounded slop+1
+    * explode), distinct per term INDEX (one term's several occurrences can
+    * land on the same start), then the count-k conjunctive filter on
+    * (doc, start). One shuffle on (doc, start); no per-doc arrays; hot
+    * terms shard exactly like the tf index. Starts may be negative (a
+    * window anchored before position 0) — consistent in both engines and
+    * harmless: each matching start still witnesses one proximity match. */
+  def proximityMatches(tokenPos: DataFrame, terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.nonEmpty && slop >= 0)
+    val k = terms.size
+    val shifted = terms.zipWithIndex.map { case (t, i) =>
+      tokenPos.filter(col("term") === t)
+        .select(col("doc_id"),
+          explode(sequence(col("pos") - i - slop, col("pos") - i)).as("start"),
+          lit(i).as("ti"))
+    }.reduce(_ unionByName _)
+    shifted.distinct()
+      .groupBy("doc_id", "start").agg(count(lit(1)).as("n"))
+      .filter(col("n") === k)
+      .groupBy("doc_id").agg(count(lit(1)).as("prox_tf"))
+  }
+
+  /** proximity top-k: most matching windows first, ties by doc_id asc */
+  def proximityTopK(tokenPos: DataFrame, terms: Seq[String], slop: Int, k: Int): DataFrame = {
+    val top = proximityMatches(tokenPos, terms, slop)
+      .orderBy(desc("prox_tf"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("prox_tf"), asc("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "prox_tf")
+  }
 }

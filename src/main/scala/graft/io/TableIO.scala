@@ -13,7 +13,11 @@ import scala.jdk.CollectionConverters._
 object TableIO {
 
   case class PartitionLineage(partition: Int, rows: Long, bytes: Long, hashAgg: Long)
-  case class Manifest(snapshotId: Long, parentId: Option[Long], partitions: Seq[PartitionLineage]) {
+  /** `statusTime` is a DRIVER-supplied commit timestamp (reference
+    * site.status_time, model/Site.java:26-30) — the engine itself stays
+    * wall-clock-free; 0 = not recorded (older manifests parse to 0). */
+  case class Manifest(snapshotId: Long, parentId: Option[Long],
+                      partitions: Seq[PartitionLineage], statusTime: Long = 0L) {
     def committed: Set[Int] = partitions.map(_.partition).toSet
   }
 
@@ -24,22 +28,56 @@ object TableIO {
     val parts = m.partitions.sortBy(_.partition).map(p =>
       s"""{"partition":${p.partition},"rows":${p.rows},"bytes":${p.bytes},"hashAgg":${p.hashAgg}}""")
       .mkString("[", ",", "]")
-    s"""{"snapshotId":${m.snapshotId},"parentId":${m.parentId.getOrElse(-1L)},"partitions":$parts}"""
+    s"""{"snapshotId":${m.snapshotId},"parentId":${m.parentId.getOrElse(-1L)},""" +
+      s""""statusTime":${m.statusTime},"partitions":$parts}"""
   }
 
   /** minimal JSON parse for our own render output (no deps available). */
   def parse(s: String): Manifest = {
-    def longField(src: String, name: String): Long = {
+    def longField(src: String, name: String, default: Option[Long] = None): Long = {
       val re = ("\"" + name + "\":(-?\\d+)").r
       re.findFirstMatchIn(src).map(_.group(1).toLong)
+        .orElse(default)
         .getOrElse(sys.error(s"manifest field $name missing"))
     }
-    val snapshotId = longField(s.takeWhile(_ != '['), "snapshotId")
-    val parentId = longField(s.takeWhile(_ != '['), "parentId")
+    val head = s.takeWhile(_ != '[')
+    val snapshotId = longField(head, "snapshotId")
+    val parentId = longField(head, "parentId")
+    val statusTime = longField(head, "statusTime", Some(0L)) // absent in old manifests
     val partRe = """\{"partition":(\d+),"rows":(\d+),"bytes":(\d+),"hashAgg":(-?\d+)\}""".r
     val parts = partRe.findAllMatchIn(s).map(m =>
       PartitionLineage(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
-    Manifest(snapshotId, if (parentId < 0) None else Some(parentId), parts)
+    Manifest(snapshotId, if (parentId < 0) None else Some(parentId), parts, statusTime)
+  }
+
+  // ---- run-failure records (reference site.last_error + FAILED status,
+  // model/Site.java:26-30; written by the DRIVER on abort — immutable rows,
+  // never in-place status mutation) --------------------------------------
+  case class FailureRecord(snapshotId: Long, statusTime: Long, error: String)
+
+  def recordFailure(tableDir: String, snapshotId: Long, statusTime: Long, error: String): Unit = {
+    Files.createDirectories(Paths.get(tableDir))
+    val esc = error.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ")
+    Files.writeString(Paths.get(tableDir, f"_failed_${snapshotId}%019d_$statusTime.json"),
+      s"""{"snapshotId":$snapshotId,"statusTime":$statusTime,"error":"$esc"}""")
+  }
+
+  def listFailures(tableDir: String): Seq[FailureRecord] = {
+    val d = Paths.get(tableDir)
+    if (!Files.exists(d)) return Nil
+    Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("_failed_") && n.endsWith(".json") => n }
+      .toSeq.sorted
+      .map { n =>
+        val s = Files.readString(d.resolve(n))
+        val id = """"snapshotId":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        val t = """"statusTime":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        val e = """"error":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).get.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        FailureRecord(id, t, e)
+      }
   }
 
   def readCurrent(tableDir: String): Option[Manifest] = {

@@ -31,20 +31,29 @@ object Stats {
     per.select("repo", "pages", "lemmas").union(total)
   }
 
+  /** `statusTime` (driver-supplied commit/abort timestamp) and `lastError`
+    * mirror the reference's site.status_time / site.last_error columns
+    * (model/Site.java:26-30, surfaced via DetailedStatisticsItem). */
   case class RunStatus(snapshotId: Long, status: String, partitions: Int,
-                       rows: Long, bytes: Long)
+                       rows: Long, bytes: Long, statusTime: Long, lastError: String)
 
   /** status rows from the snapshot history of an index table dir — the
-    * immutable replacement for the reference's in-place status updates. */
+    * immutable replacement for the reference's in-place status updates.
+    * FAILED rows come from the driver-written abort records
+    * (TableIO.recordFailure), with the error payload in `lastError`. */
   def runStatus(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val snaps = TableIO.listSnapshots(tableDir)
     val current = TableIO.readCurrent(tableDir).map(_.snapshotId)
-    snaps.flatMap(id => TableIO.readSnapshot(tableDir, id)).map { m =>
+    val ok = snaps.flatMap(id => TableIO.readSnapshot(tableDir, id)).map { m =>
       RunStatus(m.snapshotId,
         if (current.contains(m.snapshotId)) "INDEXED" else "SUPERSEDED",
-        m.partitions.size, m.partitions.map(_.rows).sum, m.partitions.map(_.bytes).sum)
-    }.toDF()
+        m.partitions.size, m.partitions.map(_.rows).sum, m.partitions.map(_.bytes).sum,
+        m.statusTime, null)
+    }
+    val failed = TableIO.listFailures(tableDir).map(f =>
+      RunStatus(f.snapshotId, "FAILED", 0, 0L, 0L, f.statusTime, f.error))
+    (ok ++ failed).toDF()
   }
 
   /** Skew telemetry over a written index (SURVEY.md §7.4-2 "verify no

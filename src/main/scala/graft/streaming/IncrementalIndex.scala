@@ -148,20 +148,27 @@ object IncrementalIndex {
   val isinThreshold = 10000
 
   /** merge one micro-batch of docs (doc_id, repo, lang, content) into the
-    * state — exactly what the foreachBatch closure runs. */
+    * state — exactly what the foreachBatch closure runs. A batch MAY carry
+    * a `seq` column (source offset / event timestamp): when present it
+    * orders within-batch last-writer-wins, matching the reference's
+    * delete+reindex latest-version semantics for sources that do carry
+    * ordering (the file stream's modification time, a Kafka offset). */
   def mergeBatch(store: ParquetStateStore, batch: DataFrame, streamId: Long = -1L): Unit = {
     if (streamId >= 0 && streamId <= store.lastStreamId) return // replay: already applied
     val spark = batch.sparkSession
     val batchId = store.nextBatch // storage id is ALWAYS store-allocated
-    // within-batch last-writer-wins is undefined (no sequence column), so a
-    // batch carrying several versions of one doc keeps ONE deterministic
-    // version — never a tf/dl union of versions no source ever held
-    // total order: sha alone ties when two versions differ only in lang/repo
-    // (which change tokenization) — the extra keys keep the pick replayable
+    // within-batch last-writer-wins: highest `seq` wins when the source
+    // carries one; the deterministic sha/lang/repo order is the tie-break
+    // (and the whole order when no seq exists), so a batch carrying several
+    // versions of one doc keeps ONE replayable version — never a tf/dl
+    // union of versions no source ever held
+    val orderCols =
+      (if (batch.columns.contains("seq")) Seq(col("seq").desc) else Nil) ++
+        Seq(sha2(col("content"), 256).desc, col("lang").desc, col("repo").desc)
     val oneVersion = batch.withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(sha2(col("content"), 256).desc, col("lang").desc, col("repo").desc)))
-      .filter(col("_rn") === 1).drop("_rn")
+          .orderBy(orderCols: _*)))
+      .filter(col("_rn") === 1).drop("_rn").drop("seq")
     val deltaPost = InvertedIndex.postings(InvertedIndex.tokens(oneVersion)).cache()
     val docIds = oneVersion.select("doc_id").distinct().cache()
     // df decrements from the replaced docs' OLD postings (point-read), df
@@ -234,4 +241,32 @@ object IncrementalIndex {
     * interleave freely with streaming batches and compaction. */
   def upsertDoc(state: ParquetStateStore, doc: DataFrame): Unit =
     mergeBatch(state, doc)
+
+  /** Remove `ids` (a doc_id DataFrame) from the live index — the
+    * reference's delete-without-reindex path (an error re-fetch REMOVES the
+    * old page and indexes nothing, IndexingServiceImpl.java:135-137 via
+    * :244-264). O(|ids| + touched postings): a doc_ids-only batch masks the
+    * docs' postings/doc_stats via last-writer-wins, and term_stats gets the
+    * signed negative deltas from a point-read of their OLD postings — the
+    * index is never rescanned. */
+  def deleteDocs(store: ParquetStateStore, ids: DataFrame): Unit = {
+    val spark = ids.sparkSession
+    val batchId = store.nextBatch
+    val docIds = ids.select("doc_id").distinct().cache()
+    val nIds = docIds.count()
+    if (nIds == 0) { docIds.unpersist(); return }
+    val removed =
+      if (store.latestBatch.isEmpty) None
+      else if (nIds <= isinThreshold) {
+        val idList = docIds.collect().map(_.getLong(0)).toSeq
+        postingsForDocs(store, spark, idList, batchId)
+      } else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
+    store.writeTable("doc_ids", docIds, batchId)
+    removed.foreach { old =>
+      store.writeTable("term_stats",
+        old.groupBy("term").agg((-count(lit(1))).as("ddf")), batchId)
+    }
+    store.commit(batchId)
+    docIds.unpersist(): Unit
+  }
 }

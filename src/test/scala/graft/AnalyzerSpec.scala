@@ -57,6 +57,37 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(got == List("data", "datum", "join", "table"))
   }
 
+  test("Russian branch: ё-fold + Cyrillic class + 1→N expansion mirror the reference exactly") {
+    import graft.analyze.DefaultLexicon.russian
+    // the reference golden VERBATIM (LemmatizatorTest.java:10-17):
+    // getLemss(["дом","вчатв"]) == ["дом","вчатва"]
+    assert(Analyzer.analyze("ru", "дом вчатв", russian) == Seq("дом", "вчатва"))
+    // getWordsFromText chain: ё→е fold, strip to [а-яА-ЯёЁ ], lowercase, split
+    assert(Analyzer.rawTokensRu("Привет, мир! 123 abc Ёлка-ёлка") ==
+      Seq("привет", "мир", "елка", "елка"))
+    // ambiguity preserved 1→N (luceneMorph semantics)
+    assert(Analyzer.normalForms("стали", russian) == Seq("сталь", "стать"))
+    assert(Analyzer.analyze("ru", "и банка в лесу", russian) ==
+      Seq("банк", "банка", "лесу")) // stops и/в dropped, банка expands
+    // tf counting shape of getLemmsInPage/counterWord
+    val counted = Analyzer.analyze("ru", "Дом дом и ёлка", russian)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(counted == Map("дом" -> 2, "елка" -> 1))
+  }
+
+  test("Russian Column form agrees with the pure form (incl. stop filter)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = Seq("Ёжик и дом; в лесу not-русский text123",
+      "Привет, мир! Ёлка", "", "только русский текст")
+    val got = samples.toDF("s")
+      .select(Analyzer.termsColRu(col("s")).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    val want = samples.map(s => Analyzer.rawTokensRu(s).filterNot(Analyzer.ruStop).toList)
+    assert(got.toList == want.toList)
+  }
+
   test("analyze is total: empty, whitespace, symbol-only input") {
     assert(Analyzer.analyze("en", "") == Nil)
     assert(Analyzer.analyze("en", "   \t\n") == Nil)

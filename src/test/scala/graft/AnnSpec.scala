@@ -93,4 +93,40 @@ class AnnSpec extends AnyFunSuite {
     Ann.ivfTopK(emb, queries, 5, 8, 3).collect()
       .filter(_.getInt(1) == 1).foreach(r => assert(r.getLong(0) == r.getLong(2)))
   }
+
+  test("IVF centroid loop on a hash sample: deterministic across runs AND partitionings, recall holds") {
+    // maxSample far below the table size forces the sampling path
+    val c1 = Ann.ivfCentroids(emb, 4, maxSample = 100)
+    val c2 = Ann.ivfCentroids(emb, 4, maxSample = 100)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "sampled centroids must be deterministic")
+    // the hash-permille sample is value-addressed: identical at any layout
+    val c3 = Ann.ivfCentroids(emb.repartition(7), 4, maxSample = 100)
+    assert(c1.map(_.toSeq).toSeq == c3.map(_.toSeq).toSeq, "sample must be partition-layout-independent")
+    // recall with sampled centroids stays reasonable (Lloyd's needs only
+    // representative statistics; assignment is still full-table)
+    val queries = Ann.fixedQueries(spark, emb, 5)
+    val brute = Ann.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Ann.ivfTopK(emb, queries, 5, nCentroids = 4, nprobe = 2, maxSample = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      ivf.getOrElse(q, Set.empty).intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recalls.sum / recalls.size >= 0.4, s"sampled-IVF recall too low: ${recalls.sum / recalls.size}")
+  }
+
+  test("deriveBits keeps expected bucket occupancy bounded as N grows") {
+    // the fixed bits=8 default was the scale flaw: 256 buckets forever
+    for ((n, target) <- Seq((500L, 4096L), (1000000L, 4096L), (10000000000L, 4096L),
+                            (1000000L, 1024L), (123L, 1L))) {
+      val bits = Ann.deriveBits(n, target)
+      assert(bits >= 8 && bits <= 32)
+      // 2^bits buckets keep expected occupancy <= target (until the 32-bit
+      // cap, where 4e9 buckets is already beyond any broadcastable probe set)
+      if (bits < 32) assert(n.toDouble / (1L << bits) <= target.toDouble,
+        s"n=$n target=$target bits=$bits occupancy=${n.toDouble / (1L << bits)}")
+    }
+    assert(Ann.deriveBits(10L * 1000 * 1000 * 1000, 4096) > 8,
+      "bucket count must grow with N")
+  }
 }

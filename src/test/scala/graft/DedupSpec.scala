@@ -116,6 +116,13 @@ class DedupSpec extends AnyFunSuite {
     val gotSplit = Dedup.contaminationSplit(all, col("doc_id") < 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
     assert(gotSplit == got)
+    // physical pin: the bench side is broadcast (train shingles never
+    // shuffle for the audit join, even with stale stats) — asserted on the
+    // lazy plan (eager=false; the default eagerly checkpoints + releases
+    // the shingle caches, which erases the plan)
+    val plan = Dedup.contaminationSplit(all, col("doc_id") < 10, eager = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bench side:\n$plan")
   }
 
   test("embedding cosine pairs: identical vectors cos=1, orthogonal excluded") {

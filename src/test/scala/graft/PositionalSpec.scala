@@ -44,6 +44,47 @@ class PositionalSpec extends AnyFunSuite {
     assert(got.toList == List((1L, 0L, 2L), (2L, 2L, 1L)))
   }
 
+  test("proximity: slop=0 equals exact phrase; slop admits bounded gaps") {
+    val tp = Positional.tokenPositions(docs)
+    val phrase = Positional.phraseMatches(tp, Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prox0 = Positional.proximityMatches(tp, Seq("spark", "join"), slop = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prox0 == phrase, s"slop=0 must equal exact phrase: $prox0 vs $phrase")
+    // slop=1 admits the one-token gap in doc 3 ("spark fast join")
+    val prox1 = Positional.proximityMatches(tp, Seq("spark", "join"), slop = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(prox1.contains(3L) && prox1.contains(0L) && prox1.contains(2L))
+    assert(!prox1.contains(1L), "reversed order must NOT match ordered proximity")
+  }
+
+  test("proximity matches a scalar oracle on a generated corpus (property)") {
+    val corpus = graft.corpus.Corpus.generateDistributed(spark, 120, 4)
+      .select(col("doc_id"), col("repo"), col("lang"), col("content"))
+    val terms = Seq("tok0", "tok2")
+    val slop = 2
+    // scalar oracle: brute-force window scan over the analyzed token seq
+    def scalarProx(tokens: Seq[String]): Long = {
+      val pos = tokens.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2.toLong)).toMap
+      val starts = for {
+        p0 <- pos.getOrElse(terms.head, Nil)
+        s <- (p0 - slop) to p0 // starts witnessed by term 0
+        if terms.zipWithIndex.forall { case (t, i) =>
+          pos.getOrElse(t, Nil).exists(p => p >= s + i && p <= s + i + slop)
+        }
+      } yield s
+      starts.distinct.size.toLong
+    }
+    val rows = corpus.collect()
+    val want = rows.map { r =>
+      val lang = r.getString(2)
+      r.getLong(0) -> scalarProx(graft.analyze.Analyzer.analyze(lang, r.getString(3)))
+    }.filter(_._2 > 0).toMap
+    val got = Positional.proximityMatches(Positional.tokenPositions(corpus), terms, slop)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("splits: deterministic, Column == scalar, proportions roughly 80/10/10") {
     val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
     val got = Splits.assign(ids).collect()

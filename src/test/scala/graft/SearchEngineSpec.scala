@@ -56,11 +56,13 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(a eq b) // cache hit returns the identical response instance
   }
 
-  test("statistics mirrors TotalStatistics + detailed items") {
+  test("statistics mirrors TotalStatistics + detailed items incl. status/statusTime/error") {
     val s = engine.statistics()
     assert(s.sites == 20 && s.pages == 500)
-    assert(s.detailed.map(_._2).sum == s.pages)
+    assert(s.detailed.map(_.pages).sum == s.pages)
     assert(s.lemmas > 0)
+    // DetailedStatisticsItem parity: status + heartbeat timestamp + error payload
+    assert(s.detailed.forall(d => d.status == "INDEXED" && d.statusTime > 0 && d.error == null))
   }
 
   test("HTTP-status gate: error pages never enter the index (code > 299)") {
@@ -104,5 +106,104 @@ class SearchEngineSpec extends AnyFunSuite {
     val dupAfter = e.search("dup", limit = 100)
     assert(dupAfter.count == before.count + 1 ||
       before.data.exists(_.uri == "doc/0") && dupAfter.count == before.count)
+  }
+
+  test("indexPage is O(page): delta batch carries only the doc; no corpus rescan; plan size stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = freshEngine()
+    def up(id: Long, content: String): Unit = {
+      val doc = Seq((id, "src0", s"doc/$id", "0" * 40, "en", content))
+        .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+      assert(e.indexPage(doc))
+    }
+    up(1L, "alphaone betaone gammaone alphaone")
+    // the newest LSM batch holds ONLY this doc's postings (3 distinct terms)
+    val latest = e.store.latestBatch.get
+    val delta = spark.read.parquet(s"${e.store.dir}/postings/batch=$latest")
+    assert(delta.count() == 3)
+    assert(delta.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // repeated upserts must not grow the analyzed corpus plan
+    // (localCheckpoint cuts lineage; the old .cache() chain grew per call)
+    up(2L, "deltaone epsilonone")
+    val nodes2 = e.corpus.queryExecution.analyzed.collect { case p => p }.size
+    up(3L, "zetaone etaone")
+    up(4L, "thetaone iotaone")
+    val nodes4 = e.corpus.queryExecution.analyzed.collect { case p => p }.size
+    assert(nodes4 == nodes2, s"corpus plan grew across upserts: $nodes2 -> $nodes4")
+    // live tables reconstruct from the LSM batch log, never from a corpus
+    // re-tokenization: the postings plan reads state parquet only
+    val postPlan = e.tables.postings.queryExecution.executedPlan.toString
+    assert(!postPlan.contains("documents.parquet"),
+      "postings plan must not scan the corpus source")
+    // and the merged content is searchable with correct stats
+    val r = e.search("epsilonone", limit = 5)
+    assert(r.result && r.count == 1 && r.data.head.uri == "doc/2")
+    assert(e.statistics().pages == 500) // 4 replaced docs, none added
+  }
+
+  test("HTML corpus facade coherence: markup never indexed, body searchable, <title> used") {
+    import spark.implicits._
+    val c = Seq(
+      (0L, "site0", "doc/0", "0" * 40, "en",
+        "<html><head><title>Greeting Page</title><style>body { colorvalue: red; }</style></head>" +
+          "<body><p>hello zanzibar world</p><script>var scriptsecret = 1;</script></body></html>"),
+      (1L, "site0", "doc/1", "0" * 40, "en", "plain text document mentioning zanzibar too"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    val e = new SearchEngine(spark, c)
+    assert(e.startIndexing())
+    // script/style/tag tokens must NOT be indexed (extract-then-lemmatize,
+    // matching the reference's Jsoup text() before Lemmatizator)
+    assert(!e.search("scriptsecret").result)
+    assert(!e.search("colorvalue").result)
+    // body text IS searchable; title from <title>; snippet highlights the
+    // extracted text — decoration coherent with what was indexed
+    val r = e.search("zanzibar", limit = 5)
+    assert(r.result && r.count == 2)
+    val hit0 = r.data.find(_.uri == "doc/0").get
+    assert(hit0.title == "Greeting Page")
+    assert(hit0.snippet.contains("<b>zanzibar</b>"))
+    assert(!hit0.snippet.contains("scriptsecret"))
+    // a plain-text doc keeps path-as-title
+    assert(r.data.find(_.uri == "doc/1").get.title == "doc/1")
+  }
+
+  test("stopIndexing: abort mid persisted build -> FAILED status; restart resumes byte-identically") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val cfg = graft.index.IndexWriter.Config(docsPerShard = 64, nBuckets = 8)
+    def fingerprint(dir: String): Map[(String, Int), Long] =
+      spark.read.parquet(s"$dir/data")
+        .select(col("term"), col("shard"), xxhash64(col("term"), col("shard"), col("bytes")).as("h"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    // uninterrupted reference build
+    val refDir = Files.createTempDirectory("graft-api-ref").toString
+    assert(new SearchEngine(spark, corpus).startIndexingPersisted(refDir, 1L, cfg, groupSize = 2))
+    // interrupted build: the PUBLIC stopIndexing() is driven after the
+    // first committed group; the next group boundary observes it
+    val dir = Files.createTempDirectory("graft-api-stop").toString
+    val e = new SearchEngine(spark, corpus)
+    assert(!e.stopIndexing()) // nothing in flight yet -> reference error body
+    var stopped = false
+    val ok = e.startIndexingPersisted(dir, 1L, cfg, groupSize = 2,
+      onGroupCommitted = _ => if (!stopped) { stopped = true; assert(e.stopIndexing()) })
+    assert(!ok, "build must report stopped")
+    val committed = graft.io.TableIO.readCurrent(dir).get.committed
+    assert(committed.nonEmpty && committed.size < cfg.nBuckets,
+      s"stop must land mid-build: $committed")
+    // FAILED row with the error payload is visible in the status surface
+    val failedRows = graft.stats.Stats.runStatus(spark, dir).collect()
+      .filter(_.getAs[String]("status") == "FAILED")
+    assert(failedRows.nonEmpty)
+    assert(failedRows.head.getAs[String]("lastError").contains("stopped by user"))
+    assert(failedRows.head.getAs[Long]("statusTime") > 0)
+    // restart resumes the remaining buckets -> identical to uninterrupted
+    assert(e.startIndexingPersisted(dir, 2L, cfg, groupSize = 2))
+    assert(fingerprint(dir) == fingerprint(refDir))
+    val mGot = graft.io.TableIO.readCurrent(dir).get
+    val mRef = graft.io.TableIO.readCurrent(refDir).get
+    assert(mGot.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap ==
+      mRef.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap)
   }
 }

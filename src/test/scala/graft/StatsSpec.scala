@@ -34,10 +34,23 @@ class StatsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st1 == Map(1L -> "INDEXED"))
     assert(!Stats.indexingInFlight(dir))
-    IndexWriter.write(shards, dir, 2L, cfg)
+    IndexWriter.write(shards, dir, 2L, cfg, statusTime = 1723900000000L)
     val st2 = Stats.runStatus(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st2 == Map(1L -> "SUPERSEDED", 2L -> "INDEXED"))
+    // statusTime recorded at commit is surfaced per run (site.status_time)
+    val byId = Stats.runStatus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("statusTime")).toMap
+    assert(byId(2L) == 1723900000000L && byId(1L) == 0L)
+    // a driver-recorded abort shows as FAILED with the error payload
+    // (site.last_error, model/Site.java:26-30)
+    graft.io.TableIO.recordFailure(dir, 3L, 1723900000001L, "boom: executor lost")
+    val failed = Stats.runStatus(spark, dir).collect()
+      .filter(_.getAs[String]("status") == "FAILED")
+    assert(failed.length == 1)
+    assert(failed.head.getLong(0) == 3L)
+    assert(failed.head.getAs[String]("lastError") == "boom: executor lost")
+    assert(failed.head.getAs[Long]("statusTime") == 1723900000001L)
   }
 
   test("skew report: per-bucket blob metrics over a written index") {

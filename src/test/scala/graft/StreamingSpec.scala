@@ -150,6 +150,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(postSet(store2) == postSet(store))
   }
 
+  test("a seq column orders within-batch last-writer-wins (latest version kept)") {
+    import spark.implicits._
+    // two sequential updates of doc 0 in ONE micro-batch: the higher seq
+    // must win (reference delete+reindex last-write-wins), regardless of
+    // the sha tie-break order
+    for (swap <- Seq(false, true)) {
+      val rows = Seq((0L, "r", "en", "older version one", 1L),
+                     (0L, "r", "en", "newest version two", 2L))
+      val b = (if (swap) rows.reverse else rows)
+        .toDF("doc_id", "repo", "lang", "content", "seq")
+      val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+      IncrementalIndex.mergeBatch(store, b)
+      val terms = postSet(store).map(_._2)
+      assert(terms == Set("newest", "version", "two"), s"swap=$swap kept: $terms")
+    }
+  }
+
+  test("deleteDocs removes a doc O(page): postings masked, df decremented, no index rescan") {
+    import spark.implicits._
+    val store = new ParquetStateStore(Files.createTempDirectory("graft-stream").toString)
+    IncrementalIndex.mergeBatch(store,
+      docsDf((0L, "r0", "en", "spark join"), (1L, "r0", "en", "spark filter")))
+    IncrementalIndex.deleteDocs(store, Seq(0L).toDF("doc_id"))
+    assert(postSet(store).map(_._1) == Set(1L))
+    assert(dfMap(store) == Map("spark" -> 1L, "filter" -> 1L)) // join dropped to 0 -> absent
+    // doc_stats row gone too
+    val ds = IncrementalIndex.readDocStats(store, spark).get.collect().map(_.getLong(0)).toSet
+    assert(ds == Set(1L))
+    // the delete batch wrote only the ids + signed term deltas — postings
+    // dir for that batch must not exist (no index rewrite)
+    val latest = store.latestBatch.get
+    assert(!Files.exists(java.nio.file.Paths.get(s"${store.dir}/postings/batch=$latest")))
+    // deleting an absent doc is a no-op that stays consistent
+    IncrementalIndex.deleteDocs(store, Seq(99L).toDF("doc_id"))
+    assert(postSet(store).map(_._1) == Set(1L))
+    assert(dfMap(store) == Map("spark" -> 1L, "filter" -> 1L))
+  }
+
   test("end-to-end Structured Streaming: file source -> foreachBatch -> queryable state") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$dir/incoming"
