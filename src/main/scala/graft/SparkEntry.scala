@@ -342,6 +342,10 @@ object SparkEntry {
     "split_assign" -> ((s, dir) => {
       graft.pipeline.Splits.assign(Corpus.fromDocuments(s, dir))
     }),
+    // one-plan curation: quality gate → exact-dedup keep → hash split
+    "pipeline_curate" -> ((s, dir) => {
+      graft.pipeline.Curation.curate(Corpus.fromDocuments(s, dir))
+    }),
     // benchmark-contamination audit: bench set = doc_id < 20 stand-in
     // (single-pass split variant: one shingle computation for both sides)
     "dedup_contamination" -> ((s, dir) => {
@@ -600,6 +604,23 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
          |      FROM documents)""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH q AS (SELECT doc_id, text,
+         |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+         |  CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+         |    ELSE 0.0 END AS alnum
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_tokens, text FROM q WHERE n_tokens >= 30 AND alnum >= 0.7),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY sha256(text)),
+         |k AS (SELECT g.doc_id, g.n_tokens FROM g JOIN keep USING (doc_id)),
+         |b AS (SELECT doc_id, n_tokens,
+         |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
+         |      FROM k)
+         |SELECT doc_id, n_tokens, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     "dedup_contamination" ->
       s"""WITH ${shinglesCte},
          |bs AS (SELECT doc_id AS bench_id, shingle FROM shd WHERE doc_id < 20),

@@ -25,9 +25,13 @@ object Ann {
   /** exact cosine top-k per query vector. `queries` columns:
     * (query_id: long, qv: array<double>). */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms once per vector/query (not per scored pair): the per-pair work
+    // is a single dot fold — bit-identical values (Dedup.cosinePre)
     val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val scored = e.join(broadcast(queries))
-      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("nrm", Dedup.normCol(col("v")))
+    val scored = e.join(broadcast(queries.withColumn("qnrm", Dedup.normCol(col("qv")))))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -71,17 +75,20 @@ object Ann {
     val nBits = if (bits > 0) bits else deriveBits(emb.count())
     val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("bucket", bucketCol(col("v"), dim, nBits))
+      .withColumn("nrm", Dedup.normCol(col("v")))
     val qb = queries.withColumn("qbucket", bucketCol(col("qv"), dim, nBits))
+      .withColumn("qnrm", Dedup.normCol(col("qv")))
     // multiprobe: expand each query to its bucket + all single-bit flips
     val probes: Seq[org.apache.spark.sql.Column] = lit(0L) +:
-      (if (probeHamming >= 1) (0 until bits).map(b => lit(1L << b)) else Nil)
-    val qprobed = qb.select(col("query_id"), col("qv"),
+      (if (probeHamming >= 1) (0 until nBits).map(b => lit(1L << b)) else Nil)
+    val qprobed = qb.select(col("query_id"), col("qv"), col("qnrm"),
       explode(array(probes.map(p => col("qbucket").bitwiseXOR(p)): _*)).as("bucket"))
     // dedup candidate pairs BEFORE scoring: a vector reachable through
     // several probe buckets must pay the 64-dim cosine only once
     val scored = e.join(broadcast(qprobed), "bucket")
       .dropDuplicates("query_id", "vec_id")
-      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -186,9 +193,12 @@ object Ann {
     })
     val e = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("bucket", assignUdf(col("v")))
-    val qprobed = queries.withColumn("bucket", explode(probeUdf(col("qv"))))
+      .withColumn("nrm", Dedup.normCol(col("v")))
+    val qprobed = queries.withColumn("qnrm", Dedup.normCol(col("qv")))
+      .withColumn("bucket", explode(probeUdf(col("qv"))))
     val scored = e.join(broadcast(qprobed), "bucket")
-      .select(col("query_id"), col("vec_id"), Dedup.cosine(col("qv"), col("v")).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -56,6 +56,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0L) != got(1L)) // order matters
   }
 
+  test("curation: quality gate + exact-dedup keep + stable split in one plan") {
+    import spark.implicits._
+    val longDoc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (0L, longDoc),                       // passes; canonical of the dup pair
+      (1L, "too short"),                   // fails minTokens
+      (2L, longDoc),                       // exact dup of 0 -> dropped
+      (3L, (1 to 40).map(_ => "!!!").mkString(" ")), // fails alnum ratio
+      (4L, (1 to 35).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "content")
+    val got = graft.pipeline.Curation.curate(d, minTokens = 30, minAlnumRatio = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.keySet == Set(0L, 4L), s"survivors: ${got.keySet}")
+    assert(got(0L)._1 == 40L && got(4L)._1 == 35L)
+    // split agrees with the standalone Splits assignment (stable composition)
+    got.foreach { case (id, (_, bucket, split)) =>
+      assert(bucket == graft.pipeline.Splits.bucketS(id))
+      val want = if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(split == want)
+    }
+  }
+
   test("mixer family: distinct, in-range, deterministic") {
     val ms = (0 until 64).map(TextHash.mixer)
     assert(ms.distinct.size == 64)
