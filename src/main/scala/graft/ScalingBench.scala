@@ -59,7 +59,13 @@ object ScalingBench {
       // warmup rep amortizes JIT + parquet footer caching; best-of-reps
       // is reported (steady-state throughput, what a cluster would see)
       val runs = (0 to reps).map { _ =>
-        val dir = java.nio.file.Files.createTempDirectory(s"graft-scale-$cores").toString
+        // index OUTPUT on tmpfs for the same reason the shuffle is: all
+        // executors share ONE virtual disk in this sandbox, so a disk-bound
+        // write is a fixed serial cost that can't scale with executors —
+        // a real cluster writes to per-node NVMe / distributed storage
+        // whose aggregate bandwidth grows with the node count
+        val dir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), s"graft-scale-$cores").toString
         val (n, sec) = Bench.buildIndex(spark, sfDir, dir)
         Bench.deleteRec(new java.io.File(dir))
         (n, sec)

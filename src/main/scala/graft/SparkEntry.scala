@@ -328,6 +328,18 @@ object SparkEntry {
       InvertedIndex.postings(InvertedIndex.tokens(c, DefaultLexicon.russian))
         .select("doc_id", "term", "tf")
     }),
+    // Prefix (wildcard) term expansion over the dictionary — pushed
+    // StringStartsWith range probe, fan-out capped
+    "ft_prefix" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      QueryFrontend.prefixTerms(t.termStats, "sp")
+    }),
+    // Fuzzy term match (edit distance <= 1) via SymSpell deletion-
+    // neighborhood equi-join + levenshtein verify on candidates only
+    "ft_fuzzy" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      QueryFrontend.fuzzyTerms(t.termStats, "sprk")
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -588,6 +600,11 @@ object SparkEntry {
          |FROM tp GROUP BY doc_id, term""".stripMargin,
     "ft_phrase" -> phraseSql(q2, 10),
     "ft_proximity" -> proximitySql(q2, 2, 10),
+    "ft_prefix" ->
+      s"""WITH ${termsCte}, ${tstatsCte}
+         |SELECT term, df FROM tstats WHERE term LIKE 'sp%'
+         |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+    "ft_fuzzy" -> fuzzySql("sprk", 1),
     "ft_postings_ru" ->
       s"""WITH ru AS (SELECT doc_id, $ruWrapSql AS rtext FROM documents),
          |rt AS (SELECT doc_id, unnest(${Analyzer.sqlTokensRu("rtext")}) AS term FROM ru),
@@ -815,6 +832,25 @@ object SparkEntry {
        |  SELECT row_number() OVER (ORDER BY prox_tf DESC, doc_id ASC) AS rank,
        |         doc_id, prox_tf
        |  FROM ph) WHERE rank <= $k""".stripMargin
+  }
+
+  /** SymSpell deletion-neighborhood fuzzy twin: dictionary variants via a
+    * 1-deletion list comprehension, query variants inlined, candidates by
+    * equi-join, exact levenshtein verify — mirrors QueryFrontend.fuzzyTerms */
+  private def fuzzySql(query: String, maxDist: Int): String = {
+    val qVariants = (query +: query.indices.map(i =>
+      query.substring(0, i) + query.substring(i + 1))).distinct
+    val qvArr = qVariants.map(v => s"'$v'").mkString(", ")
+    s"""WITH ${termsCte}, ${tstatsCte},
+       |v AS (SELECT term, df, unnest(list_prepend(term,
+       |        list_transform(range(1, length(term) + 1),
+       |          i -> substring(term, 1, CAST(i - 1 AS INTEGER)) ||
+       |               substring(term, CAST(i + 1 AS INTEGER))))) AS variant
+       |      FROM tstats),
+       |qv AS (SELECT unnest(ARRAY[$qvArr]) AS variant),
+       |cand AS (SELECT DISTINCT term, df FROM v JOIN qv USING (variant))
+       |SELECT term, df, CAST(levenshtein(term, '$query') AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(term, '$query') <= $maxDist""".stripMargin
   }
 
   // ---- Russian corpus wrap + lexicon twins -----------------------------

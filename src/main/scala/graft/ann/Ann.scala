@@ -115,12 +115,17 @@ object Ann {
     val spark = emb.sparkSession
     import spark.implicits._
     val all = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val n = all.count()
+    // bare-source count (parquet metadata-fast), not over the projection
+    val n = emb.count()
     val permille = if (n <= maxSample) 1000L else math.max(1L, maxSample * 1000L / n)
     val e = (if (permille >= 1000L) all
              else all.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(permille)))
       .as[(Long, Seq[Double])].cache()
-    var centroids = e.orderBy(col("vec_id")).limit(k).collect().sortBy(_._1).map(_._2.toArray)
+    // init = k lowest vec_ids of the loop input; the full-fraction path
+    // keeps the cheap pushed-down range filter (dense ids from 0)
+    var centroids =
+      if (permille >= 1000L) e.filter(col("vec_id") < k).collect().sortBy(_._1).map(_._2.toArray)
+      else e.orderBy(col("vec_id")).limit(k).collect().sortBy(_._1).map(_._2.toArray)
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val assigned = e.map { case (id, v) =>

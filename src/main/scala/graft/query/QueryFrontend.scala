@@ -49,6 +49,46 @@ object QueryFrontend {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Prefix (wildcard `pre*`) term expansion over the dictionary: the
+    * standard fulltext prefix query. A `startsWith` predicate compiles to a
+    * parquet `StringStartsWith` pushed filter — on a term-sorted dictionary
+    * this is a range scan, never a full vocabulary pass. Returns matching
+    * (term, df) ordered df desc, term asc, capped at `maxExpand` (bounded
+    * fan-out: a hot prefix cannot explode the downstream disjunction). */
+  def prefixTerms(termStats: DataFrame, prefix: String, maxExpand: Int = 50): DataFrame = {
+    require(prefix.nonEmpty)
+    termStats.filter(col("term").startsWith(prefix))
+      .select("term", "df")
+      .orderBy(desc("df"), asc("term")).limit(maxExpand)
+  }
+
+  /** Fuzzy term match (edit distance ≤ `maxDist`, default 1) via the
+    * SymSpell deletion-neighborhood: candidates are dictionary terms whose
+    * single-deletion variant set intersects the query's variant set — an
+    * EQUI-join on a compact key (never a cross-join Levenshtein over the
+    * vocabulary), then the exact `levenshtein` verify runs on candidates
+    * only. One deletion per side covers every distance-1 edit (insert /
+    * delete / substitute). Dict-side variants are |term|+1 rows per
+    * dictionary term — bounded by the VOCABULARY, not the corpus; at scale
+    * the variant relation is materialized once per index build.
+    * Output: (term, df, dist), dist asc → df desc → term asc. */
+  def fuzzyTerms(termStats: DataFrame, query: String, maxDist: Int = 1): DataFrame = {
+    require(query.nonEmpty)
+    // i = 0 keeps the term itself; i = k (1-based) deletes char k
+    val variants = expr(
+      "transform(sequence(0, length(term)), i -> " +
+        "case when i = 0 then term else concat(substr(term, 1, i - 1), substr(term, i + 1)) end)")
+    val qVariants = (query +: query.indices.map(i =>
+      query.substring(0, i) + query.substring(i + 1))).distinct
+    termStats
+      .select(col("term"), col("df"), explode(variants).as("variant"))
+      .filter(col("variant").isin(qVariants.map(x => x: Any): _*))
+      .select("term", "df").distinct()
+      .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(asc("dist"), desc("df"), asc("term"))
+  }
+
   def plan(termStats: DataFrame, lang: String, query: String,
            lexicon: Analyzer.Lexicon = Analyzer.emptyLexicon,
            pruneCoef: Int = 2): Plan = {

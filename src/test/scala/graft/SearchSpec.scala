@@ -160,6 +160,42 @@ class SearchSpec extends AnyFunSuite {
     assert(got2 == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("prefix expansion: range-probe semantics, ordered, fan-out capped") {
+    import spark.implicits._
+    val ts = Seq(("spark", 40L), ("spars", 10L), ("split", 40L), ("span", 5L), ("query", 9L))
+      .toDF("term", "df")
+    val got = QueryFrontend.prefixTerms(ts, "sp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // df desc, term asc; 'split' excluded? no — starts with 'sp' too
+    assert(got == List(("spark", 40L), ("split", 40L), ("spars", 10L), ("span", 5L)))
+    assert(QueryFrontend.prefixTerms(ts, "sp", maxExpand = 2)
+      .collect().map(_.getString(0)).toList == List("spark", "split"))
+    assert(QueryFrontend.prefixTerms(ts, "z").count() == 0)
+  }
+
+  test("fuzzy match: deletion-neighborhood candidates == brute-force levenshtein <= 1") {
+    import spark.implicits._
+    val dict = Seq("spark", "spars", "park", "sparkle", "stark", "spar", "join", "sprk")
+    val ts = dict.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }.toDF("term", "df")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (q <- Seq("sprk", "spark", "prak")) {
+      val got = QueryFrontend.fuzzyTerms(ts, q).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      // 1-deletion-per-side neighborhoods cover EVERY distance-1 edit
+      val want = dict.map(t => t -> lev(t, q).toLong).filter(_._2 <= 1).toMap
+      assert(got == want, s"query '$q': got $got want $want")
+    }
+    // ordering: dist asc, df desc, term asc
+    val ordered = QueryFrontend.fuzzyTerms(ts, "sprk").collect().map(_.getString(0)).toList
+    assert(ordered.head == "sprk") // exact hit first (dist 0)
+  }
+
   test("adding a non-matching doc never changes top-k (stability property)") {
     val base = (0 until 60).map(i =>
       Oracle.Doc(i.toLong, "r", "en", if (i % 3 == 0) s"alpha beta gamma x$i" else s"alpha delta x$i"))
