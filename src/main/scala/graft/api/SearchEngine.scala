@@ -240,38 +240,41 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
   }
 
   // 60s TTL result cache (reference: SearchServiceImpl.outdated)
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Option[String], Int, Int), (Long, SearchResponse)]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Option[String], Int, Int, String), (Long, SearchResponse)]()
   val cacheTtlMs = 60000L
 
+  /** `lang` picks the query-analysis branch (stoplist/normalizer — "ru"
+    * routes through the Cyrillic chain) and must match how the corpus was
+    * tokenized, exactly like Search.search's contract. */
   def search(query: String, site: Option[String] = None,
-             offset: Int = 0, limit: Int = 20): SearchResponse = {
+             offset: Int = 0, limit: Int = 20, lang: String = "en"): SearchResponse = {
     require(indexed, "index not built")
-    val key = (query, site, offset, limit)
+    val key = (query, site, offset, limit, lang)
     val now = System.currentTimeMillis()
     val hit = cache.get(key)
     if (hit != null && now - hit._1 < cacheTtlMs) return hit._2
-    val resp = doSearch(query, site, offset, limit)
+    val resp = doSearch(query, site, offset, limit, lang)
     cache.put(key, (now, resp))
     resp
   }
 
   private def doSearch(query: String, site: Option[String],
-                       offset: Int, limit: Int): SearchResponse = {
+                       offset: Int, limit: Int, lang: String): SearchResponse = {
     val t = tables
     // empty-after-analysis -> error (reference SearchServiceImpl.java:54-57)
-    val qTerms = Analyzer.queryTerms("en", query)
+    val qTerms = Analyzer.queryTerms(lang, query)
     // (the reference's messages are Russian — "Задан пустой поисковый
     // запрос" / "Нет данных по словам: …" — kept in English here)
     if (qTerms.isEmpty)
       return SearchResponse(result = false, 0, Nil, "Empty search query")
-    val plan = QueryFrontend.plan(t.termStats, "en", query)
+    val plan = QueryFrontend.plan(t.termStats, lang, query)
     if (plan.missing.nonEmpty)
       // reference sentinel row lists the missing words (SearcherPage.java:58-79)
       return SearchResponse(result = false, 0, Nil,
         s"No data for words: ${plan.missing.mkString(", ")}, ")
     if (plan.isEmpty) return SearchResponse(result = true, 0, Nil, null)
     var rows = Search.search(corpus, t.postings, t.docStats, t.termStats,
-        t.nDocs, t.avgDl, query, "en", site, limit, offset)
+        t.nDocs, t.avgDl, query, lang, site, limit, offset)
       .collect()
     if (rows.isEmpty && offset > 0) {
       // reference quirk (SearchServiceImpl.java:101-118): an offset at or
@@ -288,7 +291,7 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
         // can't become a negative offset
         val lastOffset = math.min(total - 1, Int.MaxValue.toLong - 1).toInt
         rows = Search.search(corpus, t.postings, t.docStats, t.termStats,
-            t.nDocs, t.avgDl, query, "en", site, 1, lastOffset)
+            t.nDocs, t.avgDl, query, lang, site, 1, lastOffset)
           .collect()
       }
     }

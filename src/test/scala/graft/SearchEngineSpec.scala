@@ -168,6 +168,26 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(r.data.find(_.uri == "doc/1").get.title == "doc/1")
   }
 
+  test("lang=ru search end-to-end through the facade (Cyrillic analyzer branch)") {
+    import spark.implicits._
+    val c = Seq(
+      (0L, "ru0", "doc/0", "0" * 40, "ru", "Ёлка и дом стоят в лесу"),
+      (1L, "ru0", "doc/1", "0" * 40, "ru", "дом у реки"),
+      (2L, "ru0", "doc/2", "0" * 40, "ru", "только лес"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    val e = new SearchEngine(spark, c)
+    assert(e.startIndexing())
+    val r = e.search("дом", lang = "ru", limit = 10)
+    assert(r.result && r.count == 2, s"got $r")
+    assert(r.data.map(_.uri).toSet == Set("doc/0", "doc/1"))
+    assert(r.data.forall(_.snippet.contains("<b>дом</b>")))
+    // ё-fold: a query spelled with ё matches the indexed fold
+    val r2 = e.search("ёлка", lang = "ru", limit = 10)
+    assert(r2.result && r2.count == 1 && r2.data.head.uri == "doc/0")
+    // ru stopword-only query -> empty-query error, as the reference
+    assert(!e.search("и в на", lang = "ru").result)
+  }
+
   test("stopIndexing: abort mid persisted build -> FAILED status; restart resumes byte-identically") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
