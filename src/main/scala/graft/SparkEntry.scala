@@ -182,6 +182,19 @@ object SparkEntry {
           !col("path").contains("#"))
         .select("doc_id", "path")
     }),
+    // F3: year-sanity predicate on crawl links (reference dontCrazyYear,
+    // ParserForkJoinAction.java:80-92) — deterministic synthetic query
+    // strings over the corpus paths; nowYear injected (2026), no wall clock
+    "ft_year_filter" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val link = concat(col("path"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?p=1&year="), (lit(2020) + col("doc_id") % 12).cast("string")))
+          .when(col("doc_id") % 7 === 0, lit("?q=x"))
+          .otherwise(lit("")))
+      c.select(col("doc_id"), link.as("link"))
+        .filter(graft.corpus.Crawl.yearSane(col("link"), nowYear = 2026))
+    }),
     // O3: pagination — second page (offset 10, limit 10) of the BM25 ranking
     "ft_bm25_page2" -> ((s, dir) => {
       val (_, t) = index(s, dir)
@@ -513,6 +526,17 @@ object SparkEntry {
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
+    "ft_year_filter" ->
+      """WITH links AS (
+        |  SELECT doc_id, 'doc/' || doc_id ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?p=1&year=' || CAST(2020 + doc_id % 12 AS VARCHAR)
+        |         WHEN doc_id % 7 = 0 THEN '?q=x'
+        |         ELSE '' END AS link
+        |  FROM documents)
+        |SELECT doc_id, link FROM links
+        |WHERE CASE WHEN NOT regexp_matches(link, '^.+\?.+year=\d{4}') THEN true
+        |           ELSE CAST(regexp_extract(link, 'year=(\d{4})', 1) AS INT) BETWEEN 2025 AND 2027
+        |      END""".stripMargin,
     "ft_valid_paths" ->
       """SELECT doc_id, 'doc/' || doc_id AS path FROM documents
         |WHERE NOT regexp_matches('doc/' || doc_id, '\.(jpg|jpeg|png|gif|pdf|doc|xml|mp3|mp4|zip)$')

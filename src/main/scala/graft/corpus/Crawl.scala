@@ -46,6 +46,24 @@ object Crawl {
     visited
   }
 
+  /** F3 year-sanity predicate (reference ParserForkJoinAction.java:80-92
+    * `dontCrazyYear`): a link whose query string carries `year=YYYY` is
+    * crawled only when YYYY is within ±1 of the current year; links without
+    * a year parameter always pass. `nowYear` is injected (the reference
+    * calls `LocalDateTime.now()`; the engine stays wall-clock-free so runs
+    * are replayable). Reference-exact on the match (`.+\?.+year=\d{4}.*`,
+    * whole-string) and on the in-range rule (`year-1 <= y <= year+1`).
+    * Divergence, documented: the reference extracts at the first `year=`
+    * occurrence (`indexOf`) and `parseInt` throws out of the filter when it
+    * isn't followed by four digits — we extract the leftmost occurrence
+    * that IS followed by four digits instead of crashing. */
+  def yearSane(link: org.apache.spark.sql.Column, nowYear: Int): org.apache.spark.sql.Column = {
+    val matched = link.rlike("^.+\\?.+year=\\d{4}")
+    val y = regexp_extract(link, "year=(\\d{4})", 1).cast("int")
+    when(!matched, lit(true))
+      .otherwise(y.between(nowYear - 1, nowYear + 1))
+  }
+
   /** deterministic synthetic link graph over the corpus doc ids (no
     * external data): every doc links to (2i+1) mod N and (3i+7) mod N —
     * branching 2 with cycles, like a real site graph. */

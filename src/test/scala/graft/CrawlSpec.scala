@@ -42,6 +42,29 @@ class CrawlSpec extends AnyFunSuite {
       Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("yearSane mirrors the reference dontCrazyYear semantics (F3)") {
+    import org.apache.spark.sql.functions.col
+    val now = 2026
+    val cases = Seq(
+      ("plain/path", true),                    // no query string: passes
+      ("a?b=c", true),                         // query string, no year param
+      ("a?x&year=2026", true),                 // current year
+      ("a?x&year=2025", true),                 // now - 1
+      ("a?x&year=2027", true),                 // now + 1
+      ("a?x&year=2028", false),                // > now + 1
+      ("a?x&year=2024", false),                // < now - 1
+      ("a?x&year=999", true),                  // 3 digits: regex doesn't match
+      ("year=1800", true),                     // no '?': whole-string regex fails
+      ("?year=2030", true),                    // nothing before '?': `.+\?` fails
+      ("a?year=2030", true),                   // nothing between '?' and year=: `.+` fails
+      ("a?xyear=2030&year=2026", false)        // leftmost 4-digit year= wins (2030)
+    )
+    val got = cases.map(_._1).toDF("link")
+      .select(col("link"), Crawl.yearSane(col("link"), now).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (l, want) => assert(got(l) == want, s"link=$l") }
+  }
+
   test("multiple seeds crawl in one pass; shared descendants get the min depth") {
     val edges = Seq((0L, 5L), (9L, 5L), (5L, 6L)).toDF("src", "dst")
     // duplicate seed must not duplicate output rows
