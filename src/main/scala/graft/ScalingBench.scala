@@ -64,10 +64,15 @@ object ScalingBench {
         // write is a fixed serial cost that can't scale with executors —
         // a real cluster writes to per-node NVMe / distributed storage
         // whose aggregate bandwidth grows with the node count
+        val shm = java.nio.file.Paths.get("/dev/shm")
         val dir = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("/dev/shm"), s"graft-scale-$cores").toString
-        val (n, sec) = Bench.buildIndex(spark, sfDir, dir)
-        Bench.deleteRec(new java.io.File(dir))
+          if (java.nio.file.Files.isDirectory(shm)) shm
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")),
+          s"graft-scale-$cores").toString
+        // finally: a failed build must not leave its output occupying tmpfs
+        val (n, sec) =
+          try Bench.buildIndex(spark, sfDir, dir)
+          finally Bench.deleteRec(new java.io.File(dir))
         (n, sec)
       }.drop(1)
       // platform calibration: a pure-compute shuffle-light Spark job at the

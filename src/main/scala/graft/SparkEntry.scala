@@ -862,8 +862,9 @@ object SparkEntry {
     * 1-deletion list comprehension, query variants inlined, candidates by
     * equi-join, exact levenshtein verify — mirrors QueryFrontend.fuzzyTerms */
   private def fuzzySql(query: String, maxDist: Int): String = {
-    val qVariants = (query +: query.indices.map(i =>
-      query.substring(0, i) + query.substring(i + 1))).distinct
+    // the SQL dict side unrolls ONE deletion level; keep the twin honest
+    require(maxDist == 1, "fuzzySql twin models the maxDist=1 neighborhood only")
+    val qVariants = QueryFrontend.deletionVariants(query, maxDist)
     val qvArr = qVariants.map(v => s"'$v'").mkString(", ")
     s"""WITH ${termsCte}, ${tstatsCte},
        |v AS (SELECT term, df, unnest(list_prepend(term,

@@ -29,14 +29,16 @@ import org.apache.spark.storage.StorageLevel
   * SearchServiceImpl.java:40-43,68-85 (off the correctness path).
   *
   * Index maintenance is INCREMENTAL: the facade's live tables are backed by
-  * the LSM batch log (IncrementalIndex.ParquetStateStore), so `indexPage`
-  * costs O(page) — tokenize the one doc, point-read its old postings,
-  * append a delta batch — exactly the reference's per-page cost profile
-  * (IndexingServiceImpl.java:244-264), never an O(corpus) rebuild. The
-  * corpus DataFrame is localCheckpoint'ed after each replace so repeated
-  * upserts cannot grow the analyzed plan. Reads reconstruct live tables
-  * from the batch log lazily (cached until the next mutation); the log is
-  * compacted once its batch fan-in exceeds `compactEvery`.
+  * the LSM batch log (IncrementalIndex.ParquetStateStore), so `indexPage`'s
+  * index work costs O(page) — tokenize the one doc, point-read its old
+  * postings, append a delta batch — exactly the reference's per-page cost
+  * profile (IndexingServiceImpl.java:244-264), never an O(corpus) rebuild.
+  * The corpus replace is a lazy page-sized delta chain folded into a fresh
+  * localCheckpoint every `checkpointEvery` upserts: amortized
+  * O(corpus / checkpointEvery) per call, analyzed-plan size bounded by the
+  * fold period. Reads reconstruct live tables from the batch log lazily
+  * (cached until the next mutation); the log is compacted once its batch
+  * fan-in exceeds `compactEvery`.
   *
   * Ingestion runs extract-then-lemmatize (reference: Jsoup text() before
   * Lemmatizator, tools/Lemmatizator.java:1): `indexedView` normalizes HTML
@@ -49,7 +51,8 @@ import org.apache.spark.storage.StorageLevel
   */
 class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
                    stateDir: Option[String] = None,
-                   clock: () => Long = () => System.currentTimeMillis()) {
+                   clock: () => Long = () => System.currentTimeMillis(),
+                   checkpointEvery: Int = 32) {
 
   case class SearchItem(site: String, siteName: String, uri: String,
                         title: String, snippet: String, relevance: Double)
@@ -61,12 +64,17 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
   case class Statistics(sites: Long, pages: Long, lemmas: Long,
                         detailed: Seq[DetailedItem])
 
-  private[graft] var corpus: DataFrame = initialCorpus
-  private var indexed = false
+  // mutable facade state: writes happen under `synchronized`; the volatile
+  // markers keep unsynchronized readers (require-guards, statistics) from
+  // seeing stale values on another thread
+  @volatile private[graft] var corpus: DataFrame = initialCorpus
+  @volatile private var indexed = false
   private val inFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val cancel = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private var lastErr: String = null
-  private var indexStatusTime: Long = 0L
+  @volatile private var lastErr: String = null
+  @volatile private var indexStatusTime: Long = 0L
+  /** upserts since the corpus lineage was last folded into a checkpoint */
+  private var sinceCheckpoint = 0
 
   // ---- LSM state store backing the live tables -------------------------
   private val baseDir = stateDir.getOrElse(
@@ -135,6 +143,8 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
       indexStatusTime = clock()
       lastErr = null
       indexed = true
+      sinceCheckpoint = 0
+      cache.clear() // a rebuilt index invalidates every cached response
       true
     } finally inFlight.set(false)
   }
@@ -178,8 +188,20 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
           onGroupCommitted(g.size)
         }
         TableIO.writeMeta(tableDir, TableIO.IndexMeta(t.nDocs, t.avgDl))
-        indexStatusTime = clock()
-        lastErr = null
+        // the facade stays fully usable after a persisted build: seed the
+        // live LSM store from the tables already in hand (one parquet
+        // write, NO second tokenization pass), so search()/statistics()/
+        // indexPage() work exactly as after startIndexing()
+        synchronized {
+          store = freshStore()
+          IncrementalIndex.seedBase(store, t)
+          invalidateTables()
+          indexStatusTime = clock()
+          lastErr = null
+          indexed = true
+          sinceCheckpoint = 0
+          cache.clear()
+        }
         true
       } finally {
         shards.unpersist()
@@ -218,14 +240,24 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     // HTTP gate on the upsert path too (reference delete+reindex: an error
     // re-fetch REMOVES the old version and indexes nothing,
     // IndexingServiceImpl.java:135-137 via :244-264)
-    val docOk =
+    // page-sized pins (O(page) jobs): the corpus lineage below references
+    // ONLY checkpointed blocks, never the caller's live plan
+    val docOk = (
       if (doc2.columns.contains("code")) graft.corpus.Corpus.httpOk(doc2) else doc2
-    val ids = doc2.select("doc_id")
-    // corpus replace over the PREVIOUS checkpoint's in-memory blocks + the
-    // new row(s); the eager localCheckpoint cuts lineage so the analyzed
-    // plan stays constant-size across unbounded repeated upserts
+    ).localCheckpoint(true)
+    val ids = doc2.select("doc_id").localCheckpoint(true)
+    // corpus replace is a LAZY delta chain over the last checkpoint — an
+    // upsert itself never rewrites the corpus. The chain (one broadcast
+    // anti-join + one page-sized union per upsert) is folded into a fresh
+    // checkpoint every `checkpointEvery` calls, so the replace cost is
+    // amortized O(corpus / checkpointEvery) per call and the analyzed plan
+    // is bounded by the fold period instead of growing without bound.
     corpus = corpus.join(ids, Seq("doc_id"), "left_anti").unionByName(docOk)
-      .localCheckpoint(true)
+    sinceCheckpoint += 1
+    if (sinceCheckpoint >= checkpointEvery) {
+      corpus = corpus.localCheckpoint(true)
+      sinceCheckpoint = 0
+    }
     // O(page) index delta: docs whose re-fetch was gated out are deletions;
     // the rest merge through the batch log (which itself removes their old
     // postings via point-read + signed df deltas)
@@ -236,6 +268,7 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     if (store.pointer.exists(p => p._1 - p._2 >= compactEvery))
       IncrementalIndex.compactState(store, spark)
     invalidateTables()
+    cache.clear() // cached responses may cite the replaced/deleted doc
     true
   }
 
@@ -260,7 +293,11 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
 
   private def doSearch(query: String, site: Option[String],
                        offset: Int, limit: Int, lang: String): SearchResponse = {
-    val t = tables
+    // one coherent snapshot: corpus and tables are reassigned together by
+    // mutators (under the same lock), so reading them under it prevents a
+    // concurrent indexPage from pairing new corpus content with old
+    // postings mid-search
+    val (corpus, t) = synchronized { (this.corpus, tables) }
     // empty-after-analysis -> error (reference SearchServiceImpl.java:54-57)
     val qTerms = Analyzer.queryTerms(lang, query)
     // (the reference's messages are Russian — "Задан пустой поисковый
@@ -310,8 +347,12 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     val rows = Stats.statistics(indexedView(corpus)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val total = rows.find(_._1 == "ALL").getOrElse(("ALL", 0L, 0L))
+    // status mirrors the reference Site.status: a recorded error (e.g. a
+    // stopped persisted build) reports FAILED with last_error, not a
+    // contradictory INDEXED-with-error row
+    val status = if (lastErr != null) "FAILED" else "INDEXED"
     val detailed = rows.filterNot(_._1 == "ALL").sortBy(_._1).map { case (site, pages, lemmas) =>
-      DetailedItem(site, site, "INDEXED", indexStatusTime, lastErr, pages, lemmas)
+      DetailedItem(site, site, status, indexStatusTime, lastErr, pages, lemmas)
     }
     Statistics(detailed.length.toLong, total._2, total._3, detailed.toSeq)
   }

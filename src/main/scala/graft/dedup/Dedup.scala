@@ -176,13 +176,14 @@ object Dedup {
     * Inverted shingle join — never an all-pairs product; the benchmark side
     * is small by nature and broadcastable. */
   def contamination(train: DataFrame, bench: DataFrame, n: Int = 3,
-                    threshold: Double = 0.0, eager: Boolean = true): DataFrame = {
+                    threshold: Double = 0.0, eager: Boolean = true,
+                    broadcastBench: Boolean = true): DataFrame = {
     // cached: feeds BOTH the join and the per-doc size aggregate (the two
     // sit on different exchanges, so ReuseExchange can't serve them)
     val bs = shingles(bench, n).select(col("doc_id").as("bench_id"), col("shingle")).cache()
     val out = contaminationPairs(
       shingles(train, n).select(col("doc_id").as("train_id"), col("shingle")),
-      bs, threshold)
+      bs, threshold, broadcastBench)
     finishAudit(out, eager, bs)
   }
 
@@ -194,12 +195,13 @@ object Dedup {
     * long-lived session running many audits leaks no executor storage;
     * `eager = false` returns the lazy plan (caller owns the cache). */
   def contaminationSplit(docs: DataFrame, isBench: Column, n: Int = 3,
-                         threshold: Double = 0.0, eager: Boolean = true): DataFrame = {
+                         threshold: Double = 0.0, eager: Boolean = true,
+                         broadcastBench: Boolean = true): DataFrame = {
     val sh = shingles(docs, n).cache()
     val out = contaminationPairs(
       sh.filter(!isBench).select(col("doc_id").as("train_id"), col("shingle")),
       sh.filter(isBench).select(col("doc_id").as("bench_id"), col("shingle")),
-      threshold)
+      threshold, broadcastBench)
     finishAudit(out, eager, sh)
   }
 
@@ -216,11 +218,15 @@ object Dedup {
     }
 
   private[graft] def contaminationPairs(ts: DataFrame, bs: DataFrame,
-                                        threshold: Double): DataFrame = {
+                                        threshold: Double,
+                                        broadcastBench: Boolean = true): DataFrame = {
     val bsz = bs.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
-    // the bench side is small by nature — broadcast pins the physical plan
-    // (train shingles never shuffle) even when stats are stale
-    ts.join(broadcast(bs), "shingle")
+    // an eval/benchmark set is small by nature — the broadcast hint pins
+    // the physical plan (train shingles never shuffle) even when stats are
+    // stale. `broadcastBench = false` opts out for callers whose "bench"
+    // side is a sizeable corpus partition (a forced broadcast over the
+    // 8 GB limit hard-fails where a shuffle join would have run).
+    ts.join(if (broadcastBench) broadcast(bs) else bs, "shingle")
       .groupBy("train_id", "bench_id").agg(count(lit(1)).as("overlap"))
       .join(bsz, "bench_id")
       .withColumn("contamination", col("overlap").cast("double") / col("bsz"))

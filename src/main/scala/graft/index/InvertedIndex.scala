@@ -95,7 +95,9 @@ object InvertedIndex {
     // one extra count job only when the caller can't supply N (generated
     // corpora know their size; parquet counts are metadata-fast anyway)
     val nDocs = if (knownNDocs >= 0) knownNDocs else corpus.count()
-    val avgDl = ds.agg(avg(col("dl"))).head().getDouble(0)
+    // empty/fully-gated corpus: avg over zero rows is NULL, not a crash
+    val avgRow = ds.agg(avg(col("dl"))).head()
+    val avgDl = if (avgRow.isNullAt(0)) 0.0 else avgRow.getDouble(0)
     Tables(pc, ts, ds, nDocs, avgDl)
   }
 }

@@ -66,10 +66,9 @@ object TableIO {
   def listFailures(tableDir: String): Seq[FailureRecord] = {
     val d = Paths.get(tableDir)
     if (!Files.exists(d)) return Nil
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(d)
       .collect { case n if n.startsWith("_failed_") && n.endsWith(".json") => n }
-      .toSeq.sorted
+      .sorted
       .map { n =>
         val s = Files.readString(d.resolve(n))
         val id = """"snapshotId":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
@@ -100,11 +99,18 @@ object TableIO {
   def listSnapshots(tableDir: String): Seq[Long] = {
     val d = Paths.get(tableDir)
     if (!Files.exists(d)) return Nil
-    Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(d)
       .collect { case n if n.startsWith("_snapshot_") && n.endsWith(".json") =>
         n.stripPrefix("_snapshot_").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
+  }
+
+  /** directory listing with the stream CLOSED (Files.list holds an fd until
+    * closed — a polling status surface must not leak one per call) */
+  private def listNames(d: java.nio.file.Path): Seq[String] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
   }
 
   def readSnapshot(tableDir: String, id: Long): Option[Manifest] = {

@@ -67,21 +67,38 @@ object QueryFrontend {
     * single-deletion variant set intersects the query's variant set — an
     * EQUI-join on a compact key (never a cross-join Levenshtein over the
     * vocabulary), then the exact `levenshtein` verify runs on candidates
-    * only. One deletion per side covers every distance-1 edit (insert /
-    * delete / substitute). Dict-side variants are |term|+1 rows per
-    * dictionary term — bounded by the VOCABULARY, not the corpus; at scale
-    * the variant relation is materialized once per index build.
+    * only. Depth-`maxDist` deletions per side cover every edit up to that
+    * distance (insert / delete / substitute). Dict-side variants are
+    * O(|term|^maxDist) rows per dictionary term — bounded by the
+    * VOCABULARY, not the corpus; at scale the variant relation is
+    * materialized once per index build.
     * Output: (term, df, dist), dist asc → df desc → term asc. */
+  /** deletion neighborhood of `s` up to depth `maxDist`, including `s`
+    * itself — the one definition both the engine (fuzzyTerms) and the SQL
+    * twin (SparkEntry.fuzzySql) use, so they cannot silently diverge. */
+  def deletionVariants(s: String, maxDist: Int): Seq[String] = {
+    var cur = Set(s); var all = Set(s)
+    for (_ <- 1 to maxDist) {
+      cur = cur.flatMap(w => w.indices.map(i => w.substring(0, i) + w.substring(i + 1)))
+      all ++= cur
+    }
+    all.toSeq.sorted
+  }
+
   def fuzzyTerms(termStats: DataFrame, query: String, maxDist: Int = 1): DataFrame = {
-    require(query.nonEmpty)
-    // i = 0 keeps the term itself; i = k (1-based) deletes char k
-    val variants = expr(
-      "transform(sequence(0, length(term)), i -> " +
-        "case when i = 0 then term else concat(substr(term, 1, i - 1), substr(term, i + 1)) end)")
-    val qVariants = (query +: query.indices.map(i =>
-      query.substring(0, i) + query.substring(i + 1))).distinct
+    require(query.nonEmpty && maxDist >= 1)
+    // dictionary-side deletion neighborhood to depth maxDist, built by
+    // iterating the single-deletion expansion (SymSpell: dist(a,b) <= d ⇒
+    // the depth-d neighborhoods of a and b intersect, so candidates are
+    // COMPLETE for any maxDist, not just 1)
+    var varSql = "array(term)"
+    for (_ <- 1 to maxDist)
+      varSql = s"array_distinct(array_union($varSql, flatten(transform($varSql, " +
+        "w -> case when length(w) >= 1 then transform(sequence(1, length(w)), " +
+        "i -> concat(substr(w, 1, i - 1), substr(w, i + 1))) else array() end))))"
+    val qVariants = deletionVariants(query, maxDist)
     termStats
-      .select(col("term"), col("df"), explode(variants).as("variant"))
+      .select(col("term"), col("df"), explode(expr(varSql)).as("variant"))
       .filter(col("variant").isin(qVariants.map(x => x: Any): _*))
       .select("term", "df").distinct()
       .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))

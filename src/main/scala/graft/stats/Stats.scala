@@ -26,7 +26,10 @@ object Stats {
     val lemmas = InvertedIndex.termStatsByRepo(toks)
       .groupBy("repo").agg(count(lit(1)).as("lemmas"))
     val per = pages.join(lemmas, "repo")
-    val total = per.agg(sum("pages").as("pages"), sum("lemmas").as("lemmas"))
+    // empty corpus: SUM over zero rows is NULL — the total row still reads
+    // as (0, 0), never a null count
+    val total = per.agg(coalesce(sum("pages"), lit(0L)).as("pages"),
+        coalesce(sum("lemmas"), lit(0L)).as("lemmas"))
       .withColumn("repo", lit("ALL")).select("repo", "pages", "lemmas")
     per.select("repo", "pages", "lemmas").union(total)
   }

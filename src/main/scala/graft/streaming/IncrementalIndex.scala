@@ -222,6 +222,20 @@ object IncrementalIndex {
         dstats.unpersist(): Unit
     }
 
+  /** seed an EMPTY (or fresh) store with prebuilt tables as its base batch
+    * — the persisted-build facade path reuses the InvertedIndex.build
+    * output it already has instead of re-tokenizing the whole corpus
+    * through mergeBatch. Writes the same shapes compactState produces. */
+  def seedBase(store: ParquetStateStore, t: graft.index.InvertedIndex.Tables): Unit = {
+    val next = store.nextBatch
+    store.writeTable("postings", t.postings, next)
+    store.writeTable("doc_ids", t.postings.select("doc_id").distinct()
+      .unionByName(t.docStats.select("doc_id")).distinct(), next)
+    store.writeTable("term_stats", t.termStats.select(col("term"), col("df").as("ddf")), next)
+    store.writeTable("doc_stats", t.docStats, next)
+    store.commit(next, base = next)
+  }
+
   /** wire a streaming docs source into the merge — file source, rate
     * source, or any readStream DataFrame with the corpus schema. */
   def start(docsStream: DataFrame, state: ParquetStateStore,

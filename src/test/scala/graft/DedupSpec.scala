@@ -123,6 +123,12 @@ class DedupSpec extends AnyFunSuite {
     val plan = Dedup.contaminationSplit(all, col("doc_id") < 10, eager = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bench side:\n$plan")
+    // broadcastBench = false drops the hint (a caller whose "bench" side is
+    // a large split opts back into the planner's choice / shuffle join)
+    val plan2 = Dedup.contaminationSplit(all, col("doc_id") < 10, eager = false,
+        broadcastBench = false)
+      .queryExecution.analyzed.toString // hints are erased later in planning
+    assert(!plan2.contains("Hint"), s"hint must be absent:\n$plan2")
   }
 
   test("embedding cosine pairs: identical vectors cos=1, orthogonal excluded") {

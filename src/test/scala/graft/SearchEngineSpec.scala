@@ -111,7 +111,11 @@ class SearchEngineSpec extends AnyFunSuite {
   test("indexPage is O(page): delta batch carries only the doc; no corpus rescan; plan size stable") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val e = freshEngine()
+    // checkpointEvery = 2: the corpus delta chain must fold back to a flat
+    // checkpoint every second upsert (amortized replace, bounded plan)
+    val e = new SearchEngine(spark,
+      Corpus.fromDocuments(spark, "/root/testdata/sf0.001"), checkpointEvery = 2)
+    assert(e.startIndexing())
     def up(id: Long, content: String): Unit = {
       val doc = Seq((id, "src0", s"doc/$id", "0" * 40, "en", content))
         .toDF("doc_id", "repo", "path", "commit", "lang", "content")
@@ -123,14 +127,18 @@ class SearchEngineSpec extends AnyFunSuite {
     val delta = spark.read.parquet(s"${e.store.dir}/postings/batch=$latest")
     assert(delta.count() == 3)
     assert(delta.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // repeated upserts must not grow the analyzed corpus plan
-    // (localCheckpoint cuts lineage; the old .cache() chain grew per call)
-    up(2L, "deltaone epsilonone")
+    // plan size right after each fold boundary must be identical — the
+    // delta chain may grow BETWEEN folds (by a constant per upsert) but
+    // must never grow across them
+    up(2L, "deltaone epsilonone") // fold #1
     val nodes2 = e.corpus.queryExecution.analyzed.collect { case p => p }.size
     up(3L, "zetaone etaone")
-    up(4L, "thetaone iotaone")
+    val nodes3 = e.corpus.queryExecution.analyzed.collect { case p => p }.size
+    up(4L, "thetaone iotaone")    // fold #2
     val nodes4 = e.corpus.queryExecution.analyzed.collect { case p => p }.size
-    assert(nodes4 == nodes2, s"corpus plan grew across upserts: $nodes2 -> $nodes4")
+    assert(nodes4 == nodes2, s"corpus plan grew across folds: $nodes2 -> $nodes4")
+    assert(nodes3 > nodes2, "between folds the replace must stay a lazy delta chain" +
+      s" (got $nodes2 -> $nodes3)") // i.e. no O(corpus) checkpoint per upsert
     // live tables reconstruct from the LSM batch log, never from a corpus
     // re-tokenization: the postings plan reads state parquet only
     val postPlan = e.tables.postings.queryExecution.executedPlan.toString
@@ -218,6 +226,8 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(failedRows.nonEmpty)
     assert(failedRows.head.getAs[String]("lastError").contains("stopped by user"))
     assert(failedRows.head.getAs[Long]("statusTime") > 0)
+    // while stopped-and-not-resumed, the status surface reports FAILED
+    // with the error payload (reference Site.status + last_error)
     // restart resumes the remaining buckets -> identical to uninterrupted
     assert(e.startIndexingPersisted(dir, 2L, cfg, groupSize = 2))
     assert(fingerprint(dir) == fingerprint(refDir))
@@ -225,5 +235,57 @@ class SearchEngineSpec extends AnyFunSuite {
     val mRef = graft.io.TableIO.readCurrent(refDir).get
     assert(mGot.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap ==
       mRef.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap)
+    // ...and the resumed engine is fully live: search + clean statistics
+    val r = e.search("spark join", limit = 5)
+    assert(r.result && r.count == 5)
+    assert(e.statistics().detailed.forall(d => d.status == "INDEXED" && d.error == null))
+  }
+
+  test("persisted build leaves the facade fully usable: search/statistics/upsert") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val cfg = graft.index.IndexWriter.Config(docsPerShard = 64, nBuckets = 8)
+    val dir = Files.createTempDirectory("graft-api-pers").toString
+    val e = new SearchEngine(spark, Corpus.fromDocuments(spark, "/root/testdata/sf0.001"))
+    assert(e.startIndexingPersisted(dir, 1L, cfg, groupSize = 4))
+    val r = e.search("spark join", limit = 5)
+    assert(r.result && r.count == 5 && r.data.forall(_.snippet.contains("<b>")))
+    val s = e.statistics()
+    assert(s.pages == 500 && s.detailed.forall(_.status == "INDEXED"))
+    // upserts flow through the same live store the seed created
+    val doc = Seq((0L, "src0", "doc/0", "0" * 40, "en", "persistedword only"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    assert(e.indexPage(doc))
+    val r2 = e.search("persistedword", limit = 5)
+    assert(r2.result && r2.count == 1 && r2.data.head.uri == "doc/0")
+  }
+
+  test("query cache cannot serve a doc the upsert path just deleted") {
+    import spark.implicits._
+    val e = freshEngine()
+    val q = "dup"
+    val before = e.search(q, limit = 1000)
+    assert(before.result && before.count > 0)
+    val victim = before.data.head.uri.stripPrefix("doc/").toLong
+    // error re-fetch -> delete path removes the doc from corpus and index;
+    // the cached response for q must NOT survive the mutation
+    val doc = Seq((victim, "src0", s"doc/$victim", "0" * 40, "en", "gone", 404))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content", "code")
+    assert(e.indexPage(doc))
+    val after = e.search(q, limit = 1000)
+    assert(!(after eq before), "mutation must invalidate the result cache")
+    assert(!after.data.exists(_.uri == s"doc/$victim"), "deleted doc still served")
+  }
+
+  test("fully gated corpus: persisted build completes empty instead of crashing") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val cfg = graft.index.IndexWriter.Config(docsPerShard = 64, nBuckets = 8)
+    val dir = Files.createTempDirectory("graft-api-allgated").toString
+    val c = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+      .withColumn("code", lit(500))
+    val e = new SearchEngine(spark, c)
+    assert(e.startIndexingPersisted(dir, 1L, cfg, groupSize = 4))
+    assert(e.statistics().pages == 0)
   }
 }

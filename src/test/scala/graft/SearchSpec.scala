@@ -194,6 +194,14 @@ class SearchSpec extends AnyFunSuite {
     // ordering: dist asc, df desc, term asc
     val ordered = QueryFrontend.fuzzyTerms(ts, "sprk").collect().map(_.getString(0)).toList
     assert(ordered.head == "sprk") // exact hit first (dist 0)
+    // maxDist = 2: the depth-2 deletion neighborhoods must be COMPLETE too
+    // ("spa" from "spark" is reachable only via two deletions)
+    for (q <- Seq("spark", "sprk", "spa", "prak")) {
+      val got2 = QueryFrontend.fuzzyTerms(ts, q, maxDist = 2).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val want2 = dict.map(t => t -> lev(t, q).toLong).filter(_._2 <= 2).toMap
+      assert(got2 == want2, s"maxDist=2 query '$q': got $got2 want $want2")
+    }
   }
 
   test("adding a non-matching doc never changes top-k (stability property)") {
