@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * maintains without locks. Depths are exact BFS depths (min over paths)
   * because a node enters `visited` the first level it is reached.
   *
-  * Scale notes: per level the frontier is `localCheckpoint`ed — iterative
-  * joins otherwise stack lineage until planning cost dominates (classic
-  * iterative-Spark pitfall); the loop stops as soon as a frontier is empty,
-  * and `maxDepth` bounds the crawl exactly like the reference's depth guard.
+  * Scale notes: per level only the NEW frontier is `localCheckpoint`ed —
+  * iterative joins otherwise stack lineage until planning cost dominates
+  * (classic iterative-Spark pitfall) — while the visited set stays a LAZY
+  * union of the checkpointed level frames: the anti-join reads O(|visited|)
+  * per level either way, but per-level checkpoint WRITE IO drops from
+  * O(|visited|) to O(|next|) (at depth d that is O(edges reached) total
+  * instead of O(d·|visited|)). The union plan grows one node per level —
+  * bounded by `maxDepth`, which caps the crawl exactly like the
+  * reference's depth guard; the loop stops early on an exhausted frontier.
   */
 object Crawl {
 
@@ -29,21 +34,23 @@ object Crawl {
   def frontier(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     // distinct: a duplicated seed must not surface twice in the output
     // (the level-wise anti-join only guards re-VISITS, not the level-0 rows)
-    var visited = seeds.select(col("doc_id")).distinct()
+    val level0 = seeds.select(col("doc_id")).distinct()
       .select(col("doc_id"), lit(0L).as("depth")).localCheckpoint(true)
-    var front = visited.select("doc_id")
+    var levels = List(level0)           // each frame checkpointed once
+    var front = level0.select("doc_id")
     var depth = 0L
     while (depth < maxDepth && !front.isEmpty) {
       depth += 1
+      val visited = levels.reduce(_ unionByName _) // lazy over pinned frames
       val next = edges.join(front.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id")).distinct()
         .join(visited, Seq("doc_id"), "left_anti")
         .withColumn("depth", lit(depth))
         .localCheckpoint(true) // cut the growing lineage each level
-      visited = visited.unionByName(next).localCheckpoint(true)
+      levels = levels :+ next
       front = next.select("doc_id")
     }
-    visited
+    levels.reduce(_ unionByName _)
   }
 
   /** F3 year-sanity predicate (reference ParserForkJoinAction.java:80-92
