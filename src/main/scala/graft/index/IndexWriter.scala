@@ -117,6 +117,15 @@ object IndexWriter {
   def write(shards: Dataset[ShardPosting], tableDir: String, snapshotId: Long,
             cfg: Config = Config(), resume: Boolean = true,
             auditLineage: Boolean = false, statusTime: Long = 0L): TableIO.Manifest = {
+    // sub-phase timer for the scaling diagnosis, on only under BENCH_PHASES
+    // (same env gate as Bench.buildIndex's coarse phases)
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      if (sys.env.contains("BENCH_PHASES"))
+        System.err.println(f"[phase]   write/$name: ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
     val spark = shards.sparkSession
     val prev = if (resume) TableIO.readCurrent(tableDir) else None
     val committed = prev.map(_.committed).getOrElse(Set.empty)
@@ -140,12 +149,26 @@ object IndexWriter {
     // cache the encoded blobs so the lineage aggregate below reuses them
     // instead of re-running the whole encode (or re-reading the index)
     val todo = todo0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // hash-repartition on bucket: one task (and one file) per bucket dir,
-    // no sampling pass (repartitionByRange costs a FULL extra pass over the
-    // encoded blobs to sample ranges). Write parallelism = nBuckets — size
-    // nBuckets to the cluster (e.g. 4096 at 1000 executors), default 16.
-    todo.toDF().repartition(cfg.nBuckets, col("bucket"))
+    // hash-repartition on (bucket, shard-salt), no sampling pass
+    // (repartitionByRange costs a FULL extra pass over the encoded blobs to
+    // sample ranges). Hashing the 16 bare bucket values into 16 partitions
+    // is not a bijection — balls-in-bins leaves ~1/e of the write tasks
+    // empty and loads others with 2-3 whole buckets, so on 8 cores the
+    // write runs as 2 skewed waves (measured: the scaling diag's
+    // encode+write phase at 0.71 N→4N efficiency). Salting with
+    // pmod(shard, saltK) raises the placement granularity to
+    // nBuckets×saltK keys sized to ~4 units/core: the largest task carries
+    // ~3 units instead of 3/16 of ALL data, and write parallelism scales
+    // with the cluster instead of being capped at nBuckets. Each task still
+    // writes only its distinct buckets' files, so total file count stays
+    // O(nBuckets×saltK) — at 1000 executors size nBuckets up (e.g. 4096)
+    // and saltK stays small.
+    phase("setup")
+    val saltK = math.max(1, Math.ceil(
+      4.0 * spark.sparkContext.defaultParallelism / cfg.nBuckets).toInt)
+    todo.toDF().repartition(cfg.nBuckets * saltK, col("bucket"), pmod(col("shard"), lit(saltK)))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
+    phase("encode+shuffle+parquet")
     // lineage: by default over the cached write set (identical rows);
     // auditLineage re-reads from disk — the slower trust-nothing audit path
     val lineageSrc =
@@ -160,10 +183,12 @@ object IndexWriter {
       coalesce(bit_xor(xxhash64(col("term"), col("bytes"))), lit(0L)).as("hashAgg"))
       .collect()
       .map(r => TableIO.PartitionLineage(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    phase("lineage")
     todo.unpersist()
     val all = (prev.map(_.partitions).getOrElse(Nil) ++ lineage).sortBy(_.partition)
     val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all, statusTime)
     TableIO.commit(tableDir, m)
+    phase("commit")
     m
   }
 
