@@ -353,6 +353,16 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       QueryFrontend.fuzzyTerms(t.termStats, "sprk")
     }),
+    // "More like this": TF-IDF-cosine doc-to-doc top-k (broadcast pruned
+    // query vector, equi-join candidates, reusable norm pass)
+    "ft_more_like" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      // maxDfFrac 0.9: the sf corpora have a ~31-term synthetic vocabulary
+      // where every term is hot (median df ≈ 0.78N) — the default 0.25
+      // informative-term prune would empty the query vector
+      Search.moreLikeThis(t.postings, t.termStats, t.nDocs, docId = 42L, k = 10,
+        maxDfFrac = 0.9)
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -629,6 +639,23 @@ object SparkEntry {
          |SELECT term, df FROM tstats WHERE term LIKE 'sp%'
          |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
     "ft_fuzzy" -> fuzzySql("sprk", 1),
+    "ft_more_like" ->
+      s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
+         |w AS (SELECT doc_id, term, df,
+         |             tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS wt
+         |      FROM post JOIN tstats USING (term)),
+         |norms AS (SELECT doc_id, sqrt(sum(wt*wt)) AS norm FROM w GROUP BY doc_id),
+         |qv AS (SELECT term, wt AS qwt FROM w
+         |       WHERE doc_id = 42 AND df <= 0.9 * (SELECT count(*) FROM documents)),
+         |dotp AS (SELECT w.doc_id, sum(w.wt * qv.qwt) AS dot
+         |         FROM w JOIN qv USING (term) WHERE w.doc_id <> 42 GROUP BY w.doc_id),
+         |scored AS (SELECT d.doc_id,
+         |                  round(d.dot / (n.norm * (SELECT norm FROM norms WHERE doc_id = 42)), 4) AS score_r
+         |           FROM dotp d JOIN norms n USING (doc_id))
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank,
+         |         doc_id, score_r FROM scored
+         |) WHERE rank <= 10""".stripMargin,
     "ft_postings_ru" ->
       s"""WITH ru AS (SELECT doc_id, $ruWrapSql AS rtext FROM documents),
          |rt AS (SELECT doc_id, unnest(${Analyzer.sqlTokensRu("rtext")}) AS term FROM ru),

@@ -174,4 +174,40 @@ object Search {
     decorated(bm25TopK(scopedPostings, docStats, dfs, nDocs, avgDl, limit, offset),
       dfs.keySet)
   }
+
+  /** "More like this" — top-k documents most similar to a source document by
+    * TF-IDF cosine over shared terms (the classic fulltext-engine operator
+    * popularized by Lucene's MoreLikeThis; public semantics). Beyond the
+    * reference (SURVEY §2.12): its natural use in a training-data pipeline is
+    * semantic near-dup triage and "find documents like this curated one".
+    *
+    * Scale shape: the source doc's term vector is df-pruned to informative
+    * terms (`df <= maxDfFrac*N` — the hot-term prune that keeps the
+    * candidate join from touching every posting of "the"-class terms) and is
+    * tiny, so it broadcasts; candidate generation is an equi-join on term
+    * (never all-pairs); per-doc norms are one aggregate pass over the
+    * weighted postings, reusable across source docs. Final ranking is
+    * distributed top-k (TakeOrdered) + row_number over <= k rows, ranked on
+    * the 4dp-rounded score so cross-engine ulp noise cannot reorder ties. */
+  def moreLikeThis(postings: DataFrame, termStats: DataFrame, nDocs: Long,
+                   docId: Long, k: Int, maxDfFrac: Double = 0.25): DataFrame = {
+    val w = postings.join(termStats, "term")
+      .select(col("doc_id"), col("term"), col("df"),
+        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("wt"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("norm"))
+    val qv = w.filter(col("doc_id") === docId && col("df") <= lit(maxDfFrac * nDocs))
+      .select(col("term"), col("wt").as("qwt"))
+    val qn = norms.filter(col("doc_id") === docId).select(col("norm").as("qnorm"))
+    val scored = w.join(broadcast(qv), "term")
+      .filter(col("doc_id") =!= docId)
+      .groupBy("doc_id").agg(sum(col("wt") * col("qwt")).as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(col("dot") / (col("norm") * col("qnorm")), 4).as("score_r"))
+    val top = scored.orderBy(desc("score_r"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score_r"), asc("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_r"))
+  }
 }

@@ -215,4 +215,38 @@ class SearchSpec extends AnyFunSuite {
     val t2 = idx2.topK("en", "alpha beta", 10).map(_.docId)
     assert(t1 == t2)
   }
+
+  test("moreLikeThis matches a scalar TF-IDF cosine oracle; source doc excluded") {
+    val maxDfFrac = 0.9
+    val k = 10
+    val srcDoc = 3L
+    val got = Search.moreLikeThis(tables.postings, tables.termStats, tables.nDocs,
+        srcDoc, k, maxDfFrac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // scalar twin over the collected tiny corpus
+    val post = tables.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val df = post.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).distinct.size.toLong }
+    val n = tables.nDocs.toDouble
+    def wt(tf: Long, d: Long): Double = tf * math.log(n / d)
+    val vecs = post.groupBy(_._1).map { case (doc, xs) =>
+      doc -> xs.map { case (_, t, tf) => t -> wt(tf, df(t)) }.toMap
+    }
+    val norms = vecs.map { case (doc, v) => doc -> math.sqrt(v.values.map(x => x * x).sum) }
+    val qv = vecs(srcDoc).filter { case (t, _) => df(t) <= maxDfFrac * n }
+    val want = vecs.keys.filter(_ != srcDoc).flatMap { doc =>
+      val dot = vecs(doc).collect { case (t, w) if qv.contains(t) => w * qv(t) }.sum
+      if (dot == 0.0) None
+      else Some(doc -> BigDecimal(dot / (norms(doc) * norms(srcDoc)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (doc, s) => (-s, doc) }.take(k)
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case (((rk, id, sc), (wid, wsc)), i) =>
+      assert(rk == i + 1L, s"rank at $i")
+      assert(id == wid, s"docId at rank ${i + 1}: got $id want $wid")
+      assert(math.abs(sc - wsc) < 5e-4, s"score at rank ${i + 1}: $sc vs $wsc")
+    }
+    assert(!got.exists(_._2 == srcDoc))
+    assert(got.forall(r => r._3 > 0.0 && r._3 <= 1.0001))
+  }
 }
