@@ -27,6 +27,11 @@ object SparkEntry {
   val q2 = Seq("join", "spark")           // 2-term conjunction
   val q3 = Seq("dup", "hash", "spark")    // rare + hot conjunction
   val qMissingInput = "spark warpdrive flux" // terms absent from corpus
+  /** fixed query log for the batched scorer (query_id, term) */
+  val batchQ: Seq[(Long, String)] = Seq(
+    (0L, "join"), (0L, "spark"),
+    (1L, "dup"), (1L, "hash"), (1L, "spark"),
+    (2L, "hash"))
 
   // ---- DuckDB SQL building blocks --------------------------------------
   private def termsCte: String = {
@@ -63,6 +68,26 @@ object SparkEntry {
   private def tokenHashSqlInner(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(regexp_split_to_array($expr, ''), " +
       s"c -> CAST(unicode(c) AS BIGINT))), (h, cc) -> (h * 31 + cc) % ${TextHash.P})"
+  /** MinHash-LSH candidate chain (8 hashes, 4 bands × 2 rows) up to the
+    * verified intersection counts — shared by the pairs and clusters twins */
+  private def lshCtes: String = {
+    val mins = (0 until 8).map(i =>
+      s"min(${TextHash.mixSql(i, "h")}) AS s$i").mkString(", ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key FROM sig")
+      .mkString("\n UNION ALL ")
+    s"""${shinglesCte},
+       |shh AS (SELECT doc_id, ${tokenHashSqlInner("shingle")} AS h FROM shd),
+       |sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+       |inter AS (SELECT c.a_id, c.b_id, count(*) AS i
+       |          FROM cand c JOIN shd a ON a.doc_id = c.a_id
+       |               JOIN shd b ON b.doc_id = c.b_id AND a.shingle = b.shingle
+       |          GROUP BY c.a_id, c.b_id)""".stripMargin
+  }
   private def jaccardPairsSql(candCte: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
        |inter AS (
@@ -363,6 +388,27 @@ object SparkEntry {
       Search.moreLikeThis(t.postings, t.termStats, t.nDocs, docId = 42L, k = 10,
         maxDfFrac = 0.9)
     }),
+    // Link-graph authority ranking: fixed-point PageRank (3 power
+    // iterations, BIGINT mass units — order-independent sums, hash-exact
+    // vs the unrolled-CTE twin) over the deterministic crawl edge graph
+    "ft_pagerank" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val pr = graft.corpus.LinkRank.pagerank(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        t.nDocs, iters = 3)
+      graft.corpus.LinkRank.topK(pr, 20)
+    }),
+    // Batched multi-query BM25: the whole query log scored in ONE postings
+    // pass (query-eval harness shape; WindowGroupLimit per query)
+    "ft_batch_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val qs = batchQ.toDF("query_id", "term")
+      Search.bm25TopKBatch(t.postings, t.docStats, t.termStats, qs,
+        t.nDocs, t.avgDl, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -410,6 +456,15 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       Dedup.minhashLshPairs(c, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
+    }),
+    // Duplicate CLUSTERS: connected components (min-label propagation) over
+    // the LSH near-dup pairs — turns pairwise evidence into the keep-one-
+    // per-cluster dedup decision; DuckDB twin is a recursive-CTE closure
+    "dedup_clusters" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val pairs = Dedup.minhashLshPairs(c, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.8).select("a_id", "b_id")
+      Dedup.clusters(pairs)
     }),
     // 31-bit SimHash per doc
     "dedup_simhash" -> ((s, dir) => {
@@ -656,6 +711,54 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank,
          |         doc_id, score_r FROM scored
          |) WHERE rank <= 10""".stripMargin,
+    "ft_pagerank" -> {
+      // fixed-point integer PageRank: every per-iteration quantity is a
+      // BIGINT, so the unrolled 3-iteration CTE chain is hash-exact
+      val S = "1000000000000"
+      val tele = s"(15 * ($S // (SELECT n FROM nn))) // 100"
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT nd.doc_id,
+           |  CAST($tele + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS doc_id, sum(p.pr // o.odeg) AS acc
+           |    FROM $prev p JOIN odeg o ON p.doc_id = o.src
+           |         JOIN edges e ON p.doc_id = e.src
+           |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
+         |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+         |p0 AS (SELECT doc_id, CAST($S // (SELECT n FROM nn) AS BIGINT) AS pr FROM nodes),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT rank, doc_id, pr FROM (
+         |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
+         |  FROM p3) WHERE rank <= 20""".stripMargin
+    },
+    "ft_batch_bm25" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY q.query_id, p.doc_id)
+         |SELECT query_id, rank, doc_id, score_r FROM (
+         |  SELECT s.query_id,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |                            ORDER BY s.score DESC, s.doc_id ASC) AS rank,
+         |         s.doc_id, round(s.score, 4) AS score_r
+         |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+         |) WHERE rank <= 10""".stripMargin
+    },
     "ft_postings_ru" ->
       s"""WITH ru AS (SELECT doc_id, $ruWrapSql AS rtext FROM documents),
          |rt AS (SELECT doc_id, unnest(${Analyzer.sqlTokensRu("rtext")}) AS term FROM ru),
@@ -741,27 +844,27 @@ object SparkEntry {
          |shh AS (SELECT doc_id, ${tokenHashSqlInner("shingle")} AS h FROM shd)
          |SELECT doc_id, $mins FROM shh GROUP BY doc_id""".stripMargin
     },
-    "dedup_minhash_lsh" -> {
-      val mins = (0 until 8).map(i =>
-        s"min(${TextHash.mixSql(i, "h")}) AS s$i").mkString(", ")
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, s${2 * b}::VARCHAR || '_' || s${2 * b + 1}::VARCHAR AS key FROM sig")
-        .mkString("\n UNION ALL ")
-      s"""WITH ${shinglesCte},
-         |shh AS (SELECT doc_id, ${tokenHashSqlInner("shingle")} AS h FROM shd),
-         |sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-         |inter AS (SELECT c.a_id, c.b_id, count(*) AS i
-         |          FROM cand c JOIN shd a ON a.doc_id = c.a_id
-         |               JOIN shd b ON b.doc_id = c.b_id AND a.shingle = b.shingle
-         |          GROUP BY c.a_id, c.b_id)
+    "dedup_minhash_lsh" ->
+      s"""WITH ${lshCtes}
          |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
          |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin
-    },
+         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    "dedup_clusters" ->
+      // transitive closure of the symmetrized LSH pair graph; cluster_id =
+      // min doc_id in the component (bit-exact integer semantics, same as
+      // the Spark min-label propagation fixpoint)
+      s"""WITH RECURSIVE ${lshCtes},
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8),
+         |und AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql)

@@ -271,4 +271,60 @@ object Dedup {
         cosinePre(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // ---------- duplicate clusters ---------------------------------------
+  /** Connected components over a near-dup PAIR set — the step that turns
+    * pairwise evidence (any of the pair generators above) into the actual
+    * dedup decision: every doc gets its component's minimum doc_id as
+    * `cluster_id`, so "keep one per cluster" is `filter(doc_id ===
+    * cluster_id)` and the canonical survivor is deterministic.
+    *
+    * Algorithm: min-label propagation over the symmetrized edge set —
+    * labels(v) ← min(labels(v), min over in-neighbors) until fixpoint.
+    * Each iteration is ONE equi-join + hash aggregate; lineage is cut per
+    * iteration (localCheckpoint, the iterative-Spark requirement) and the
+    * fixpoint witness is Σ labels (labels only ever decrease, so an
+    * unchanged DECIMAL sum ⟺ no label changed — one cheap aggregate
+    * instead of a change-count join). Converges in O(component diameter)
+    * iterations; near-dup components are short chains/cliques in practice.
+    * At 10^10+ docs with adversarially long chains, switch to the
+    * alternating small-star/large-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — O(log n) rounds);
+    * this plain propagation keeps the plan minimal for the common shape.
+    *
+    * Output: (doc_id, cluster_id) for every doc APPEARING IN `pairs` —
+    * unpaired docs are implicitly their own singleton cluster and are not
+    * re-listed (callers left_anti against this table to find them). */
+  def clusters(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct().localCheckpoint(true) // pinned: probed every iteration
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // DECIMAL(38) sum: overflow-safe at any doc_id magnitude × count
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    while (iter < maxIter) {
+      iter += 1
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
+        .groupBy(col("v")).agg(min(col("ulabel")).as("nlabel"))
+        .withColumnRenamed("v", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      labels = next
+      if (s.compareTo(prevSum) == 0) return labels.withColumnRenamed("label", "cluster_id")
+      prevSum = s
+    }
+    sys.error(s"Dedup.clusters did not converge within $maxIter iterations " +
+      "(component diameter exceeds the bound — raise maxIter or use a " +
+      "star-contraction variant)")
+  }
 }

@@ -82,6 +82,44 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Batched multi-query BM25 top-k: score an ENTIRE query log in one pass
+    * over the postings — what a 100 TB evaluation/relevance harness actually
+    * runs (Q ≈ 10^4 queries against one index build), where looping
+    * `bm25TopK` would scan the postings Q times.
+    *
+    * `queries` is (query_id, term). Plan shape: one postings scan →
+    * broadcast-join with the query table (a posting row fans out only to the
+    * queries containing its term) → join docStats → ONE hash aggregate on
+    * (query_id, doc_id) → per-query rank window cut at k. The `rank <= k`
+    * filter directly over row_number triggers Catalyst's WindowGroupLimit
+    * push-down (asserted in SearchSpec), so each (query) group keeps a k-row
+    * heap instead of fully sorting its candidates. df comes from termStats
+    * restricted to the query vocabulary — a semi-join-reduced table that is
+    * broadcast, never shuffled against the postings. */
+  def bm25TopKBatch(postings: DataFrame, docStats: DataFrame, termStats: DataFrame,
+                    queries: DataFrame, nDocs: Long, avgDl: Double, k: Int,
+                    conjunctive: Boolean = true): DataFrame = {
+    val vocab = queries.select("term").distinct()
+    val dfs = termStats.join(vocab, "term").select(col("term"), col("df"))
+    val qn = queries.groupBy("query_id").agg(count(lit(1)).as("q_n"))
+    val scored = postings
+      .join(broadcast(queries), "term")
+      .join(broadcast(dfs), "term")
+      .join(docStats, "doc_id")
+      .withColumn("term_score", Bm25.score(col("tf"), col("df"), col("dl"), nDocs, avgDl))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+    val cand =
+      if (conjunctive)
+        scored.join(broadcast(qn), "query_id").filter(col("n_terms") === col("q_n"))
+      else scored
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
+
   /** Reference-parity Σtf relevance (SearcherPage.java:91-107): absolute
     * score = Σ tf cast to int; relative = abs / max(abs) — the int cast and
     * the max-normalization replicated exactly (quarantined quirk, SURVEY.md

@@ -154,4 +154,40 @@ class DedupSpec extends AnyFunSuite {
     // pinned value (verified against DuckDB's list_reduce in tools/check.py runs)
     assert(TextHash.tokenHash("spark") == 109638365L)
   }
+
+  /** scalar union-find twin for clusters */
+  private def scalarComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  test("clusters ≡ scalar union-find: chain, clique, and singletons-by-absence") {
+    import spark.implicits._
+    // one 4-chain (7-3-9-12), one triangle (20,21,22), one isolated pair
+    val pairs = Seq((7L, 3L), (9L, 3L), (12L, 9L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (40L, 41L))
+    val got = Dedup.clusters(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarComponents(pairs))
+    // canonical keep rule: exactly one doc per cluster has doc_id == cluster_id
+    assert(got.count { case (d, c) => d == c } == got.values.toSet.size)
+    // docs never paired are absent (documented singleton semantics)
+    assert(!got.contains(999L))
+  }
+
+  test("clusters converges on a long chain (diameter > 2 propagation rounds)") {
+    import spark.implicits._
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val got = Dedup.clusters(chain.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 31 && got.values.forall(_ == 0L))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.corpus.{Crawl, LinkRank}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point PageRank ≡ scalar fixed-point power iteration: bit-exact
+  * integer masses (the whole point of the fixed-point design), teleport-only
+  * nodes, dangling leak semantics, and partitioning-invariance. */
+class LinkRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** scalar twin of LinkRank.pagerank — same truncating integer arithmetic */
+  def scalarPr(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
+               scale: Long = 1000000000000L): Map[Long, Long] = {
+    val n = nodes.size
+    val init = scale / n
+    val teleport = 15L * init / 100L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- edges if outdeg.contains(u))
+        acc(v) += pr(u) / outdeg(u)
+      pr = nodes.map(v => v -> (teleport + 85L * acc(v) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pagerank ≡ scalar fixed-point iteration on the synthetic graph (bit-exact)") {
+    val n = 60L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 7) % n)))
+    val got = LinkRank.pagerank(edges.toDF("src", "dst"), nodes.toDF("doc_id"), n, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarPr(edges, nodes, 3))
+  }
+
+  test("node with no in-edges holds exactly the teleport mass") {
+    // 0 -> 1 -> 2 -> 0 cycle plus isolated-source 3 -> 0: node 3 gets no
+    // in-links, so after any iteration pr(3) = teleport exactly
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val pr = LinkRank.pagerank(edges, nodes, 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val init = 1000000000000L / 4
+    assert(pr(3L) == 15L * init / 100L)
+    // the cycle nodes outrank the in-link-free node
+    assert(pr(0L) > pr(3L) && pr(1L) > pr(3L) && pr(2L) > pr(3L))
+  }
+
+  test("dangling node contributes nothing (documented leak), result matches scalar") {
+    // 2 is dangling (no out-edges): its mass leaks; everyone else unaffected
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val nodes = Seq(0L, 1L, 2L)
+    val got = LinkRank.pagerank(edges.toDF("src", "dst"), nodes.toDF("doc_id"), 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarPr(edges, nodes, 3))
+  }
+
+  test("partitioning-invariant: same bits at 1 and 13 partitions") {
+    val n = 40L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 7) % n)))
+    def run(parts: Int) = LinkRank.pagerank(
+      edges.toDF("src", "dst").repartition(parts), nodes.toDF("doc_id"), n, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(13))
+  }
+
+  test("topK ranks by pr desc with doc_id ties deterministic") {
+    val pr = Seq((5L, 100L), (1L, 300L), (2L, 100L), (9L, 300L)).toDF("doc_id", "pr")
+    val top = LinkRank.topK(pr, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.toSeq == Seq((1L, 1L), (2L, 9L), (3L, 2L)))
+  }
+}

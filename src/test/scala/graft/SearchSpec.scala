@@ -249,4 +249,40 @@ class SearchSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == srcDoc))
     assert(got.forall(r => r._3 > 0.0 && r._3 <= 1.0001))
   }
+
+  test("batched BM25 ≡ per-query bm25TopK for every query in the batch") {
+    import spark.implicits._
+    val batch = Seq(
+      (0L, "dup"), (1L, "join"), (1L, "spark"),
+      (2L, "hash"), (2L, "join"), (2L, "merge"), (2L, "sort"))
+    val qs = batch.toDF("query_id", "term")
+    val got = Search.bm25TopKBatch(tables.postings, tables.docStats,
+        tables.termStats, qs, tables.nDocs, tables.avgDl, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    batch.groupBy(_._1).foreach { case (qid, qterms) =>
+      val dfs = QueryFrontend.lookupDf(tables.termStats, qterms.map(_._2).toSet)
+      val want = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+          tables.nDocs, tables.avgDl, 10)
+        .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2)))
+      val g = got.getOrElse(qid, Array.empty).sortBy(_._2)
+      assert(g.length == want.length, s"query $qid size")
+      g.zip(want).foreach { case ((_, rk, id, sc), (wrk, wid, wsc)) =>
+        assert(rk == wrk && id == wid, s"query $qid rank $wrk: ($rk,$id) vs ($wrk,$wid)")
+        assert(math.abs(sc - wsc) < 1e-9, s"query $qid score at rank $wrk")
+      }
+    }
+  }
+
+  test("batched BM25 plan: per-query group limit, no full per-query sort") {
+    import spark.implicits._
+    val qs = Seq((0L, "join"), (0L, "spark"), (1L, "dup")).toDF("query_id", "term")
+    val df = Search.bm25TopKBatch(tables.postings, tables.docStats,
+      tables.termStats, qs, tables.nDocs, tables.avgDl, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank<=k filter must push down as a WindowGroupLimit (k-row heap
+    // per query group) — the shape that survives a hot query matching
+    // millions of docs
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
