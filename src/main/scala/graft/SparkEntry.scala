@@ -537,8 +537,47 @@ object SparkEntry {
     "mm_features" -> ((s, dir) => {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir))
         .toDF().select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+    }),
+    // BM25F: field-weighted (title, body) ranking over the HTML-wrapped
+    // corpus — integer field weight keeps tf'/dl' BIGINT (hash-exact)
+    "ft_bm25f" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val html = htmlWrapCol
+      val fields = c.select(col("doc_id"), col("lang"),
+        Html.title(html).as("title"), Html.extractText(html).as("body"))
+      Search.bm25fTopK(fields, q2, t.nDocs, k = 10, wTitle = 2)
+        .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // Authority-blended final ranking: BM25 × PageRank prior (β = 0.5)
+    "ft_blend" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val pr = graft.corpus.LinkRank.pagerank(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        t.nDocs, iters = 3)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.blendTopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, pr,
+        k = 10, beta = 0.5)
+        .select(col("rank"), col("doc_id"), round(col("blend"), 4).as("blend_r"))
+    }),
+    // event-time tumbling window aggregate (same plan batch/streaming;
+    // integer-cents sums — order-independent, hash-exact)
+    "events_window" -> ((s, dir) =>
+      graft.streaming.Events.windowedAgg(graft.streaming.Events.read(s, dir))),
+    // gap-rule sessionization rollup (batch twin of flatMapGroupsWithState)
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.Events.sessions(graft.streaming.Events.read(s, dir))),
+    // batched "did-you-mean": best correction per query term in ONE plan
+    // (SymSpell dict-side neighborhood ⋈ broadcast query variants; top-1 =
+    // rank-1 window; oracle is brute-force levenshtein over the dictionary
+    // — equality also PROVES the deletion-neighborhood candidates complete)
+    "ft_suggest" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      QueryFrontend.suggestBatch(t.termStats, suggestQ, maxDist = 2)
     })
   )
+
+  /** fixed misspelled-query inputs for ft_suggest (dist 0/1/2 + no-match) */
+  val suggestQ = Seq("sprk", "jion", "hash", "window")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -711,34 +750,91 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS rank,
          |         doc_id, score_r FROM scored
          |) WHERE rank <= 10""".stripMargin,
-    "ft_pagerank" -> {
-      // fixed-point integer PageRank: every per-iteration quantity is a
-      // BIGINT, so the unrolled 3-iteration CTE chain is hash-exact
-      val S = "1000000000000"
-      val tele = s"(15 * ($S // (SELECT n FROM nn))) // 100"
-      def iter(prev: String, cur: String) =
-        s"""$cur AS (SELECT nd.doc_id,
-           |  CAST($tele + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
-           |  FROM nodes nd LEFT JOIN (
-           |    SELECT e.dst AS doc_id, sum(p.pr // o.odeg) AS acc
-           |    FROM $prev p JOIN odeg o ON p.doc_id = o.src
-           |         JOIN edges e ON p.doc_id = e.src
-           |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
-      s"""WITH nodes AS (SELECT doc_id FROM documents),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |edges AS (
-         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
-         |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
-         |p0 AS (SELECT doc_id, CAST($S // (SELECT n FROM nn) AS BIGINT) AS pr FROM nodes),
-         |${iter("p0", "p1")},
-         |${iter("p1", "p2")},
-         |${iter("p2", "p3")}
+    "ft_pagerank" ->
+      s"""WITH $pagerankCtes
          |SELECT rank, doc_id, pr FROM (
          |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
-         |  FROM p3) WHERE rank <= 20""".stripMargin
+         |  FROM p3) WHERE rank <= 20""".stripMargin,
+    "ft_blend" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |$pagerankCtes,
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id),
+         |prm AS (SELECT max(pr)::DOUBLE AS pr_max FROM p3),
+         |bl AS (SELECT sc.doc_id,
+         |         sc.score * (0.5 + 0.5 * coalesce(p3.pr, 0)::DOUBLE / prm.pr_max) AS blend
+         |       FROM scored sc LEFT JOIN p3 ON sc.doc_id = p3.doc_id, prm
+         |       WHERE sc.n_terms = ${q2.size})
+         |SELECT rank, doc_id, blend_r FROM (
+         |  SELECT row_number() OVER (ORDER BY blend DESC, doc_id ASC) AS rank,
+         |         doc_id, round(blend, 4) AS blend_r FROM bl) WHERE rank <= 10""".stripMargin
     },
+    "ft_bm25f" -> {
+      val pred = Analyzer.sqlStopPredicate("term", stops)
+      s"""WITH h AS (SELECT doc_id, $htmlWrapSql AS html FROM documents),
+         |f AS (SELECT doc_id, ${Html.sqlTitle("html")} AS title,
+         |             ${Html.sqlExtractText("html")} AS body FROM h),
+         |tt AS (SELECT doc_id, unnest(${Analyzer.sqlTokens("title")}) AS term FROM f),
+         |bt AS (SELECT doc_id, unnest(${Analyzer.sqlTokens("body")}) AS term FROM f),
+         |tp AS (SELECT doc_id, term, count(*)::BIGINT AS tf_t FROM tt WHERE $pred GROUP BY doc_id, term),
+         |bp AS (SELECT doc_id, term, count(*)::BIGINT AS tf_b FROM bt WHERE $pred GROUP BY doc_id, term),
+         |eff AS (SELECT coalesce(bp.doc_id, tp.doc_id) AS doc_id,
+         |               coalesce(bp.term, tp.term) AS term,
+         |               coalesce(tf_b, 0) + 2 * coalesce(tf_t, 0) AS tf
+         |        FROM bp FULL OUTER JOIN tp ON bp.doc_id = tp.doc_id AND bp.term = tp.term),
+         |ds2 AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM eff GROUP BY doc_id),
+         |ts2 AS (SELECT term, count(*)::BIGINT AS df FROM eff GROUP BY term),
+         |st2 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |               (SELECT avg(dl) FROM ds2) AS avgdl),
+         |${qCte(q2)},
+         |scored AS (
+         |  SELECT e.doc_id, count(*) AS n_terms,
+         |         sum(${Bm25.sql("e.tf", "t.df", "d.dl", "s.n", "s.avgdl")}) AS score
+         |  FROM eff e JOIN q USING (term) JOIN ts2 t USING (term)
+         |       JOIN ds2 d ON e.doc_id = d.doc_id, st2 s
+         |  GROUP BY e.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r
+         |  FROM scored WHERE n_terms = ${q2.size}
+         |) WHERE rank <= 10""".stripMargin
+    },
+    "events_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
+        |count(*)::BIGINT AS n_events,
+        |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ft_suggest" -> {
+      val qVals = suggestQ.map(q => s"'$q'").mkString(",")
+      s"""WITH ${termsCte}, ${tstatsCte},
+         |q AS (SELECT unnest(ARRAY[$qVals]) AS qterm),
+         |cand AS (SELECT q.qterm, t.term, t.df, levenshtein(t.term, q.qterm) AS dist
+         |         FROM tstats t CROSS JOIN q)
+         |SELECT qterm, suggestion, dist, df FROM (
+         |  SELECT qterm, term AS suggestion, dist::BIGINT AS dist, df,
+         |         row_number() OVER (PARTITION BY qterm ORDER BY dist, df DESC, term) AS rn
+         |  FROM cand WHERE dist <= 2) WHERE rn = 1""".stripMargin
+    },
+    "events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |s AS (SELECT user_id, ts,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      FROM x)
+        |SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+        |       epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "ft_batch_bm25" -> {
       val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
       val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
@@ -1032,6 +1128,33 @@ object SparkEntry {
     val vals = DefaultLexicon.russian.toSeq.sortBy(_._1)
       .flatMap { case (sf, fs) => fs.map(f => s"('$sf', '$f')") }.mkString(", ")
     s"rulex(surface, form) AS (VALUES $vals)"
+  }
+
+  /** Fixed-point integer PageRank as an unrolled 3-iteration CTE chain
+    * (every per-iteration quantity is a BIGINT — hash-exact); terminal CTE
+    * is `p3` (doc_id, pr). Shared by ft_pagerank and ft_blend. */
+  private def pagerankCtes: String = {
+    val S = "1000000000000"
+    val tele = s"(15 * ($S // (SELECT n FROM nn))) // 100"
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT nd.doc_id,
+         |  CAST($tele + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(p.pr // o.odeg) AS acc
+         |    FROM $prev p JOIN odeg o ON p.doc_id = o.src
+         |         JOIN edges e ON p.doc_id = e.src
+         |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
+    s"""nodes AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
+       |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+       |p0 AS (SELECT doc_id, CAST($S // (SELECT n FROM nn) AS BIGINT) AS pr FROM nodes),
+       |${iter("p0", "p1")},
+       |${iter("p1", "p2")},
+       |${iter("p2", "p3")}""".stripMargin
   }
 
   // ---- HTML wrap / lexicon twins ---------------------------------------

@@ -22,6 +22,12 @@ object Bm25 {
   def score(tf: Column, df: Column, dl: Column, nDocs: Long, avgDl: Double): Column =
     idf(df, nDocs) * tfNorm(tf, dl, avgDl)
 
+  /** tf normalization with a COLUMN avgdl — for scorers whose document-length
+    * statistics are themselves part of the plan (BM25F's field-weighted dl)
+    * rather than driver-known scalars. */
+  def tfNormDyn(tf: Column, dl: Column, avgDl: Column): Column =
+    (tf * lit(k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgDl))
+
   // scalar form (oracle + WAND block-max upper bounds)
   def idfS(df: Long, nDocs: Long): Double =
     math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)

@@ -85,17 +85,22 @@ object QueryFrontend {
     all.toSeq.sorted
   }
 
-  def fuzzyTerms(termStats: DataFrame, query: String, maxDist: Int = 1): DataFrame = {
-    require(query.nonEmpty && maxDist >= 1)
-    // dictionary-side deletion neighborhood to depth maxDist, built by
-    // iterating the single-deletion expansion (SymSpell: dist(a,b) <= d ⇒
-    // the depth-d neighborhoods of a and b intersect, so candidates are
-    // COMPLETE for any maxDist, not just 1)
+  /** dictionary-side deletion neighborhood to depth maxDist as a Column-SQL
+    * array expression over `term`, built by iterating the single-deletion
+    * expansion (SymSpell: dist(a,b) <= d ⇒ the depth-d neighborhoods of a
+    * and b intersect, so candidates are COMPLETE for any maxDist). */
+  private def dictVariantSql(maxDist: Int): String = {
     var varSql = "array(term)"
     for (_ <- 1 to maxDist)
       varSql = s"array_distinct(array_union($varSql, flatten(transform($varSql, " +
         "w -> case when length(w) >= 1 then transform(sequence(1, length(w)), " +
         "i -> concat(substr(w, 1, i - 1), substr(w, i + 1))) else array() end))))"
+    varSql
+  }
+
+  def fuzzyTerms(termStats: DataFrame, query: String, maxDist: Int = 1): DataFrame = {
+    require(query.nonEmpty && maxDist >= 1)
+    val varSql = dictVariantSql(maxDist)
     val qVariants = deletionVariants(query, maxDist)
     termStats
       .select(col("term"), col("df"), explode(expr(varSql)).as("variant"))
@@ -104,6 +109,41 @@ object QueryFrontend {
       .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
       .filter(col("dist") <= maxDist)
       .orderBy(asc("dist"), desc("df"), asc("term"))
+  }
+
+  /** Batched "did-you-mean": the best correction for EVERY term of a query
+    * log in ONE plan (the spelling-correction harness shape — at 100 TB the
+    * query log is large and looping fuzzyTerms would rebuild the dictionary
+    * neighborhood per term). Best = min edit distance, then max df, then
+    * lexicographic — so an in-dictionary term suggests itself (dist 0).
+    *
+    * Scale shape: the deletion-neighborhood relation is built ONCE over the
+    * dictionary (vocabulary-bounded, corpus-independent — materialize it per
+    * index build at scale); the query side joins it as a broadcast; the
+    * per-qterm top-1 is a WindowGroupLimit (rank-1 heap per group), never a
+    * full sort. SymSpell completeness (dist(a,b) ≤ d ⇒ depth-d
+    * neighborhoods intersect) makes the candidate join exhaustive, so the
+    * result equals brute-force levenshtein over the whole dictionary —
+    * which is exactly what the DuckDB twin computes. */
+  def suggestBatch(termStats: DataFrame, queryTerms: Seq[String],
+                   maxDist: Int = 2): DataFrame = {
+    require(queryTerms.nonEmpty && maxDist >= 1)
+    val spark = termStats.sparkSession
+    import spark.implicits._
+    val qv = queryTerms.distinct
+      .flatMap(q => deletionVariants(q, maxDist).map(v => (q, v)))
+      .toDF("qterm", "variant")
+    termStats
+      .select(col("term"), col("df"), explode(expr(dictVariantSql(maxDist))).as("variant"))
+      .join(broadcast(qv), "variant")
+      .select("qterm", "term", "df").distinct()
+      .withColumn("dist", levenshtein(col("term"), col("qterm")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qterm"))
+          .orderBy(asc("dist"), desc("df"), asc("term"))))
+      .filter(col("_rn") === 1)
+      .select(col("qterm"), col("term").as("suggestion"), col("dist"), col("df"))
   }
 
   def plan(termStats: DataFrame, lang: String, query: String,

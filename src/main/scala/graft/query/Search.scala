@@ -213,6 +213,98 @@ object Search {
       dfs.keySet)
   }
 
+  /** Authority-blended ranking: BM25 relevance × a query-independent static
+    * prior (PageRank mass, freshness, quality — any (doc_id, pr BIGINT)
+    * table). The classic web-search final-ranking shape the reference's
+    * pure-relevance sort lacks (SearcherPage.java:91-107 has no static
+    * signal).
+    *
+    *   blend(d) = bm25(d) · (β + (1−β) · pr(d) / max_pr)
+    *
+    * β ∈ [0,1]: 1 = pure relevance, 0 = relevance fully modulated by
+    * authority. Docs absent from the prior score as pr = 0 (left join).
+    *
+    * Scale shape: the conjunctive candidate set is computed first (count-k
+    * aggregate — hot terms never reach the prior join), THEN joined with the
+    * prior on doc_id; max_pr is a 1-row scalar aggregate broadcast into the
+    * plan, never an empty-partitionBy window. At 100 TB the better layout is
+    * to fold the prior into docStats at index-build time (one wider column,
+    * zero query-time joins) — this operator is the query-time form for
+    * priors that refresh faster than the index. */
+  def blendTopK(postings: DataFrame, docStats: DataFrame,
+                dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                prior: DataFrame, k: Int, beta: Double = 0.5): DataFrame = {
+    val terms = dfs.keys.toSeq.sorted
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val scored = postings
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(docStats, "doc_id")
+      .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .filter(col("n_terms") === terms.size)
+    val prMax = prior.agg(max(col("pr")).cast("double").as("pr_max"))
+    val blended = scored
+      .join(prior.select(col("doc_id"), col("pr")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(prMax))
+      .withColumn("blend", col("score") *
+        (lit(beta) + lit(1.0 - beta) *
+          coalesce(col("pr"), lit(0L)).cast("double") / col("pr_max")))
+    val top = blended.orderBy(desc("blend"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("blend"), asc("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("blend"))
+  }
+
+  /** BM25F — field-weighted BM25 over (title, body) fields of the same page
+    * (Robertson/Zaragoza 2004, the standard web-ranking upgrade: a title hit
+    * is worth `wTitle` body hits). `fields` carries
+    * (doc_id, lang, title, body); both fields run the SAME analyzer chain as
+    * the index. Integer field weight keeps every tf/dl a BIGINT —
+    * order-independent aggregates, hash-exact across engines (the LinkRank
+    * fixed-point device again):
+    *
+    *   tf'(d,t) = tf_body + wTitle · tf_title
+    *   dl'(d)   = Σ_t tf'(d,t),  avgdl' = avg(dl')
+    *   score    = Σ_q idf(df') · tfNorm(tf', dl', avgdl')
+    *
+    * Scale shape: two token explosions (title is tiny), one full-outer
+    * equi-join on (doc_id, term) — co-partitioned, single shuffle key —
+    * then the standard BM25 aggregate; df/avgdl' are derived relations
+    * broadcast into the scorer. No driver-side action: avgdl' enters the
+    * plan as a broadcast 1-row aggregate, so one Catalyst plan covers the
+    * whole operator. */
+  def bm25fTopK(fields: DataFrame, terms: Seq[String], nDocs: Long,
+                k: Int, wTitle: Int = 2): DataFrame = {
+    def post(textCol: String, tfName: String): DataFrame =
+      fields.select(col("doc_id"),
+          explode(InvertedIndex.termsForLang(col(textCol), col("lang"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as(tfName))
+    val eff = post("body", "tf_b").join(post("title", "tf_t"), Seq("doc_id", "term"), "full_outer")
+      .select(col("doc_id"), col("term"),
+        (coalesce(col("tf_b"), lit(0L)) + lit(wTitle.toLong) * coalesce(col("tf_t"), lit(0L))).as("tf"))
+    val ds = eff.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tstats = eff.filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = ds.agg(avg(col("dl")).as("avgdl"))
+    val scored = eff
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(broadcast(tstats), "term")
+      .join(ds, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("term_score",
+        Bm25.idf(col("df"), nDocs) * Bm25.tfNormDyn(col("tf"), col("dl"), col("avgdl")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .filter(col("n_terms") === terms.size)
+    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** "More like this" — top-k documents most similar to a source document by
     * TF-IDF cosine over shared terms (the classic fulltext-engine operator
     * popularized by Lucene's MoreLikeThis; public semantics). Beyond the

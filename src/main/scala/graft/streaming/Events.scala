@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props) — the operators a crawl/usage telemetry feed
+  * needs at 100 TB, each written ONCE as a Column/Dataset plan that runs
+  * identically in batch and in Structured Streaming (brief §streams:
+  * readStream → transforms → writeStream; watermarks + windowed aggs;
+  * flatMapGroupsWithState for custom state).
+  *
+  * Determinism: money amounts aggregate as integer cents
+  * (`round(value*100)::BIGINT`) so every sum is order-independent and
+  * hash-exact across engines and parallelism levels — the same fixed-point
+  * device as LinkRank's BIGINT mass units. A double `sum(value)` would
+  * differ in the last ulp between partitionings.
+  */
+object Events {
+
+  def read(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** integer money units: exact, order-independent sums */
+  private def centsCol = round(col("value") * 100).cast("long")
+
+  /** pandas-written parquet carries TIMESTAMP_NTZ; `unix_micros`/`window`
+    * want TIMESTAMP. The session runs UTC, so the cast is the identity
+    * wall-clock mapping (and matches DuckDB's naive-as-UTC `epoch_us`). */
+  private def withTsLtz(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Tumbling event-time window aggregate per event_type: (w_start_us,
+    * event_type, n_events, sum_cents). The SAME plan serves batch and
+    * streaming — a streaming caller adds `withWatermark("ts", ...)` upstream
+    * and gets incremental state-store aggregation; a batch caller gets one
+    * shuffle-partial hash aggregate. Window starts are epoch-aligned
+    * (Spark `window()` ≡ `date_trunc` for whole-unit durations), emitted as
+    * epoch micros so the cross-engine compare never touches timestamp tz
+    * representation.
+    *
+    * Scale shape: keys are (window × type) — bounded cardinality per hour,
+    * so state (streaming) and the shuffle (batch) stay tiny regardless of
+    * event volume; partial aggregation absorbs the per-row work map-side. */
+  def windowedAgg(events: DataFrame, win: String = "1 hour"): DataFrame =
+    withTsLtz(events)
+      .withColumn("cents", centsCol)
+      .groupBy(window(col("ts"), win).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+
+  /** Gap-rule sessionization (batch): a new session starts when a user is
+    * idle longer than `gapMin` minutes. One shuffle on user_id + an in-
+    * partition sort — the canonical distributed sessionize; no per-user
+    * arrays, no collect. Ties on ts break by event_id so the fold is total-
+    * ordered and cross-engine identical. */
+  def sessionize(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    val gapUs = gapMin * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L).otherwise(0L)
+    withTsLtz(events).withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: (user_id, session_idx, n_events, t_start_us,
+    * t_end_us). Batch twin of [[sessionizeStream]]. */
+  def sessions(events: DataFrame, gapMin: Int = 30): DataFrame =
+    sessionize(events, gapMin)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("t_start_us"),
+        unix_micros(max(col("ts"))).as("t_end_us"))
+
+  // ---- streaming form (flatMapGroupsWithState) --------------------------
+
+  /** Per-user session state carried across micro-batches. */
+  case class SessState(lastTsUs: Long, sessionIdx: Long, nEvents: Long, startUs: Long)
+  /** One (upsert) output row per session touched in a micro-batch. */
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                        t_start_us: Long, t_end_us: Long)
+
+  /** Pure per-user fold shared by the streaming path and its tests: advance
+    * `prev` state over time-sorted event micros, returning the rollup of
+    * every session TOUCHED (created or extended) plus the new state.
+    * Touched-session rows are upserts — a later batch may re-emit a session
+    * with higher n_events; consumers keep the latest row per
+    * (user_id, session_idx), exactly the contract of every Update-mode
+    * streaming aggregate. */
+  def advanceSessions(userId: Long, prev: Option[SessState], tsSortedUs: Seq[Long],
+                      gapUs: Long): (Vector[SessionOut], Option[SessState]) = {
+    var st = prev
+    var touched = scala.collection.immutable.SortedMap.empty[Long, SessionOut]
+    tsSortedUs.foreach { ts =>
+      st = st match {
+        case None                                 => Some(SessState(ts, 1L, 1L, ts))
+        case Some(s) if ts - s.lastTsUs > gapUs   => Some(SessState(ts, s.sessionIdx + 1, 1L, ts))
+        case Some(s)                              => Some(s.copy(lastTsUs = ts, nEvents = s.nEvents + 1))
+      }
+      val s = st.get
+      touched += s.sessionIdx ->
+        SessionOut(userId, s.sessionIdx, s.nEvents, s.startUs, s.lastTsUs)
+    }
+    (touched.values.toVector, st)
+  }
+
+  /** Streaming sessionization: `flatMapGroupsWithState` keyed on user_id,
+    * state = the open session's (lastTs, idx, count, start). Emits upsert
+    * rows per touched session each micro-batch (Update semantics).
+    *
+    * Ordering contract: events are sorted by ts WITHIN each micro-batch
+    * (bounded by per-user-per-batch volume — fine for any realistic trigger
+    * interval), and batches must arrive in coarse time order (true for a
+    * time-partitioned file/log source). A source with cross-batch
+    * out-of-order events needs an event-time buffer + watermark in front —
+    * documented, not silently mis-sessionized: state never moves backward,
+    * late events would start spurious sessions rather than corrupt closed
+    * ones. */
+  def sessionizeStream(events: DataFrame, gapMin: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    events.select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[SessState]) => {
+          val (out, st) = advanceSessions(uid, state.getOption, it.map(_._2).toVector.sorted, gapUs)
+          st.foreach(state.update)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Event-stream analytics: batch/streaming agreement for the tumbling-window
+  * aggregate (watermark + window over readStream) and gap-rule sessionization
+  * (flatMapGroupsWithState vs the batch window-function form), plus the pure
+  * state-fold's chunk-invariance (the property that makes cross-micro-batch
+  * continuation correct). */
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val events = Events.read(spark, sfDir).cache()
+
+  val GAP_US = 30L * 60 * 1000000
+
+  // scalar recomputation of the session rollups from first principles
+  def scalarSessions(rows: Seq[(Long, Long, Long)]): Set[(Long, Long, Long, Long, Long)] = {
+    // rows: (user_id, event_id, ts_us)
+    rows.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2)).map(_._3)
+      var idx = 0L; var last = Long.MinValue
+      var acc = Vector.empty[(Long, Long)] // (session_idx, ts)
+      sorted.foreach { ts =>
+        if (last == Long.MinValue || ts - last > GAP_US) idx += 1
+        acc = acc :+ ((idx, ts)); last = ts
+      }
+      acc.groupBy(_._1).map { case (si, g) =>
+        (uid, si, g.size.toLong, g.map(_._2).min, g.map(_._2).max)
+      }
+    }.toSet
+  }
+
+  lazy val eventTuples: Seq[(Long, Long, Long)] =
+    events.select(col("user_id"), col("event_id"), unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("windowedAgg (batch): counts and integer-cents sums match a scalar recomputation") {
+    val got = Events.windowedAgg(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val raw = events.select(unix_micros(col("ts").cast("timestamp")), col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = raw.groupBy { case (ts, et, _) => (ts - Math.floorMod(ts, 3600000000L), et) }
+      .map { case (k, g) => k -> (g.size.toLong, g.map(_._3).sum) }
+    assert(got == want)
+  }
+
+  test("windowedAgg: one plan serves batch AND readStream+watermark; outputs identical") {
+    val dir = Files.createTempDirectory("graft-ev-win").toString
+    try {
+      events.coalesce(1).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(events.schema).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp")) // watermark needs LTZ
+        .withWatermark("ts", "1 hour")
+      val q = Events.windowedAgg(stream).writeStream
+        .format("memory").queryName("ev_win")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("ev_win").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Events.windowedAgg(events).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+    } finally Bench.deleteRec(new java.io.File(dir))
+  }
+
+  test("sessions (batch): rollups match the scalar gap-rule fold") {
+    val got = Events.sessions(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == scalarSessions(eventTuples))
+  }
+
+  test("advanceSessions: chunked folding is split-invariant (state continuation)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // event times with a mix of sub-gap and super-gap deltas
+      val ts = Iterator.iterate(0L)(t =>
+        t + (if (rnd.nextBoolean()) rnd.nextInt(1000000) else GAP_US + 1 + rnd.nextInt(1000000)))
+        .take(n).toVector
+      val (whole, stW) = Events.advanceSessions(1L, None, ts, GAP_US)
+      // split into k chunks, fold with carried state, keep latest per session
+      val k = 1 + rnd.nextInt(5)
+      val cuts = (Vector(0, n) ++ Vector.fill(k - 1)(rnd.nextInt(n + 1))).sorted
+      var st: Option[Events.SessState] = None
+      var latest = Map.empty[Long, Events.SessionOut]
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        val (out, st2) = Events.advanceSessions(1L, st, ts.slice(a, b), GAP_US)
+        st = st2
+        out.foreach(o => latest += o.session_idx -> o)
+      }
+      assert(latest.values.toSet == whole.toSet)
+      assert(st == stW)
+    }
+  }
+
+  test("sessionizeStream (flatMapGroupsWithState) over ordered micro-batches ≡ batch sessions") {
+    val dir = Files.createTempDirectory("graft-ev-sess").toString
+    try {
+      // two time-ordered files → two micro-batches; sessions crossing the
+      // file boundary must continue (state), their rollups upserted
+      val cut = eventTuples.map(_._3).sorted.apply(eventTuples.size / 2)
+      val d0 = new java.io.File(dir, "f0.parquet")
+      val d1 = new java.io.File(dir, "f1.parquet")
+      def writeOne(df: org.apache.spark.sql.DataFrame, target: java.io.File, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-ev-one").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, target.toPath)
+        target.setLastModified(mtime): Unit
+        Bench.deleteRec(new java.io.File(tmp))
+      }
+      val now = System.currentTimeMillis()
+      writeOne(events.filter(unix_micros(col("ts").cast("timestamp")) <= cut), d0, now - 60000)
+      writeOne(events.filter(unix_micros(col("ts").cast("timestamp")) > cut), d1, now)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = Events.sessionizeStream(stream).toDF().writeStream
+        .format("memory").queryName("ev_sess")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // upsert contract: keep the LAST emission per (user, session)
+      val byKey = spark.table("ev_sess").collect().zipWithIndex
+        .map { case (r, i) => ((r.getLong(0), r.getLong(1)), (i, (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))) }
+        .groupBy(_._1).map { case (_, vs) => vs.maxBy(_._2._1)._2._2 }.toSet
+      assert(byKey == scalarSessions(eventTuples))
+    } finally Bench.deleteRec(new java.io.File(dir))
+  }
+}

@@ -274,6 +274,93 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25f with empty title field ≡ plain bm25TopK (field weight degenerates)") {
+    val q = Seq("join", "spark")
+    val fields = corpus.select(col("doc_id"), col("lang"),
+      lit("").as("title"), col("content").as("body"))
+    val got = Search.bm25fTopK(fields, q, tables.nDocs, k = 10, wTitle = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val dfs = QueryFrontend.lookupDf(tables.termStats, q.toSet)
+    val want = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((rk, id, sc), (wrk, wid, wsc)) =>
+      assert(rk == wrk && id == wid, s"rank $wrk: ($rk,$id) vs ($wrk,$wid)")
+      assert(math.abs(sc - wsc) < 1e-9, s"score at rank $wrk: $sc vs $wsc")
+    }
+  }
+
+  test("bm25f title weight: a title-hit doc overtakes an equal-body doc") {
+    import spark.implicits._
+    // two docs, identical bodies; only doc 1's title carries the query term
+    val fields = Seq(
+      (1L, "en", "alpha guide", "common words here alpha"),
+      (2L, "en", "other page", "common words here alpha")
+    ).toDF("doc_id", "lang", "title", "body")
+    val got = Search.bm25fTopK(fields, Seq("alpha"), nDocs = 2, k = 2, wTitle = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+  }
+
+  test("blendTopK β=1 ≡ pure BM25; β=0 ranks by relevance×authority; scalar recompute") {
+    val q = Seq("join", "spark")
+    val dfs = QueryFrontend.lookupDf(tables.termStats, q.toSet)
+    val pr = graft.corpus.LinkRank.pagerank(
+      graft.corpus.Crawl.syntheticEdges(corpus, tables.nDocs),
+      corpus.select("doc_id"), tables.nDocs, iters = 3).cache()
+    // β=1: prior must not affect ranking
+    val pure = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val b1 = Search.blendTopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, pr, k = 10, beta = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(b1.toSeq == pure.toSeq)
+    // β=0.5: exact scalar recompute over ALL conjunctive candidates
+    val prMap = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prMax = prMap.values.max.toDouble
+    val cands = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, k = Int.MaxValue)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2))
+    val want = cands.map { case (id, sc) =>
+      id -> sc * (0.5 + 0.5 * prMap.getOrElse(id, 0L).toDouble / prMax)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Search.blendTopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, pr, k = 10, beta = 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
+    pr.unpersist(): Unit
+  }
+
+  test("suggestBatch ≡ brute-force levenshtein top-1 per qterm; in-dict term suggests itself") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dict = tables.termStats.collect().map(r => (r.getString(0), r.getLong(1)))
+    val qs = Seq("sprk", "jion", "hash", "window", "zzzzzz")
+    val got = QueryFrontend.suggestBatch(tables.termStats, qs, maxDist = 2)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    qs.foreach { q =>
+      val cands = dict.map { case (t, df) => (t, lev(t, q).toLong, df) }.filter(_._2 <= 2)
+      if (cands.isEmpty) assert(!got.contains(q), s"$q should have no suggestion")
+      else {
+        val best = cands.minBy { case (t, d, df) => (d, -df, t) }
+        assert(got(q) == ((best._1, best._2, best._3)), s"$q: ${got.get(q)} vs $best")
+      }
+    }
+    assert(got("hash")._1 == "hash" && got("hash")._2 == 0L)
+    // per-qterm top-1 must be a group-limit, not a full sort per group
+    val plan = QueryFrontend.suggestBatch(tables.termStats, qs, maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("batched BM25 plan: per-query group limit, no full per-query sort") {
     import spark.implicits._
     val qs = Seq((0L, "join"), (0L, "spark"), (1L, "dup")).toDF("query_id", "term")
