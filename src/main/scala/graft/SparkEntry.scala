@@ -508,6 +508,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
+    // recall@k of the LSH index vs exact brute force — the ANN eval harness
+    // (per-query integer hits; recall = hits/k, hash-exact)
+    "ann_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = Ann.fixedQueries(s, emb, 5)
+      Ann.recallAtK(
+        Ann.bruteForceTopK(emb, q, 5),
+        Ann.lshTopK(emb, q, dim = 64, k = 5, bits = 8), k = 5)
+    }),
     // language-ID heuristic
     "text_lang_id" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -975,15 +984,15 @@ object SparkEntry {
          |  FROM embeddings x JOIN embeddings y
          |    ON x.label = y.label AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
-    "ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |scored AS (SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS cos
-         |           FROM embeddings e, q)
-         |SELECT query_id, rank, vec_id, cos_r FROM (
-         |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-         |  FROM scored)
-         |WHERE rank <= 5""".stripMargin,
+    "ann_topk" -> annBfSql,
+    // recall@k harness: LEFT JOIN the exact top-k against the approximate
+    // top-k (both full nested-WITH twins) — integer hits, exact recall
+    "ann_recall" ->
+      s"""WITH bf AS ($annBfSql), l AS ($annLshSql)
+         |SELECT bf.query_id, count(l.vec_id)::BIGINT AS hits,
+         |       count(l.vec_id) / 5.0 AS recall_r
+         |FROM bf LEFT JOIN l ON bf.query_id = l.query_id AND bf.vec_id = l.vec_id
+         |GROUP BY bf.query_id""".stripMargin,
     // deterministic by construction (splitmix64 planes / seed-free k-means),
     // so the approximate paths get full hash gates, not rows-only checks
     "ann_lsh_topk" -> annLshSql,
@@ -1255,6 +1264,18 @@ object SparkEntry {
        |       FROM $a, (SELECT unnest(range($embDim)) AS i) GROUP BY cid, i),
        |$next AS (SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT cid FROM $m)
        |          UNION ALL SELECT cid, list(mi ORDER BY i) AS cv FROM $m GROUP BY cid)""".stripMargin
+
+  /** exact brute-force cosine top-5 twin (composable: used standalone as
+    * ann_topk and nested inside ann_recall) */
+  private def annBfSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |scored AS (SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS cos
+       |           FROM embeddings e, q)
+       |SELECT query_id, rank, vec_id, cos_r FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
 
   private def annLshSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

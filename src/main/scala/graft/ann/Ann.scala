@@ -38,6 +38,25 @@ object Ann {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Recall@k evaluation: how much of the EXACT top-k an approximate index
+    * (LSH / IVF / anything emitting (query_id, vec_id)) recovered, per query
+    * — the eval-harness operator every ANN deployment runs before trusting
+    * an index at scale. One plan: equi-join on (query_id, vec_id) + a hash
+    * aggregate; hits are integers and recall = hits / k, so the output is
+    * hash-exact across engines. Scale shape: both inputs are top-k
+    * relations (|queries| × k rows) — tiny regardless of corpus size; the
+    * join never touches the embedding table. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hit = approx.select(col("query_id"), col("vec_id")).distinct()
+      .withColumn("_hit", lit(1L))
+    exact.select(col("query_id"), col("vec_id"))
+      .join(hit, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall_r"))
+  }
+
   /** deterministic pseudo-random hyperplane component p(plane, dim) ∈ [-1, 1) */
   def planeComponent(plane: Int, dim: Int): Double =
     Corpus.u01(Corpus.splitmix64(0x9E1A * (plane + 1) + dim.toLong * 0x7F4A7C15L)) * 2.0 - 1.0

@@ -129,4 +129,20 @@ class AnnSpec extends AnyFunSuite {
     assert(Ann.deriveBits(10L * 1000 * 1000 * 1000, 4096) > 8,
       "bucket count must grow with N")
   }
+
+  test("recallAtK: exact-vs-itself is 1.0; exact-vs-LSH matches a scalar set intersection") {
+    val q = Ann.fixedQueries(spark, emb, 3)
+    val bf = Ann.bruteForceTopK(emb, q, 5)
+    val self = Ann.recallAtK(bf, bf, 5).collect()
+    assert(self.length == 3 && self.forall(r => r.getLong(1) == 5L && r.getDouble(2) == 1.0))
+    val lsh = Ann.lshTopK(emb, q, dim = 64, k = 5, bits = 8)
+    val got = Ann.recallAtK(bf, lsh, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bfSets = bf.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    val lshSets = lsh.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    bfSets.foreach { case (qid, s) =>
+      val hits = s.intersect(lshSets.getOrElse(qid, Set.empty)).size.toLong
+      assert(got(qid) == ((hits, hits / 5.0)), s"query $qid")
+    }
+  }
 }
