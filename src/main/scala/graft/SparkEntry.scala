@@ -575,6 +575,17 @@ object SparkEntry {
     // gap-rule sessionization rollup (batch twin of flatMapGroupsWithState)
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Events.sessions(graft.streaming.Events.read(s, dir))),
+    // term facets: top-3 terms per repo by per-repo df (WindowGroupLimit)
+    "ft_facets" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.stats.Stats.topTermsPerRepo(
+        InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), k = 3)
+    }),
+    // related terms by co-occurrence lift (query-expansion association)
+    "ft_related" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      Search.relatedTerms(t.postings, t.termStats, "spark", k = 10)
+    }),
     // batched "did-you-mean": best correction per query term in ONE plan
     // (SymSpell dict-side neighborhood ⋈ broadcast query variants; top-1 =
     // rank-1 window; oracle is brute-force levenshtein over the dictionary
@@ -817,6 +828,26 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ft_facets" ->
+      s"""WITH ${termsCte},
+         |rdf AS (SELECT repo, term, count(DISTINCT doc_id)::BIGINT AS df
+         |        FROM terms GROUP BY repo, term)
+         |SELECT repo, facet_rank, term, df FROM (
+         |  SELECT repo, term, df,
+         |         row_number() OVER (PARTITION BY repo ORDER BY df DESC, term) AS facet_rank
+         |  FROM rdf) WHERE facet_rank <= 3""".stripMargin,
+    "ft_related" ->
+      s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
+         |seed AS (SELECT DISTINCT doc_id FROM post WHERE term = 'spark'),
+         |cooc AS (SELECT p.term, count(*)::BIGINT AS cooc
+         |         FROM post p JOIN seed USING (doc_id)
+         |         WHERE p.term <> 'spark' GROUP BY p.term HAVING count(*) >= 2),
+         |sc AS (SELECT c.term, c.cooc, t.df, round(c.cooc::DOUBLE / t.df, 4) AS lift_r
+         |       FROM cooc c JOIN tstats t USING (term))
+         |SELECT rank, term, cooc, df, lift_r FROM (
+         |  SELECT row_number() OVER (ORDER BY lift_r DESC, cooc DESC, term) AS rank,
+         |         term, cooc, df, lift_r FROM sc)
+         |WHERE rank <= 10""".stripMargin,
     "ft_suggest" -> {
       val qVals = suggestQ.map(q => s"'$q'").mkString(",")
       s"""WITH ${termsCte}, ${tstatsCte},

@@ -305,6 +305,33 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Related terms for query expansion: terms co-occurring with `term` in
+    * the same documents, ranked by lift = coocDf / df (how much more often
+    * the candidate appears WITH the seed than overall — plain co-counts
+    * would just return the corpus's hottest terms). The association-mining
+    * step behind "searches related to …" panels.
+    *
+    * Scale shape: the seed's doc set is a semi-join reduction (posting
+    * fetch, term-pruned at the scan), co-occurrence is ONE hash aggregate
+    * over the postings of those docs — never a postings×postings self-join;
+    * df arrives by equi-join with termStats. coocDf/df are BIGINTs; only
+    * the final lift ratio is a double, rounded for the cross-engine gate. */
+  def relatedTerms(postings: DataFrame, termStats: DataFrame, term: String,
+                   k: Int, minCooc: Long = 2L): DataFrame = {
+    val seedDocs = postings.filter(col("term") === term).select("doc_id")
+    val cooc = postings.join(seedDocs, Seq("doc_id"), "left_semi")
+      .filter(col("term") =!= term)
+      .groupBy("term").agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCooc)
+    val scored = cooc.join(termStats, "term")
+      .select(col("term"), col("cooc"), col("df"),
+        round(col("cooc").cast("double") / col("df"), 4).as("lift_r"))
+    val top = scored.orderBy(desc("lift_r"), desc("cooc"), asc("term")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("lift_r"), desc("cooc"), asc("term"))).cast("long"))
+      .select("rank", "term", "cooc", "df", "lift_r")
+  }
+
   /** "More like this" — top-k documents most similar to a source document by
     * TF-IDF cosine over shared terms (the classic fulltext-engine operator
     * popularized by Lucene's MoreLikeThis; public semantics). Beyond the

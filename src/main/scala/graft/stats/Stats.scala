@@ -44,6 +44,22 @@ object Stats {
     * immutable replacement for the reference's in-place status updates.
     * FAILED rows come from the driver-written abort records
     * (TableIO.recordFailure), with the error payload in `lastError`. */
+  /** Term facets: the top-`k` terms per repo by per-repo document frequency
+    * (the SERP sidebar "refine by" aggregation; beyond the reference, whose
+    * statistics stop at counts). Input is `InvertedIndex.termStatsByRepo`
+    * output (repo, term, df). The rank-filter-over-row_number shape compiles
+    * to a WindowGroupLimit — each repo group keeps a k-row heap, never a
+    * full per-repo sort, so a giant repo costs the same as a small one.
+    * Ties break df desc → term asc (deterministic cross-engine). */
+  def topTermsPerRepo(termStatsByRepo: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    termStatsByRepo
+      .withColumn("facet_rank", row_number().over(
+        Window.partitionBy("repo").orderBy(desc("df"), asc("term"))).cast("long"))
+      .filter(col("facet_rank") <= k)
+      .select("repo", "facet_rank", "term", "df")
+  }
+
   def runStatus(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val snaps = TableIO.listSnapshots(tableDir)

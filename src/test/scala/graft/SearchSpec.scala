@@ -361,6 +361,22 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("relatedTerms ≡ scalar co-occurrence lift over collected postings") {
+    val post = tables.postings.collect().map(r => (r.getLong(0), r.getString(1)))
+    val dfm = tables.termStats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seed = "spark"
+    val seedDocs = post.filter(_._2 == seed).map(_._1).toSet
+    val want = post.filter(p => seedDocs(p._1) && p._2 != seed)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 2L)
+      .map { case (t, c) =>
+        (t, c, dfm(t), BigDecimal(c.toDouble / dfm(t)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.sortBy { case (t, c, _, l) => (-l, -c, t) }.take(10)
+    val got = Search.relatedTerms(tables.postings, tables.termStats, seed, 10)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == want)
+  }
+
   test("batched BM25 plan: per-query group limit, no full per-query sort") {
     import spark.implicits._
     val qs = Seq((0L, "join"), (0L, "spark"), (1L, "dup")).toDF("query_id", "term")

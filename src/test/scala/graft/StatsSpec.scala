@@ -67,4 +67,24 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getInt(4) <= 64)                  // bounded by docsPerShard
     }
   }
+
+  test("topTermsPerRepo: scalar recompute + WindowGroupLimit plan (no full per-repo sort)") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val byRepo = graft.index.InvertedIndex.termStatsByRepo(
+      graft.index.InvertedIndex.tokens(corpus)).cache()
+    val got = Stats.topTermsPerRepo(byRepo, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val all = byRepo.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    all.groupBy(_._1).foreach { case (repo, rows) =>
+      val want = rows.sortBy { case (_, t, df) => (-df, t) }.take(3)
+      val g = got.filter(_._1 == repo).sortBy(_._2)
+      assert(g.length == want.length, s"$repo size")
+      g.zip(want).zipWithIndex.foreach { case (((_, rk, t, df), (_, wt, wdf)), i) =>
+        assert(rk == i + 1 && t == wt && df == wdf, s"$repo rank ${i + 1}")
+      }
+    }
+    val plan = Stats.topTermsPerRepo(byRepo, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    byRepo.unpersist(): Unit
+  }
 }
