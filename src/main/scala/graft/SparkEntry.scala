@@ -586,6 +586,9 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       Search.relatedTerms(t.postings, t.termStats, "spark", k = 10)
     }),
+    // semi-structured props: JSON field extraction + BIGINT rollup
+    "events_props" -> ((s, dir) =>
+      graft.streaming.Events.propsRollup(graft.streaming.Events.read(s, dir))),
     // batched "did-you-mean": best correction per query term in ONE plan
     // (SymSpell dict-side neighborhood ⋈ broadcast query variants; top-1 =
     // rank-1 window; oracle is brute-force levenshtein over the dictionary
@@ -848,6 +851,12 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY lift_r DESC, cooc DESC, term) AS rank,
          |         term, cooc, df, lift_r FROM sc)
          |WHERE rank <= 10""".stripMargin,
+    "events_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+        |max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "ft_suggest" -> {
       val qVals = suggestQ.map(q => s"'$q'").mkString(",")
       s"""WITH ${termsCte}, ${tstatsCte},

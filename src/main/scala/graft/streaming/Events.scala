@@ -76,6 +76,21 @@ object Events {
         unix_micros(min(col("ts"))).as("t_start_us"),
         unix_micros(max(col("ts"))).as("t_end_us"))
 
+  /** Semi-structured props handling: extract a typed field from the JSON
+    * `props` column and roll it up per event_type — the "schema-on-read"
+    * step every telemetry pipeline runs. `get_json_object` is a codegen'd
+    * expression (no UDF); all aggregates are BIGINT (count/sum/min/max of
+    * an integer field), so the rollup is order-independent and hash-exact.
+    * Rows whose props lack the field aggregate as NULL-skipped (count `n`
+    * still counts them — the distinction is part of the contract). */
+  def propsRollup(events: DataFrame, field: String = "k"): DataFrame = {
+    val k = get_json_object(col("props"), s"$$.$field").cast("long")
+    events.select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+  }
+
   // ---- streaming form (flatMapGroupsWithState) --------------------------
 
   /** Per-user session state carried across micro-batches. */

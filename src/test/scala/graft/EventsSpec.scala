@@ -100,6 +100,20 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("propsRollup: JSON field extraction matches a scalar recomputation") {
+    val got = Events.propsRollup(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val raw = events.select("event_type", "props").collect()
+      .map { r =>
+        val m = """"k": (-?\d+)""".r.findFirstMatchIn(r.getString(1)).map(_.group(1).toLong)
+        (r.getString(0), m)
+      }
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val ks = rows.flatMap(_._2)
+      assert(got(et) == ((rows.size.toLong, ks.sum, ks.min, ks.max)), s"type $et")
+    }
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) over ordered micro-batches ≡ batch sessions") {
     val dir = Files.createTempDirectory("graft-ev-sess").toString
     try {
