@@ -130,9 +130,12 @@ object QueryFrontend {
     require(queryTerms.nonEmpty && maxDist >= 1)
     val spark = termStats.sparkSession
     import spark.implicits._
-    val qv = queryTerms.distinct
-      .flatMap(q => deletionVariants(q, maxDist).map(v => (q, v)))
-      .toDF("qterm", "variant")
+    // the query log's neighborhood is generated by the SAME Column
+    // expression as the dictionary side — distributed, so a large query log
+    // never materializes O(|log|·L^maxDist) variant tuples in the driver
+    // (only the term list itself crosses the driver boundary)
+    val qv = queryTerms.distinct.toDF("term")
+      .select(col("term").as("qterm"), explode(expr(dictVariantSql(maxDist))).as("variant"))
     termStats
       .select(col("term"), col("df"), explode(expr(dictVariantSql(maxDist))).as("variant"))
       .join(broadcast(qv), "variant")

@@ -37,17 +37,18 @@ object Search {
       .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
   }
 
-  /** BM25-scored conjunctive top-k: (rank, doc_id, score).
-    * dfs: term -> df (from the driver-side plan — terms are few, so df
-    * enters the plan as a literal CASE map, no dictionary join needed). */
-  def bm25TopK(postings: DataFrame, docStats: DataFrame,
-               dfs: Map[String, Long], nDocs: Long, avgDl: Double,
-               k: Int, offset: Int = 0): DataFrame = {
+  /** Shared conjunctive BM25 candidate scoring: one IN-filtered postings
+    * scan → docStats join → hash aggregate → n_terms = |q| conjunction.
+    * Returns (doc_id, score). Used by bm25TopK and blendTopK so the
+    * candidate semantics cannot diverge. */
+  private def conjunctiveScores(postings: DataFrame, docStats: DataFrame,
+                                dfs: Map[String, Long], nDocs: Long,
+                                avgDl: Double): DataFrame = {
     val terms = dfs.keys.toSeq.sorted
     val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
       when(col("term") === t, lit(d)).otherwise(acc)
     }
-    val scored = postings
+    postings
       .filter(col("term").isin(terms.map(x => x: Any): _*))
       .join(docStats, "doc_id")
       .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
@@ -55,11 +56,25 @@ object Search {
       .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
       .filter(col("n_terms") === terms.size)
       .select(col("doc_id"), col("score"))
-    val top = scored.orderBy(desc("score"), asc("doc_id"))
-      .offset(offset).limit(k)
-    // rank over ≤ k rows (single tiny partition after the limit)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(desc("score"), asc("doc_id"))) + offset)
+  }
+
+  /** distributed top-k + rank stamp: TakeOrdered limit, then row_number over
+    * the ≤ k surviving rows (single tiny partition) with the SAME sort keys
+    * — the two sorts must match exactly for ranks to be correct, which is
+    * why this lives in one place. */
+  private def rankTopK(scored: DataFrame, k: Int, sort: Seq[org.apache.spark.sql.Column],
+                       offset: Int = 0): DataFrame =
+    scored.orderBy(sort: _*).offset(offset).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(sort: _*)) + offset)
+
+  /** BM25-scored conjunctive top-k: (rank, doc_id, score).
+    * dfs: term -> df (from the driver-side plan — terms are few, so df
+    * enters the plan as a literal CASE map, no dictionary join needed). */
+  def bm25TopK(postings: DataFrame, docStats: DataFrame,
+               dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+               k: Int, offset: Int = 0): DataFrame = {
+    val scored = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")), offset)
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
@@ -77,8 +92,7 @@ object Search {
       .join(docStats, "doc_id")
       .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
       .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
-    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
-    top.withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
@@ -139,9 +153,7 @@ object Search {
     val maxAbs = scored.agg(max(col("abs_rank")).as("max_abs"))
     val withRel = scored.crossJoin(broadcast(maxAbs)).withColumn("rel_rank",
       col("abs_rank").cast("double") / col("max_abs"))
-    withRel.orderBy(desc("abs_rank"), asc("doc_id")).offset(offset).limit(k)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("abs_rank"), asc("doc_id"))) + offset)
+    rankTopK(withRel, k, Seq(desc("abs_rank"), asc("doc_id")), offset)
       .select("rank", "doc_id", "abs_rank", "rel_rank")
   }
 
@@ -156,8 +168,7 @@ object Search {
     val perW = Window.partitionBy("repo").orderBy(desc("score"), asc("doc_id"))
     val kept = results.withColumn("_rr", row_number().over(perW))
       .filter(col("_rr") <= perRepo).drop("_rr")
-    kept.orderBy(desc("score"), asc("doc_id")).limit(k)
-      .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+    rankTopK(kept, k, Seq(desc("score"), asc("doc_id")))
       .select(col("rank"), col("doc_id"), col("repo"), col("score"))
   }
 
@@ -234,27 +245,19 @@ object Search {
   def blendTopK(postings: DataFrame, docStats: DataFrame,
                 dfs: Map[String, Long], nDocs: Long, avgDl: Double,
                 prior: DataFrame, k: Int, beta: Double = 0.5): DataFrame = {
-    val terms = dfs.keys.toSeq.sorted
-    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
-      when(col("term") === t, lit(d)).otherwise(acc)
-    }
-    val scored = postings
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
-      .join(docStats, "doc_id")
-      .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
-      .filter(col("n_terms") === terms.size)
-    val prMax = prior.agg(max(col("pr")).cast("double").as("pr_max"))
+    val scored = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
+    // empty prior: max(pr) is NULL — coalesce to 1 so every doc's prior
+    // factor is 0 and the ranking degrades to β-scaled pure relevance
+    // instead of all-NULL blends
+    val prMax = prior.agg(coalesce(max(col("pr")), lit(1L)).cast("double").as("pr_max"))
     val blended = scored
       .join(prior.select(col("doc_id"), col("pr")), Seq("doc_id"), "left")
       .crossJoin(broadcast(prMax))
       .withColumn("blend", col("score") *
         (lit(beta) + lit(1.0 - beta) *
           coalesce(col("pr"), lit(0L)).cast("double") / col("pr_max")))
-    val top = blended.orderBy(desc("blend"), asc("doc_id")).limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(desc("blend"), asc("doc_id"))).cast("long"))
+    rankTopK(blended, k, Seq(desc("blend"), asc("doc_id")))
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("rank"), col("doc_id"), col("blend"))
   }
 
@@ -277,14 +280,31 @@ object Search {
     * plan as a broadcast 1-row aggregate, so one Catalyst plan covers the
     * whole operator. */
   def bm25fTopK(fields: DataFrame, terms: Seq[String], nDocs: Long,
-                k: Int, wTitle: Int = 2): DataFrame = {
+                k: Int, wTitle: Int = 2): DataFrame =
+    bm25fTopKFromPostings(bm25fPostings(fields, wTitle), terms, nDocs, k)
+
+  /** Field-weighted postings tf′ = tf_body + wTitle·tf_title (the index-
+    * build half of BM25F): two token explosions + ONE co-partitioned
+    * (doc_id, term) full-outer join. At scale this relation is built once
+    * per index (and cached/persisted like any postings table) — querying
+    * through it repeatedly must not re-tokenize the corpus, which is why
+    * the build and score halves are separate methods. */
+  def bm25fPostings(fields: DataFrame, wTitle: Int = 2): DataFrame = {
     def post(textCol: String, tfName: String): DataFrame =
       fields.select(col("doc_id"),
           explode(InvertedIndex.termsForLang(col(textCol), col("lang"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as(tfName))
-    val eff = post("body", "tf_b").join(post("title", "tf_t"), Seq("doc_id", "term"), "full_outer")
+    post("body", "tf_b").join(post("title", "tf_t"), Seq("doc_id", "term"), "full_outer")
       .select(col("doc_id"), col("term"),
         (coalesce(col("tf_b"), lit(0L)) + lit(wTitle.toLong) * coalesce(col("tf_t"), lit(0L))).as("tf"))
+  }
+
+  /** The score half of BM25F over a (cached) field-weighted postings
+    * relation: dl′/df′/avgdl′ are derived relations; avgdl′ enters the plan
+    * as a broadcast 1-row aggregate, so the whole operator is one Catalyst
+    * plan with no driver-side action. */
+  def bm25fTopKFromPostings(eff: DataFrame, terms: Seq[String], nDocs: Long,
+                            k: Int): DataFrame = {
     val ds = eff.groupBy("doc_id").agg(sum("tf").as("dl"))
     val tstats = eff.filter(col("term").isin(terms.map(x => x: Any): _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -299,9 +319,8 @@ object Search {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
       .filter(col("n_terms") === terms.size)
-    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
@@ -326,9 +345,8 @@ object Search {
     val scored = cooc.join(termStats, "term")
       .select(col("term"), col("cooc"), col("df"),
         round(col("cooc").cast("double") / col("df"), 4).as("lift_r"))
-    val top = scored.orderBy(desc("lift_r"), desc("cooc"), asc("term")).limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(desc("lift_r"), desc("cooc"), asc("term"))).cast("long"))
+    rankTopK(scored, k, Seq(desc("lift_r"), desc("cooc"), asc("term")))
+      .withColumn("rank", col("rank").cast("long"))
       .select("rank", "term", "cooc", "df", "lift_r")
   }
 
@@ -362,9 +380,8 @@ object Search {
       .crossJoin(broadcast(qn))
       .select(col("doc_id"),
         round(col("dot") / (col("norm") * col("qnorm")), 4).as("score_r"))
-    val top = scored.orderBy(desc("score_r"), asc("doc_id")).limit(k)
-    top.withColumn("rank",
-        row_number().over(Window.orderBy(desc("score_r"), asc("doc_id"))).cast("long"))
+    rankTopK(scored, k, Seq(desc("score_r"), asc("doc_id")))
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("rank"), col("doc_id"), col("score_r"))
   }
 }

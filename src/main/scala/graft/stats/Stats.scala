@@ -40,10 +40,6 @@ object Stats {
   case class RunStatus(snapshotId: Long, status: String, partitions: Int,
                        rows: Long, bytes: Long, statusTime: Long, lastError: String)
 
-  /** status rows from the snapshot history of an index table dir — the
-    * immutable replacement for the reference's in-place status updates.
-    * FAILED rows come from the driver-written abort records
-    * (TableIO.recordFailure), with the error payload in `lastError`. */
   /** Term facets: the top-`k` terms per repo by per-repo document frequency
     * (the SERP sidebar "refine by" aggregation; beyond the reference, whose
     * statistics stop at counts). Input is `InvertedIndex.termStatsByRepo`
@@ -60,6 +56,10 @@ object Stats {
       .select("repo", "facet_rank", "term", "df")
   }
 
+  /** status rows from the snapshot history of an index table dir — the
+    * immutable replacement for the reference's in-place status updates.
+    * FAILED rows come from the driver-written abort records
+    * (TableIO.recordFailure), with the error payload in `lastError`. */
   def runStatus(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     val snaps = TableIO.listSnapshots(tableDir)

@@ -114,7 +114,14 @@ object Events {
       st = st match {
         case None                                 => Some(SessState(ts, 1L, 1L, ts))
         case Some(s) if ts - s.lastTsUs > gapUs   => Some(SessState(ts, s.sessionIdx + 1, 1L, ts))
-        case Some(s)                              => Some(s.copy(lastTsUs = ts, nEvents = s.nEvents + 1))
+        case Some(s)                              =>
+          // in-order: advance lastTs. LATE (ts < lastTs, cross-batch
+          // stragglers): merge into the open session WITHOUT rewinding
+          // lastTs — state is monotone, so a later in-order event can
+          // never be tricked into a spurious split; the session's start
+          // extends backward to cover the straggler.
+          Some(s.copy(lastTsUs = math.max(ts, s.lastTsUs),
+            nEvents = s.nEvents + 1, startUs = math.min(ts, s.startUs)))
       }
       val s = st.get
       touched += s.sessionIdx ->
@@ -129,12 +136,15 @@ object Events {
     *
     * Ordering contract: events are sorted by ts WITHIN each micro-batch
     * (bounded by per-user-per-batch volume — fine for any realistic trigger
-    * interval), and batches must arrive in coarse time order (true for a
-    * time-partitioned file/log source). A source with cross-batch
-    * out-of-order events needs an event-time buffer + watermark in front —
-    * documented, not silently mis-sessionized: state never moves backward,
-    * late events would start spurious sessions rather than corrupt closed
-    * ones. */
+    * interval), and batches should arrive in coarse time order (true for a
+    * time-partitioned file/log source). Cross-batch stragglers (an event
+    * older than the open session's lastTs) MERGE into the open session:
+    * state is monotone (lastTs never rewinds), so a straggler can neither
+    * split the ongoing session nor corrupt a closed one — its session
+    * assignment may differ from the all-data batch answer (the straggler
+    * might have belonged to an earlier session), which is the standard
+    * best-effort contract; a source with heavy reordering needs an
+    * event-time buffer + watermark in front. */
   def sessionizeStream(events: DataFrame, gapMin: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -114,6 +114,20 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("advanceSessions: a late cross-batch straggler merges without rewinding state") {
+    val (_, st1) = Events.advanceSessions(1L, None, Vector(100L, 200L), GAP_US)
+    val (out2, st2) = Events.advanceSessions(1L, st1, Vector(50L, 250L), GAP_US)
+    val s = st2.get
+    // straggler (50 < lastTs 200) merged; lastTs NEVER rewound; start extended
+    assert(s.sessionIdx == 1L && s.nEvents == 4L && s.lastTsUs == 250L && s.startUs == 50L)
+    val last = out2.last
+    assert(last.t_start_us == 50L && last.t_end_us == 250L && last.n_events == 4L)
+    assert(last.t_start_us <= last.t_end_us)
+    // subsequent in-order event within gap of the TRUE lastTs must not split
+    val (_, st3) = Events.advanceSessions(1L, st2, Vector(260L), GAP_US)
+    assert(st3.get.sessionIdx == 1L)
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) over ordered micro-batches ≡ batch sessions") {
     val dir = Files.createTempDirectory("graft-ev-sess").toString
     try {
