@@ -587,6 +587,16 @@ object SparkEntry {
     // gap-rule sessionization rollup (batch twin of flatMapGroupsWithState)
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Events.sessions(graft.streaming.Events.read(s, dir))),
+    // champion lists: per-term top-m impact-ordered candidates (index-build
+    // artifact), approximate disjunctive BM25 over champions only — the
+    // hard-cost-ceiling query tier (IIR §7.1.3)
+    "ft_champions" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val ch = graft.index.Champions.build(t.postings, t.docStats, t.avgDl, m = 5)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      graft.index.Champions.topK(ch, dfs, t.nDocs, t.avgDl, 10)
+        .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
     // term facets: top-3 terms per repo by per-repo df (WindowGroupLimit)
     "ft_facets" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -843,6 +853,24 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ft_champions" -> {
+      val tfn = s"(tf * ${Bm25.k1 + 1.0}) / (tf + ${Bm25.k1} * (${1.0 - Bm25.b} + ${Bm25.b} * dl / s.avgdl))"
+      val score = Bm25.sql("c.tf", "t.df", "c.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |pj AS (SELECT p.doc_id, p.term, p.tf, d.dl FROM post p JOIN ds d ON p.doc_id = d.doc_id),
+         |ch AS (SELECT doc_id, term, tf, dl FROM (
+         |  SELECT doc_id, term, tf, dl,
+         |         row_number() OVER (PARTITION BY term ORDER BY $tfn DESC, doc_id) AS rn
+         |  FROM pj, stats s) WHERE rn <= 5),
+         |scored AS (
+         |  SELECT c.doc_id, sum($score) AS score
+         |  FROM ch c JOIN q USING (term) JOIN tstats t USING (term), stats s
+         |  GROUP BY c.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r FROM scored
+         |) WHERE rank <= 10""".stripMargin
+    },
     "ft_facets" ->
       s"""WITH ${termsCte},
          |rdf AS (SELECT repo, term, count(DISTINCT doc_id)::BIGINT AS df

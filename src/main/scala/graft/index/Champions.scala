@@ -1,0 +1,58 @@
+package graft.index
+
+import graft.query.Bm25
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Champion lists (a.k.a. impact-ordered fancy lists; Manning/Raghavan/
+  * Schütze IIR §7.1.3 — public literature): for every term, precompute the
+  * top-`m` documents by BM25 tf-normalization. A query then scores ONLY the
+  * union of its terms' champions — a candidate set of ≤ |q|·m docs
+  * independent of how hot the terms are, where exhaustive disjunctive
+  * scoring touches every posting of every query term.
+  *
+  * Complementary to block-max WAND (query/Wand.scala): WAND prunes with
+  * exact top-k guarantees; champions trade a bounded, measurable recall
+  * loss (rank-identical for any doc whose score is driven by champion
+  * entries) for a HARD per-query cost ceiling — the "never melt on a hot
+  * query" tier a web frontend runs first.
+  *
+  * Scale shape: the build is one postings ⋈ docStats pass with a per-term
+  * rank filter that compiles to WindowGroupLimit (m-row heap per term,
+  * never a full per-term sort — asserted in spec); it is an INDEX-build
+  * artifact, stored beside the postings. The query side is an IN-filtered
+  * scan of a relation m/avgDf times smaller than the postings.
+  */
+object Champions {
+
+  /** Build the champion relation (term, doc_id, tf, dl): top-`m` docs per
+    * term by tf-normalization (ties doc_id asc). Carries (tf, dl) so the
+    * query side can rescore with any idf without touching docStats. */
+  def build(postings: DataFrame, docStats: DataFrame, avgDl: Double, m: Int): DataFrame =
+    postings.join(docStats, "doc_id")
+      .withColumn("_tfn", Bm25.tfNorm(col("tf"), col("dl"), avgDl))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("term").orderBy(desc("_tfn"), asc("doc_id"))))
+      .filter(col("_rn") <= m)
+      .select("term", "doc_id", "tf", "dl")
+
+  /** Approximate disjunctive BM25 top-k over the champion relation only.
+    * Same formula and tie-breaks as Search.bm25TopKDisjunctive — restricted
+    * to champion candidates. */
+  def topK(champions: DataFrame, dfs: Map[String, Long], nDocs: Long,
+           avgDl: Double, k: Int): DataFrame = {
+    val terms = dfs.keys.toSeq.sorted
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val scored = champions
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+}

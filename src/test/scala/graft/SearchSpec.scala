@@ -334,6 +334,41 @@ class SearchSpec extends AnyFunSuite {
     pr.unpersist(): Unit
   }
 
+  test("champion lists: m ≥ nDocs ≡ exhaustive disjunctive BM25; build plan is a group limit") {
+    import graft.index.Champions
+    val q = Seq("join", "spark")
+    val dfs = QueryFrontend.lookupDf(tables.termStats, q.toSet)
+    // m covering every posting ⇒ champions are the whole postings relation
+    val full = Champions.build(tables.postings, tables.docStats, tables.avgDl,
+      m = tables.nDocs.toInt)
+    val got = Champions.topK(full, dfs, tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = Search.bm25TopKDisjunctive(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((rk, id, sc), (wrk, wid, wsc)) =>
+      assert(rk == wrk && id == wid, s"rank $wrk: ($rk,$id) vs ($wrk,$wid)")
+      assert(math.abs(sc - wsc) < 1e-9)
+    }
+    // small m: candidates are a subset, every returned doc is a champion of
+    // some query term, and scores match a scalar recompute over champions
+    val ch = Champions.build(tables.postings, tables.docStats, tables.avgDl, m = 3)
+    val chRows = ch.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.foreach(t => assert(chRows.count(_._1 == t) <= 3))
+    val approx = Champions.topK(ch, dfs, tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val scalarScores = chRows.filter(r => q.contains(r._1))
+      .groupBy(_._2).view.mapValues(_.map { case (t, _, tf, dl) =>
+        Bm25.scoreS(tf, dfs(t), dl, tables.nDocs, tables.avgDl) }.sum)
+    approx.foreach { case (id, sc) =>
+      assert(math.abs(sc - scalarScores(id)) < 1e-9, s"doc $id")
+    }
+    val plan = Champions.build(tables.postings, tables.docStats, tables.avgDl, m = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("suggestBatch ≡ brute-force levenshtein top-1 per qterm; in-dict term suggests itself") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
