@@ -27,6 +27,12 @@ object SparkEntry {
   val q2 = Seq("join", "spark")           // 2-term conjunction
   val q3 = Seq("dup", "hash", "spark")    // rare + hot conjunction
   val qMissingInput = "spark warpdrive flux" // terms absent from corpus
+  /** INFLECTED flagship-search input: the shipped lexicon maps joins→join,
+    * so the end-to-end lexical path must return docs indexed under `join` */
+  val qLexInput = "joins spark"
+  /** its lexicon-expanded term set — what both engines actually score */
+  def qLexTerms: Seq[String] =
+    Analyzer.analyze("en", qLexInput, DefaultLexicon.lexicon).distinct.sorted
   /** fixed query log for the batched scorer (query_id, term) */
   val batchQ: Seq[(Long, String)] = Seq(
     (0L, "join"), (0L, "spark"),
@@ -100,6 +106,43 @@ object SparkEntry {
        |JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin
 
+  /** flagship-search twin over the LEXICON-EXPANDED postings: same prune +
+    * conjunctive BM25 + decoration chain as the ft_search_flagship twin, but
+    * post/ds/tstats/stats all derive from the lexCte-expanded token stream
+    * (what the engine's lexIndex holds) and `queryTerms` arrive pre-expanded
+    * through the SAME shipped lexicon. */
+  private def lexSearchSql(queryTerms: Seq[String], k: Int): String = {
+    val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+    s"""WITH ${termsCte}, ${lexCte},
+       |lexp AS (SELECT t.doc_id, coalesce(l.form, t.term) AS term
+       |         FROM terms t LEFT JOIN lex l ON t.term = l.surface),
+       |post AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM lexp GROUP BY doc_id, term),
+       |ds AS (SELECT doc_id, count(*)::BIGINT AS dl FROM lexp GROUP BY doc_id),
+       |tstats AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM lexp GROUP BY term),
+       |${statsCte}, ${qCte(queryTerms)},
+       |qdf AS (SELECT t.term, t.df FROM tstats t JOIN q USING (term)),
+       |st AS (SELECT sum(df) // count(*) AS avgi, count(*) AS n FROM qdf),
+       |sig AS (SELECT sqrt(sum((df - avgi) * (df - avgi)) / (n - 1.0)) AS sigma
+       |        FROM qdf, st GROUP BY n, avgi),
+       |kept AS (SELECT term FROM qdf, st, sig
+       |         WHERE df <= CAST(trunc(avgi + 2 * sigma) AS BIGINT)),
+       |scored AS (
+       |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+       |  FROM post p JOIN kept USING (term) JOIN tstats t USING (term)
+       |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+       |  GROUP BY p.doc_id
+       |),
+       |topk AS (
+       |  SELECT rank, doc_id, score_r FROM (
+       |    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       |           doc_id, round(score, 4) AS score_r
+       |    FROM scored WHERE n_terms = (SELECT count(*) FROM kept)
+       |  ) WHERE rank <= $k
+       |)
+       |SELECT rank, doc_id, source AS repo, 'doc/' || doc_id AS path, score_r
+       |FROM topk JOIN documents USING (doc_id)""".stripMargin
+  }
+
   private def bm25TopKSql(terms: Seq[String], k: Int): String = {
     val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
     s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(terms)},
@@ -151,6 +194,30 @@ object SparkEntry {
       Search.bm25fPostings(c.select(col("doc_id"), col("lang"),
           Html.title(html).as("title"), Html.extractText(html).as("body")), wTitle = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    })
+
+  private val lexIdxCache = new java.util.concurrent.ConcurrentHashMap[String, InvertedIndex.Tables]()
+  /** Lexicon-EXPANDED index tables (1→N through the shipped lexicon), built
+    * once per (session, sfDir) — the index side of the end-to-end lexical
+    * search path: the reference lemmatizes BOTH sides
+    * (IndexingServiceImpl.java:144-155 index, SearcherPage.java:39 query). */
+  def lexIndex(s: SparkSession, dir: String): InvertedIndex.Tables =
+    lexIdxCache.computeIfAbsent(s"${s.hashCode}|$dir", _ => {
+      val (c, _) = index(s, dir)
+      InvertedIndex.build(c, defaultLexicon = DefaultLexicon.lexicon)
+    })
+
+  private val mltCache = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  /** moreLikeThis index artifacts (TF-IDF weighted postings + per-doc
+    * norms), built once per (session, sfDir) and cached serialized — the
+    * per-query path pushes an isin term filter into this relation instead
+    * of re-aggregating the postings (Search.mltBuild/mltQuery split). */
+  def mltIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    mltCache.computeIfAbsent(s"${s.hashCode}|$dir", _ => {
+      val (_, t) = index(s, dir)
+      val (w, norms) = Search.mltBuild(t.postings, t.termStats, t.nDocs)
+      (w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+        norms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -398,8 +465,8 @@ object SparkEntry {
       // maxDfFrac 0.9: the sf corpora have a ~31-term synthetic vocabulary
       // where every term is hot (median df ≈ 0.78N) — the default 0.25
       // informative-term prune would empty the query vector
-      Search.moreLikeThis(t.postings, t.termStats, t.nDocs, docId = 42L, k = 10,
-        maxDfFrac = 0.9)
+      val (w, norms) = mltIndex(s, dir)
+      Search.mltQuery(w, norms, t.nDocs, docId = 42L, k = 10, maxDfFrac = 0.9)
     }),
     // Link-graph authority ranking: fixed-point PageRank (3 power
     // iterations, BIGINT mass units — order-independent sums, hash-exact
@@ -427,6 +494,20 @@ object SparkEntry {
       val (c, t) = index(s, dir)
       Search.search(c, t.postings, t.docStats, t.termStats, t.nDocs, t.avgDl,
         query = q2.mkString(" "), lang = "en", limit = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("repo"),
+          col("path"), round(col("score"), 4).as("score_r"))
+    }),
+    // Flagship search with the 1→N lexicon threaded through BOTH sides: the
+    // index is lexicon-expanded (lexIndex) and the query analyzer expands
+    // the INFLECTED input ("joins") through the same lexicon — the
+    // reference's lemmatize-query-and-index contract (SearcherPage.java:39;
+    // IndexingServiceImpl.java:144-155)
+    "ft_search_lex" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val t = lexIndex(s, dir)
+      Search.search(c, t.postings, t.docStats, t.termStats, t.nDocs, t.avgDl,
+        query = qLexInput, lang = "en", limit = 10,
+        lexicon = DefaultLexicon.lexicon)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), col("repo"),
           col("path"), round(col("score"), 4).as("score_r"))
     }),
@@ -730,6 +811,8 @@ object SparkEntry {
          |SELECT rank, doc_id, source AS repo, 'doc/' || doc_id AS path, score_r
          |FROM topk JOIN documents USING (doc_id)""".stripMargin
     },
+
+    "ft_search_lex" -> lexSearchSql(qLexTerms, 10),
 
     "ft_postings_lex" ->
       s"""WITH ${termsCte}, ${lexCte},

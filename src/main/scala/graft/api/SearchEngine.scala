@@ -52,7 +52,8 @@ import org.apache.spark.storage.StorageLevel
 class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
                    stateDir: Option[String] = None,
                    clock: () => Long = () => System.currentTimeMillis(),
-                   checkpointEvery: Int = 32) {
+                   checkpointEvery: Int = 32,
+                   val lexicons: Map[String, Analyzer.Lexicon] = Map.empty) {
 
   case class SearchItem(site: String, siteName: String, uri: String,
                         title: String, snippet: String, relevance: Double)
@@ -75,6 +76,10 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
   @volatile private var indexStatusTime: Long = 0L
   /** upserts since the corpus lineage was last folded into a checkpoint */
   private var sinceCheckpoint = 0
+  /** committed compressed index servable via the WAND path; cleared by any
+    * mutation (the persisted snapshot is stale once the live LSM moves) */
+  @volatile private var persistedDir: Option[String] = None
+  private var persistedCfg: IndexWriter.Config = IndexWriter.Config()
 
   // ---- LSM state store backing the live tables -------------------------
   private val baseDir = stateDir.getOrElse(
@@ -138,12 +143,15 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
       invalidateTables()
       store = freshStore()
       // one whole-corpus batch through the SAME merge path upserts use —
-      // the initial build is just the first (big) delta
-      IncrementalIndex.mergeBatch(store, indexedView(corpus))
+      // the initial build is just the first (big) delta. Raw docs ride
+      // along into the durable docs log (reattach + statistics source).
+      IncrementalIndex.mergeBatch(store, indexedView(corpus),
+        lexicons = lexicons, rawDocs = Some(corpus))
       indexStatusTime = clock()
       lastErr = null
       indexed = true
       sinceCheckpoint = 0
+      persistedDir = None // any previously attached snapshot is superseded
       cache.clear() // a rebuilt index invalidates every cached response
       true
     } finally inFlight.set(false)
@@ -166,7 +174,7 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
         if (corpus.columns.contains("code")) graft.corpus.Corpus.httpOk(corpus)
         else corpus
       synchronized { corpus = gated.cache() }
-      val t = InvertedIndex.build(indexedView(corpus))
+      val t = InvertedIndex.build(indexedView(corpus), lexicons = lexicons)
       val shards = IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg)
         .persist(StorageLevel.MEMORY_AND_DISK_SER) // encode once across groups
       try {
@@ -194,12 +202,22 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
         // indexPage() work exactly as after startIndexing()
         synchronized {
           store = freshStore()
-          IncrementalIndex.seedBase(store, t)
+          // per-repo df derives from the cached postings + the corpus's
+          // (doc_id, repo) map — no second tokenization pass
+          val tsRepo = t.postings
+            .join(corpus.select("doc_id", "repo"), "doc_id")
+            .groupBy("repo", "term").agg(count(lit(1)).as("df"))
+          IncrementalIndex.seedBase(store, t, rawDocs = Some(corpus),
+            termStatsRepo = Some(tsRepo))
           invalidateTables()
           indexStatusTime = clock()
           lastErr = null
           indexed = true
           sinceCheckpoint = 0
+          // the committed compressed index is queryable via the WAND path
+          // with its frozen stats until the next mutation
+          persistedDir = Some(tableDir)
+          persistedCfg = cfg
           cache.clear()
         }
         true
@@ -209,6 +227,11 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
       }
     } finally inFlight.set(false)
   }
+
+  /** true while search() serves global queries from the committed
+    * compressed snapshot via block-max WAND; false once a mutation
+    * invalidates the snapshot (search falls back to the live LSM tables). */
+  def servesFromPersisted: Boolean = persistedDir.isDefined
 
   /** GET /api/stopIndexing: arm the cooperative stop flag. Returns false
     * when no indexing run is in flight (the reference's "Индексация не
@@ -263,11 +286,14 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     // postings via point-read + signed df deltas)
     val delIds = ids.join(docOk.select("doc_id"), Seq("doc_id"), "left_anti")
     if (!delIds.isEmpty) IncrementalIndex.deleteDocs(store, delIds)
-    if (!docOk.isEmpty) IncrementalIndex.mergeBatch(store, indexedView(docOk))
+    if (!docOk.isEmpty)
+      IncrementalIndex.mergeBatch(store, indexedView(docOk),
+        lexicons = lexicons, rawDocs = Some(docOk))
     // bound read fan-in: fold the log once it grows past compactEvery
     if (store.pointer.exists(p => p._1 - p._2 >= compactEvery))
       IncrementalIndex.compactState(store, spark)
     invalidateTables()
+    persistedDir = None // the compressed snapshot no longer matches the LSM
     cache.clear() // cached responses may cite the replaced/deleted doc
     true
   }
@@ -297,54 +323,95 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     // mutators (under the same lock), so reading them under it prevents a
     // concurrent indexPage from pairing new corpus content with old
     // postings mid-search
-    val (corpus, t) = synchronized { (this.corpus, tables) }
+    val (corpus, t, pDir) = synchronized { (this.corpus, tables, persistedDir) }
+    // BOTH sides analyze through the same per-lang lexicon (reference
+    // lemmatizes query and index alike: SearcherPage.java:39,
+    // IndexingServiceImpl.java:144-155)
+    val lex = lexicons.getOrElse(lang, Analyzer.emptyLexicon)
     // empty-after-analysis -> error (reference SearchServiceImpl.java:54-57)
-    val qTerms = Analyzer.queryTerms(lang, query)
+    val qTerms = Analyzer.queryTerms(lang, query, lex)
     // (the reference's messages are Russian — "Задан пустой поисковый
     // запрос" / "Нет данных по словам: …" — kept in English here)
     if (qTerms.isEmpty)
       return SearchResponse(result = false, 0, Nil, "Empty search query")
-    val plan = QueryFrontend.plan(t.termStats, lang, query)
+    val plan = QueryFrontend.plan(t.termStats, lang, query, lex)
     if (plan.missing.nonEmpty)
       // reference sentinel row lists the missing words (SearcherPage.java:58-79)
       return SearchResponse(result = false, 0, Nil,
         s"No data for words: ${plan.missing.mkString(", ")}, ")
     if (plan.isEmpty) return SearchResponse(result = true, 0, Nil, null)
-    var rows = Search.search(corpus, t.postings, t.docStats, t.termStats,
-        t.nDocs, t.avgDl, query, lang, site, limit, offset)
-      .collect()
-    if (rows.isEmpty && offset > 0) {
-      // reference quirk (SearchServiceImpl.java:101-118): an offset at or
-      // past the end of the result list clamps to the LAST element rather
-      // than returning an empty page
-      val scoped = site match {
-        case Some(r) => t.postings.join(
-          corpus.filter(col("repo") === r).select("doc_id"), Seq("doc_id"), "left_semi")
-        case None => t.postings
-      }
-      val total = Search.conjunctive(scoped, plan.terms.map(_.term)).count()
-      if (total > 0) {
-        // Dataset.offset takes an Int; clamp so a >2^31-row match count
-        // can't become a negative offset
-        val lastOffset = math.min(total - 1, Int.MaxValue.toLong - 1).toInt
-        rows = Search.search(corpus, t.postings, t.docStats, t.termStats,
-            t.nDocs, t.avgDl, query, lang, site, 1, lastOffset)
-          .collect()
-      }
+    val kept = plan.terms.map(_.term)
+    val dfs = plan.terms.map(pt => pt.term -> pt.df).toMap
+    val scoped = site match {
+      case Some(r) => t.postings.join(
+        corpus.filter(col("repo") === r).select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => t.postings
     }
+    // FULL result-set size before pagination — the reference's response
+    // count is resultSearch.size(), not the page length
+    // (SearchServiceImpl.java:90); a UI pager needs the total
+    val total = Search.conjunctive(scoped, kept).count()
+    if (total == 0) return SearchResponse(result = true, 0, Nil, null)
+    // reference quirk (SearchServiceImpl.java:101-118): an offset at or
+    // past the end of the result list clamps to the LAST element rather
+    // than returning an empty page. Dataset.offset takes an Int; clamp so
+    // a >2^31-row match count can't become a negative offset.
+    val (effOffset, effLimit) =
+      if (offset > 0 && offset >= total)
+        (math.min(total - 1, Int.MaxValue.toLong - 1).toInt, 1)
+      else (offset, limit)
+    // rank tier: a committed compressed snapshot (startIndexingPersisted,
+    // not yet invalidated by a mutation) serves global queries through the
+    // block-max WAND path with the snapshot's FROZEN stats (_meta.json) —
+    // rank-identical to the DataFrame aggregate by construction (shared
+    // formula + tie-breaks; asserted in SearchEngineSpec). Site-scoped
+    // queries stay on the DataFrame path (shards are not repo-scoped).
+    val top = pDir match {
+      case Some(dir) if site.isEmpty =>
+        val meta = TableIO.readMeta(dir).get
+        val idfs = dfs.map { case (tm, d) => tm -> graft.query.Bm25.idfS(d, meta.nDocs) }
+        graft.query.Wand.topK(
+            IndexWriter.readForTerms(spark, dir, kept, persistedCfg),
+            idfs, meta.avgDl, effOffset + effLimit)
+          .filter(col("rank") > effOffset)
+      case _ =>
+        Search.bm25TopK(scoped, t.docStats, dfs, t.nDocs, t.avgDl, effLimit, effOffset)
+    }
+    val rows = Search.decorate(corpus, top, dfs.keySet).collect()
     val items = rows.map { r =>
       SearchItem(r.getAs[String]("repo"), r.getAs[String]("repo"),
         r.getAs[String]("path"), r.getAs[String]("title"),
         r.getAs[String]("snippet"), r.getAs[Double]("score"))
     }
-    SearchResponse(result = true, items.length.toLong, items.toSeq, null)
+    SearchResponse(result = true, total, items.toSeq, null)
+  }
+
+  /** per-repo (repo, pages, lemmas) rows + the ALL total, computed from
+    * STORE tables only (docs log + signed per-repo df deltas) — a status
+    * poll never re-tokenizes the corpus, mirroring the reference's two
+    * COUNT queries over existing tables (StatisticsServiceImpl.java:30-87,
+    * PageRepository.countBySite / LemmaRepository.countBySite). Falls back
+    * to the tokenize rollup only for legacy stores that never carried raw
+    * docs. Exposed for the no-Analyzer-nodes plan assertion in spec. */
+  private[graft] def statisticsFrame(): DataFrame = synchronized {
+    val fromStore = for {
+      docs <- IncrementalIndex.readDocs(store, spark)
+      tsr <- IncrementalIndex.readTermStatsRepo(store, spark)
+    } yield {
+      val pages = docs.groupBy("repo").agg(count(lit(1)).as("pages"))
+      val lemmas = tsr.groupBy("repo").agg(count(lit(1)).as("lemmas"))
+      val per = pages.join(lemmas, "repo")
+      val totalRow = per.agg(coalesce(sum("pages"), lit(0L)).as("pages"),
+          coalesce(sum("lemmas"), lit(0L)).as("lemmas"))
+        .withColumn("repo", lit("ALL")).select("repo", "pages", "lemmas")
+      per.select("repo", "pages", "lemmas").union(totalRow)
+    }
+    fromStore.getOrElse(Stats.statistics(indexedView(corpus)))
   }
 
   def statistics(): Statistics = {
     require(indexed, "index not built")
-    // lemma counts over the SAME view the index tokenized (coherence with
-    // indexedView); pages count over the stored corpus
-    val rows = Stats.statistics(indexedView(corpus)).collect()
+    val rows = statisticsFrame().collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val total = rows.find(_._1 == "ALL").getOrElse(("ALL", 0L, 0L))
     // status mirrors the reference Site.status: a recorded error (e.g. a
@@ -355,5 +422,58 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
       DetailedItem(site, site, status, indexStatusTime, lastErr, pages, lemmas)
     }
     Statistics(detailed.length.toLong, total._2, total._3, detailed.toSeq)
+  }
+
+  /** adopt an already-committed LSM store (the attach path): serve reads
+    * immediately; `runSeq` continues the run numbering so a later rebuild
+    * never collides with the adopted lineage. */
+  private[graft] def adoptStore(st: IncrementalIndex.ParquetStateStore, seq: Int): Unit =
+    synchronized {
+      store = st
+      runSeq = math.max(runSeq, seq)
+      invalidateTables()
+      indexStatusTime = clock()
+      lastErr = null
+      indexed = true
+      sinceCheckpoint = 0
+      cache.clear()
+    }
+}
+
+object SearchEngine {
+
+  /** Reattach to an existing engine state WITHOUT rebuilding: open the
+    * newest committed `run-N` LSM store under `stateDir`, restore the
+    * corpus from its durable docs log, and serve queries immediately — the
+    * reference survives a restart because MySQL persists its page/lemma/
+    * index tables (application.yaml:13-26, `ddl-auto: update`); the LSM
+    * batch log is this engine's equivalent. The attached engine runs ZERO
+    * tokenization jobs until the next mutation (asserted on the postings
+    * plan in SearchEngineSpec). */
+  def attach(spark: SparkSession, stateDir: String,
+             clock: () => Long = () => System.currentTimeMillis(),
+             checkpointEvery: Int = 32,
+             lexicons: Map[String, Analyzer.Lexicon] = Map.empty): SearchEngine = {
+    val base = java.nio.file.Paths.get(stateDir)
+    require(java.nio.file.Files.isDirectory(base), s"no engine state at $stateDir")
+    val runRe = "^run-(\\d+)$".r
+    val s = java.nio.file.Files.list(base)
+    val runs = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).collect {
+        case runRe(n) => n.toInt
+      }.toSeq.sorted(Ordering[Int].reverse)
+    } finally s.close()
+    // newest run whose pointer committed AND whose batches carry the docs
+    // log (an aborted or legacy run is skipped, not trusted)
+    val picked = runs.iterator.map { n =>
+      (n, new IncrementalIndex.ParquetStateStore(s"$stateDir/run-$n"))
+    }.find { case (_, st) => st.pointer.isDefined && st.batches("docs").nonEmpty }
+    require(picked.isDefined, s"no committed run with a docs log under $stateDir")
+    val (seq, store) = picked.get
+    val corpus = IncrementalIndex.readDocs(store, spark).get
+    val e = new SearchEngine(spark, corpus, Some(stateDir), clock, checkpointEvery, lexicons)
+    e.adoptStore(store, seq)
+    e
   }
 }

@@ -52,6 +52,26 @@ object InvertedIndex {
     corpus.select(col("doc_id"), col("repo"), explode(expanded).as("term"))
   }
 
+  /** Per-LANGUAGE 1→N expansion: each row's tokens expand through the
+    * lexicon registered for its `lang` (`default` covers unregistered
+    * langs) — the reference picks its morphology dictionary by language
+    * (RussianLuceneMorphology for ru; SearcherPage.java:39 query side,
+    * IndexingServiceImpl.java:144-155 index side). All-empty lexicons keep
+    * the fully codegen'd path; the UDF is index-build-time only. */
+  def tokensByLang(corpus: DataFrame, byLang: Map[String, Analyzer.Lexicon],
+                   default: Analyzer.Lexicon = Analyzer.emptyLexicon): DataFrame = {
+    if (byLang.values.forall(_.isEmpty) && default.isEmpty) return tokens(corpus)
+    val arr = termsForLang(col("content"), col("lang"))
+    val expand = udf((lang: String, ts: Seq[String]) => {
+      val lex = byLang.getOrElse(lang, default)
+      if (ts == null) Seq.empty[String]
+      else if (lex.isEmpty) ts
+      else ts.flatMap(Analyzer.normalForms(_, lex))
+    })
+    corpus.select(col("doc_id"), col("repo"),
+      explode(expand(col("lang"), arr)).as("term"))
+  }
+
   /** tf per (doc, term) — reference A1 (`counterWord`, Lemmatizator.java:1),
     * as one shuffle-partial hash aggregate. */
   def postings(tokens: DataFrame): DataFrame =
@@ -85,8 +105,10 @@ object InvertedIndex {
     * costs ~5× the memory and the GC pressure anti-scales at high core
     * counts. */
   def build(corpus: DataFrame, cacheTokens: Boolean = true,
-            knownNDocs: Long = -1L): Tables = {
-    val p = postings(tokens(corpus))
+            knownNDocs: Long = -1L,
+            lexicons: Map[String, Analyzer.Lexicon] = Map.empty,
+            defaultLexicon: Analyzer.Lexicon = Analyzer.emptyLexicon): Tables = {
+    val p = postings(tokensByLang(corpus, lexicons, defaultLexicon))
     val pc = if (cacheTokens)
       p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else p

@@ -188,31 +188,21 @@ object Search {
              query: String, lang: String = "en",
              repoFilter: Option[String] = None,
              limit: Int = 10, offset: Int = 0,
-             htmlAware: Boolean = true): DataFrame = {
+             htmlAware: Boolean = true,
+             lexicon: graft.analyze.Analyzer.Lexicon = graft.analyze.Analyzer.emptyLexicon): DataFrame = {
     val scopedPostings = repoFilter match {
       case Some(r) =>
         // partition-pruned when postings carry repo; else semi-join on docs
         postings.join(corpus.filter(col("repo") === r).select("doc_id"), Seq("doc_id"), "left_semi")
       case None => postings
     }
-    val plan = QueryFrontend.plan(termStats, lang, query)
-    def decorated(top: DataFrame, terms: Set[String]): DataFrame = {
-      val snip = Snippets.makeSnippetUdf(terms)
-      // HTML corpora: snippet over the extracted text, title from <title>
-      // (reference SearchServiceImpl.java:284-296); code corpora fall back
-      // to identity text + path-as-title — both branches are codegen'd
-      // Columns evaluated on the final k rows only
-      val title =
-        if (htmlAware) graft.analyze.Html.titleOf(col("content"), col("path"))
-        else col("path")
-      val snipSrc =
-        if (htmlAware) graft.analyze.Html.textOf(col("content")) else col("content")
-      top.join(corpus.select("doc_id", "repo", "path", "lang", "content"), "doc_id")
-        .withColumn("title", title)
-        .withColumn("snippet", snip(snipSrc, col("lang")))
-        .select("rank", "doc_id", "repo", "path", "title", "snippet", "score")
-        .orderBy("rank")
-    }
+    // the SAME lexicon must have expanded the index side (reference
+    // lemmatizes both sides: SearcherPage.java:39 query,
+    // IndexingServiceImpl.java:144-155 index) — e.g. a query for `дома`
+    // must reach docs indexed under `дом`
+    val plan = QueryFrontend.plan(termStats, lang, query, lexicon)
+    def decorated(top: DataFrame, terms: Set[String]): DataFrame =
+      decorate(corpus, top, terms, htmlAware)
     // missing-term / empty-plan short-circuits return the SAME decorated
     // schema, just empty (callers see one stable shape)
     if (plan.missing.nonEmpty || plan.isEmpty)
@@ -222,6 +212,31 @@ object Search {
     val dfs = plan.terms.map(t => t.term -> t.df).toMap
     decorated(bm25TopK(scopedPostings, docStats, dfs, nDocs, avgDl, limit, offset),
       dfs.keySet)
+  }
+
+  /** Result decoration on the final ≤ k rows only (reference
+    * SearchServiceImpl.java:101-118): join repo/path, compute title +
+    * highlighted snippet. `top` carries (rank, doc_id, score); shared by the
+    * DataFrame path (search) and the facade's persisted block-max WAND path,
+    * so the two tiers cannot diverge in response shape.
+    *
+    * HTML corpora: snippet over the extracted text, title from <title>
+    * (reference SearchServiceImpl.java:284-296); code corpora fall back to
+    * identity text + path-as-title — both branches are codegen'd Columns
+    * evaluated on the final k rows only. */
+  def decorate(corpus: DataFrame, top: DataFrame, terms: Set[String],
+               htmlAware: Boolean = true): DataFrame = {
+    val snip = Snippets.makeSnippetUdf(terms)
+    val title =
+      if (htmlAware) graft.analyze.Html.titleOf(col("content"), col("path"))
+      else col("path")
+    val snipSrc =
+      if (htmlAware) graft.analyze.Html.textOf(col("content")) else col("content")
+    top.join(corpus.select("doc_id", "repo", "path", "lang", "content"), "doc_id")
+      .withColumn("title", title)
+      .withColumn("snippet", snip(snipSrc, col("lang")))
+      .select("rank", "doc_id", "repo", "path", "title", "snippet", "score")
+      .orderBy("rank")
   }
 
   /** Authority-blended ranking: BM25 relevance × a query-independent static
@@ -366,15 +381,46 @@ object Search {
     * the 4dp-rounded score so cross-engine ulp noise cannot reorder ties. */
   def moreLikeThis(postings: DataFrame, termStats: DataFrame, nDocs: Long,
                    docId: Long, k: Int, maxDfFrac: Double = 0.25): DataFrame = {
+    val (w, norms) = mltBuild(postings, termStats, nDocs)
+    mltQuery(w, norms, nDocs, docId, k, maxDfFrac)
+  }
+
+  /** BUILD half of moreLikeThis — per-index artifacts: the df-carrying
+    * TF-IDF weighted postings and the per-doc norms. Both are computed ONCE
+    * per index build and persisted/cached like any index relation
+    * (SparkEntry caches them per session exactly like `bm25fEff`); a query
+    * must never re-aggregate the full postings relation. */
+  def mltBuild(postings: DataFrame, termStats: DataFrame, nDocs: Long): (DataFrame, DataFrame) = {
     val w = postings.join(termStats, "term")
       .select(col("doc_id"), col("term"), col("df"),
         (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("wt"))
     val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("norm"))
-    val qv = w.filter(col("doc_id") === docId && col("df") <= lit(maxDfFrac * nDocs))
-      .select(col("term"), col("wt").as("qwt"))
+    (w, norms)
+  }
+
+  /** QUERY half: the source doc's df-pruned term vector (≤ dozens of rows —
+    * one document's informative terms) is collected to the driver and pushed
+    * into the candidate scan as an `isin` term filter + literal CASE
+    * weights, so the per-query plan reads only the query terms' rows of the
+    * weighted relation and aggregates candidates only (plan-asserted in
+    * SearchSpec). qnorm stays a broadcast point-read of the prebuilt norms. */
+  def mltQuery(w: DataFrame, norms: DataFrame, nDocs: Long, docId: Long,
+               k: Int, maxDfFrac: Double = 0.25): DataFrame = {
+    val qRows = w.filter(col("doc_id") === docId && col("df") <= lit(maxDfFrac * nDocs))
+      .select("term", "wt").collect()
+    if (qRows.isEmpty) {
+      val spark = w.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("rank", "doc_id", "score_r")
+    }
+    val qwt = qRows.foldLeft(lit(0.0)) { case (acc, r) =>
+      when(col("term") === r.getString(0), lit(r.getDouble(1))).otherwise(acc)
+    }
+    val terms = qRows.map(_.getString(0)).toSeq
     val qn = norms.filter(col("doc_id") === docId).select(col("norm").as("qnorm"))
-    val scored = w.join(broadcast(qv), "term")
+    val scored = w.filter(col("term").isin(terms.map(x => x: Any): _*))
       .filter(col("doc_id") =!= docId)
+      .withColumn("qwt", qwt)
       .groupBy("doc_id").agg(sum(col("wt") * col("qwt")).as("dot"))
       .join(norms, "doc_id")
       .crossJoin(broadcast(qn))

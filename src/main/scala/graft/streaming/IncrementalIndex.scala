@@ -132,16 +132,42 @@ object IncrementalIndex {
     store.readUnion(spark, "term_stats", before).map(
       _.groupBy("term").agg(sum("ddf").as("df")).filter(col("df") > 0))
 
+  /** live per-repo term stats (repo, term, df): same signed-delta shape as
+    * term_stats, keyed (repo, term) — the reference's per-site lemma table
+    * (LemmaRepository.countBySite feeds the statistics endpoint). Present
+    * only for stores whose batches carried raw docs (the facade always
+    * does); O(per-repo vocabulary + churn) rows, never touches postings. */
+  def readTermStatsRepo(store: ParquetStateStore, spark: SparkSession,
+                        before: Long = Long.MaxValue): Option[DataFrame] =
+    store.readUnion(spark, "term_stats_repo", before).map(
+      _.groupBy("repo", "term").agg(sum("ddf").as("df")).filter(col("df") > 0))
+
+  /** live RAW document rows (the durable corpus — reference `page` table,
+    * persisted across restarts by MySQL): last-writer-wins over the per-
+    * batch docs, masked by the same doc_ids log deletes use. This is what
+    * lets a new SearchEngine reattach to an existing state dir without
+    * re-crawling or re-tokenizing anything. */
+  def readDocs(store: ParquetStateStore, spark: SparkSession,
+               before: Long = Long.MaxValue): Option[DataFrame] =
+    store.readUnion(spark, "docs", before).map(lastWins(store, spark, _, before))
+
+  /** point-read the CURRENT rows of `name` for `ids` only: an isin
+    * predicate pushed to the parquet scans — per-batch work reads the
+    * touched docs' row groups, not the whole state. */
+  private def tableForDocs(store: ParquetStateStore, spark: SparkSession, name: String,
+                           ids: Seq[Long], before: Long): Option[DataFrame] =
+    store.readUnion(spark, name, before).map { rows =>
+      val hit = rows.filter(col("doc_id").isin(ids.map(x => x: Any): _*))
+      lastWins(store, spark, hit, before)
+    }
+
   /** point-read the CURRENT postings of `ids` only. Small id sets (the
     * normal micro-batch case) become an isin predicate pushed to the
     * parquet scans — per-batch work reads the touched docs' row groups,
     * not the whole postings state (asserted on the plan in StreamingSpec). */
   def postingsForDocs(store: ParquetStateStore, spark: SparkSession,
                       ids: Seq[Long], before: Long = Long.MaxValue): Option[DataFrame] =
-    store.readUnion(spark, "postings", before).map { posts =>
-      val hit = posts.filter(col("doc_id").isin(ids.map(x => x: Any): _*))
-      lastWins(store, spark, hit, before)
-    }
+    tableForDocs(store, spark, "postings", ids, before)
 
   /** maximum batch size for which replaced-doc lookup uses the pushed-down
     * isin path; larger batches fall back to a semi join */
@@ -153,7 +179,20 @@ object IncrementalIndex {
     * orders within-batch last-writer-wins, matching the reference's
     * delete+reindex latest-version semantics for sources that do carry
     * ordering (the file stream's modification time, a Kafka offset). */
-  def mergeBatch(store: ParquetStateStore, batch: DataFrame, streamId: Long = -1L): Unit = {
+  /** `lexicons` is the per-lang 1→N normal-form registry (reference
+    * lemmatizes the INDEX side with its morphology dictionary,
+    * IndexingServiceImpl.java:144-155) — it must match the lexicon the
+    * query side analyzes with.
+    *
+    * `rawDocs` — when supplied, the batch's RAW document rows (one row per
+    * doc_id) are persisted in the `docs` log table (the reference's durable
+    * `page` table) and the per-repo signed-df deltas are maintained in
+    * `term_stats_repo`. CONTRACT: supply rawDocs on EVERY mutation of a
+    * store or never — a mixed store would undercount the repo-scoped
+    * decrements of docs whose raw rows were never logged. */
+  def mergeBatch(store: ParquetStateStore, batch: DataFrame, streamId: Long = -1L,
+                 lexicons: Map[String, graft.analyze.Analyzer.Lexicon] = Map.empty,
+                 rawDocs: Option[DataFrame] = None): Unit = {
     if (streamId >= 0 && streamId <= store.lastStreamId) return // replay: already applied
     val spark = batch.sparkSession
     val batchId = store.nextBatch // storage id is ALWAYS store-allocated
@@ -169,7 +208,11 @@ object IncrementalIndex {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(orderCols: _*)))
       .filter(col("_rn") === 1).drop("_rn").drop("seq")
-    val deltaPost = InvertedIndex.postings(InvertedIndex.tokens(oneVersion)).cache()
+    // repo kept through the tf aggregate (it is functionally dependent on
+    // doc_id) so the per-repo df deltas need no extra join for the ADDED side
+    val deltaPostR = InvertedIndex.tokensByLang(oneVersion, lexicons)
+      .groupBy("doc_id", "repo", "term").agg(count(lit(1)).as("tf")).cache()
+    val deltaPost = deltaPostR.select("doc_id", "term", "tf")
     val docIds = oneVersion.select("doc_id").distinct().cache()
     // df decrements from the replaced docs' OLD postings (point-read), df
     // increments from the delta — old stats are never recomputed. Reads see
@@ -178,12 +221,11 @@ object IncrementalIndex {
     // Strategy decided from a COUNT — collecting a huge id list is exactly
     // what the fallback branch exists to avoid.
     val nIds = docIds.count()
+    lazy val idList = docIds.collect().map(_.getLong(0)).toSeq
     val removed =
       if (store.latestBatch.isEmpty) None
-      else if (nIds <= isinThreshold) {
-        val idList = docIds.collect().map(_.getLong(0)).toSeq
-        postingsForDocs(store, spark, idList, batchId)
-      } else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
+      else if (nIds <= isinThreshold) postingsForDocs(store, spark, idList, batchId)
+      else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
     val added = deltaPost.groupBy("term").agg(count(lit(1)).as("ddf"))
     val termDelta = removed match {
       case Some(old) =>
@@ -191,14 +233,36 @@ object IncrementalIndex {
           .groupBy("term").agg(sum("ddf").as("ddf")).filter(col("ddf") =!= 0)
       case None => added
     }
+    // per-repo df deltas (only for stores carrying raw docs): added side
+    // straight off the cached delta; removed side joins the replaced docs'
+    // OLD repo from the docs log (a doc may move repos on upsert)
+    val termRepoDelta: Option[DataFrame] = rawDocs.map { _ =>
+      val addedR = deltaPostR.groupBy("repo", "term").agg(count(lit(1)).as("ddf"))
+      val oldRepos =
+        if (store.latestBatch.isEmpty) None
+        else if (nIds <= isinThreshold)
+          tableForDocs(store, spark, "docs", idList, batchId).map(_.select("doc_id", "repo"))
+        else readDocs(store, spark, batchId)
+          .map(_.select("doc_id", "repo").join(docIds, Seq("doc_id"), "left_semi"))
+      (removed, oldRepos) match {
+        case (Some(old), Some(or)) =>
+          old.select("doc_id", "term").join(or, "doc_id")
+            .groupBy("repo", "term").agg((-count(lit(1))).as("ddf"))
+            .unionByName(addedR)
+            .groupBy("repo", "term").agg(sum("ddf").as("ddf")).filter(col("ddf") =!= 0)
+        case _ => addedR
+      }
+    }
     val docDelta = deltaPost.groupBy("doc_id").agg(sum("tf").as("dl"))
     // write every table, THEN flip the pointer (atomic publish)
     store.writeTable("postings", deltaPost, batchId)
     store.writeTable("doc_ids", docIds, batchId)
     store.writeTable("term_stats", termDelta, batchId)
     store.writeTable("doc_stats", docDelta, batchId)
+    rawDocs.foreach(d => store.writeTable("docs", d, batchId))
+    termRepoDelta.foreach(t => store.writeTable("term_stats_repo", t, batchId))
     store.commit(batchId, streamId = streamId)
-    deltaPost.unpersist()
+    deltaPostR.unpersist()
     docIds.unpersist(): Unit
   }
 
@@ -217,6 +281,11 @@ object IncrementalIndex {
         store.writeTable("term_stats",
           posts.groupBy("term").agg(count(lit(1)).as("ddf")), next)
         store.writeTable("doc_stats", dstats, next)
+        // docs / per-repo stats fold only when the store maintains them
+        readDocs(store, spark).foreach(d => store.writeTable("docs", d, next))
+        readTermStatsRepo(store, spark).foreach(t =>
+          store.writeTable("term_stats_repo",
+            t.select(col("repo"), col("term"), col("df").as("ddf")), next))
         store.commit(next, base = next)
         posts.unpersist()
         dstats.unpersist(): Unit
@@ -226,26 +295,33 @@ object IncrementalIndex {
     * — the persisted-build facade path reuses the InvertedIndex.build
     * output it already has instead of re-tokenizing the whole corpus
     * through mergeBatch. Writes the same shapes compactState produces. */
-  def seedBase(store: ParquetStateStore, t: graft.index.InvertedIndex.Tables): Unit = {
+  def seedBase(store: ParquetStateStore, t: graft.index.InvertedIndex.Tables,
+               rawDocs: Option[DataFrame] = None,
+               termStatsRepo: Option[DataFrame] = None): Unit = {
     val next = store.nextBatch
     store.writeTable("postings", t.postings, next)
     store.writeTable("doc_ids", t.postings.select("doc_id").distinct()
       .unionByName(t.docStats.select("doc_id")).distinct(), next)
     store.writeTable("term_stats", t.termStats.select(col("term"), col("df").as("ddf")), next)
     store.writeTable("doc_stats", t.docStats, next)
+    rawDocs.foreach(d => store.writeTable("docs", d, next))
+    termStatsRepo.foreach(r =>
+      store.writeTable("term_stats_repo",
+        r.select(col("repo"), col("term"), col("df").as("ddf")), next))
     store.commit(next, base = next)
   }
 
   /** wire a streaming docs source into the merge — file source, rate
     * source, or any readStream DataFrame with the corpus schema. */
   def start(docsStream: DataFrame, state: ParquetStateStore,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            lexicons: Map[String, graft.analyze.Analyzer.Lexicon] = Map.empty): StreamingQuery =
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(state, batch, batchId)
+        mergeBatch(state, batch, batchId, lexicons)
       }
       .start()
 
@@ -269,16 +345,29 @@ object IncrementalIndex {
     val docIds = ids.select("doc_id").distinct().cache()
     val nIds = docIds.count()
     if (nIds == 0) { docIds.unpersist(); return }
+    lazy val idList = docIds.collect().map(_.getLong(0)).toSeq
     val removed =
       if (store.latestBatch.isEmpty) None
-      else if (nIds <= isinThreshold) {
-        val idList = docIds.collect().map(_.getLong(0)).toSeq
-        postingsForDocs(store, spark, idList, batchId)
-      } else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
+      else if (nIds <= isinThreshold) postingsForDocs(store, spark, idList, batchId)
+      else readPostings(store, spark, batchId).map(_.join(docIds, Seq("doc_id"), "left_semi"))
     store.writeTable("doc_ids", docIds, batchId)
     removed.foreach { old =>
+      val oldC = old.cache()
       store.writeTable("term_stats",
-        old.groupBy("term").agg((-count(lit(1))).as("ddf")), batchId)
+        oldC.groupBy("term").agg((-count(lit(1))).as("ddf")), batchId)
+      // per-repo decrements when the store maintains the docs log (the
+      // doc_ids mask row above already deletes the docs-table rows)
+      val oldRepos =
+        if (nIds <= isinThreshold)
+          tableForDocs(store, spark, "docs", idList, batchId).map(_.select("doc_id", "repo"))
+        else readDocs(store, spark, batchId)
+          .map(_.select("doc_id", "repo").join(docIds, Seq("doc_id"), "left_semi"))
+      oldRepos.foreach { or =>
+        store.writeTable("term_stats_repo",
+          oldC.select("doc_id", "term").join(or, "doc_id")
+            .groupBy("repo", "term").agg((-count(lit(1))).as("ddf")), batchId)
+      }
+      oldC.unpersist(): Unit
     }
     store.commit(batchId)
     docIds.unpersist(): Unit

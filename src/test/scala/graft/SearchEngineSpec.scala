@@ -19,7 +19,8 @@ class SearchEngineSpec extends AnyFunSuite {
 
   test("search returns decorated, ranked items") {
     val r = engine.search("spark join", limit = 5)
-    assert(r.result && r.count == 5)
+    // count = TOTAL matches (reference resultSearch.size()); data = the page
+    assert(r.result && r.data.length == 5 && r.count >= 5)
     assert(r.data.head.relevance >= r.data.last.relevance)
     assert(r.data.forall(i => i.snippet.contains("<b>")))
     assert(r.data.forall(i => i.uri.startsWith("doc/")))
@@ -46,7 +47,8 @@ class SearchEngineSpec extends AnyFunSuite {
     val all = engine.search("dup spark", limit = 1000)
     assert(all.result && all.count > 0 && all.count < 900)
     val past = engine.search("dup spark", offset = 5000, limit = 10)
-    assert(past.result && past.count == 1)
+    assert(past.result && past.data.length == 1)
+    assert(past.count == all.count) // total is total regardless of the page
     assert(past.data.head.uri == all.data.last.uri)
   }
 
@@ -237,7 +239,7 @@ class SearchEngineSpec extends AnyFunSuite {
       mRef.partitions.map(p => p.partition -> (p.rows, p.bytes, p.hashAgg)).toMap)
     // ...and the resumed engine is fully live: search + clean statistics
     val r = e.search("spark join", limit = 5)
-    assert(r.result && r.count == 5)
+    assert(r.result && r.data.length == 5)
     assert(e.statistics().detailed.forall(d => d.status == "INDEXED" && d.error == null))
   }
 
@@ -249,7 +251,7 @@ class SearchEngineSpec extends AnyFunSuite {
     val e = new SearchEngine(spark, Corpus.fromDocuments(spark, "/root/testdata/sf0.001"))
     assert(e.startIndexingPersisted(dir, 1L, cfg, groupSize = 4))
     val r = e.search("spark join", limit = 5)
-    assert(r.result && r.count == 5 && r.data.forall(_.snippet.contains("<b>")))
+    assert(r.result && r.data.length == 5 && r.data.forall(_.snippet.contains("<b>")))
     val s = e.statistics()
     assert(s.pages == 500 && s.detailed.forall(_.status == "INDEXED"))
     // upserts flow through the same live store the seed created
@@ -275,6 +277,127 @@ class SearchEngineSpec extends AnyFunSuite {
     val after = e.search(q, limit = 1000)
     assert(!(after eq before), "mutation must invalidate the result cache")
     assert(!after.data.exists(_.uri == s"doc/$victim"), "deleted doc still served")
+  }
+
+  test("count reports the TOTAL match count; data is the page (page 1 and 2)") {
+    // reference: count = resultSearch.size() BEFORE pagination
+    // (SearchServiceImpl.java:90) — what a UI pager needs
+    val total = engine.search("spark join", limit = 1000)
+    assert(total.result && total.count == total.data.length && total.count > 20)
+    val p1 = engine.search("spark join", offset = 0, limit = 10)
+    val p2 = engine.search("spark join", offset = 10, limit = 10)
+    assert(p1.data.length == 10 && p2.data.length == 10)
+    assert(p1.count == total.count && p2.count == total.count)
+    assert(p1.data.map(_.uri).toSet.intersect(p2.data.map(_.uri).toSet).isEmpty)
+  }
+
+  test("per-lang lexicon end-to-end: query 'дома' finds docs indexed under 'дом'") {
+    import spark.implicits._
+    val c = Seq(
+      (0L, "ru0", "doc/0", "0" * 40, "ru", "дом стоит в лесу"),   // indexed form: дом
+      (1L, "ru0", "doc/1", "0" * 40, "ru", "дома у реки"),        // surface дома -> дом
+      (2L, "ru0", "doc/2", "0" * 40, "ru", "только лес"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    val e = new SearchEngine(spark, c,
+      lexicons = Map("ru" -> graft.analyze.DefaultLexicon.russian))
+    assert(e.startIndexing())
+    // query side expands дома -> дом; index side indexed doc/1's "дома"
+    // under дом — BOTH docs must match (reference lemmatizes both sides)
+    val r = e.search("дома", lang = "ru", limit = 10)
+    assert(r.result && r.count == 2, s"got $r")
+    assert(r.data.map(_.uri).toSet == Set("doc/0", "doc/1"))
+    // without the lexicon the same query finds only the literal surface
+    val plain = new SearchEngine(spark, c)
+    assert(plain.startIndexing())
+    val rp = plain.search("дома", lang = "ru", limit = 10)
+    assert(rp.count == 1 && rp.data.head.uri == "doc/1")
+  }
+
+  test("reattach: a new SearchEngine over an existing stateDir serves without rebuilding") {
+    import java.nio.file.Files
+    val stateDir = Files.createTempDirectory("graft-reattach").toString
+    val e = new SearchEngine(spark,
+      Corpus.fromDocuments(spark, "/root/testdata/sf0.001"), stateDir = Some(stateDir))
+    assert(e.startIndexing())
+    val before = e.search("spark join", limit = 10)
+    val statsBefore = e.statistics()
+    // drop the object; attach a fresh engine to the surviving state
+    val e2 = SearchEngine.attach(spark, stateDir)
+    val after = e2.search("spark join", limit = 10)
+    assert(after.result && after.count == before.count)
+    assert(after.data.map(i => (i.uri, i.title, i.snippet, i.relevance)) ==
+      before.data.map(i => (i.uri, i.title, i.snippet, i.relevance)))
+    // ZERO tokenization on reattach: the live tables read state parquet
+    // only — no Analyzer chain (regexp_replace) and no corpus source scan
+    val postPlan = e2.tables.postings.queryExecution.executedPlan.toString
+    assert(!postPlan.contains("regexp_replace"), "reattach must not re-tokenize")
+    assert(!postPlan.contains("documents.parquet"))
+    // statistics agree and also come from store tables only
+    val statsAfter = e2.statistics()
+    assert(statsAfter.pages == statsBefore.pages && statsAfter.lemmas == statsBefore.lemmas)
+    // the attached engine stays fully mutable: an upsert lands in the SAME
+    // state lineage and is immediately searchable
+    import spark.implicits._
+    val doc = Seq((0L, "src0", "doc/0", "0" * 40, "en", "reattachword only"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    assert(e2.indexPage(doc))
+    val r2 = e2.search("reattachword", limit = 5)
+    assert(r2.result && r2.count == 1 && r2.data.head.uri == "doc/0")
+  }
+
+  test("facade serves persisted WAND path when a tableDir is attached, rank-identical to the DataFrame path") {
+    import java.nio.file.Files
+    val cfg = graft.index.IndexWriter.Config(docsPerShard = 64, nBuckets = 8)
+    val dir = Files.createTempDirectory("graft-api-wandpath").toString
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val pe = new SearchEngine(spark, corpus)
+    assert(pe.startIndexingPersisted(dir, 1L, cfg, groupSize = 4))
+    assert(pe.servesFromPersisted, "committed snapshot must arm the WAND tier")
+    // LSM-only engine = the DataFrame reference path
+    val de = new SearchEngine(spark, corpus)
+    assert(de.startIndexing())
+    assert(!de.servesFromPersisted)
+    for (q <- Seq("spark join", "dup hash spark", "hash")) {
+      val a = pe.search(q, limit = 10)
+      val b = de.search(q, limit = 10)
+      assert(a.count == b.count, s"$q: count ${a.count} vs ${b.count}")
+      // rank-identical; scores agree to 1e-9 (summation order across the
+      // two physical paths differs in the last ulp — same gate the DuckDB
+      // oracle applies via 4dp rounding)
+      assert(a.data.map(_.uri) == b.data.map(_.uri),
+        s"$q: WAND tier rank order diverged from DataFrame tier")
+      a.data.zip(b.data).foreach { case (x, y) =>
+        assert(math.abs(x.relevance - y.relevance) < 1e-9, s"$q: ${x.uri} score diverged")
+      }
+    }
+    // page 2 through the WAND tier (rank offset semantics shared)
+    val p2a = pe.search("spark join", offset = 10, limit = 10)
+    val p2b = de.search("spark join", offset = 10, limit = 10)
+    assert(p2a.data.map(_.uri) == p2b.data.map(_.uri))
+    // a mutation invalidates the snapshot: fall back to the live tables
+    import spark.implicits._
+    val doc = Seq((0L, "src0", "doc/0", "0" * 40, "en", "wandfallbackword"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    assert(pe.indexPage(doc))
+    assert(!pe.servesFromPersisted, "mutation must invalidate the persisted tier")
+    val r = pe.search("wandfallbackword", limit = 5)
+    assert(r.result && r.count == 1)
+  }
+
+  test("statistics() reads only store tables — no Analyzer nodes, values unchanged") {
+    val e = freshEngine()
+    val plan = e.statisticsFrame().queryExecution.analyzed.toString
+    assert(!plan.contains("regexp_replace"),
+      "statistics must not re-tokenize the corpus")
+    assert(!plan.toLowerCase.contains("udf"), "statistics must stay store-table reads")
+    // values match the tokenize rollup exactly
+    val viaStore = e.statistics()
+    val rolled = graft.stats.Stats.statistics(e.corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaStore.pages == rolled("ALL")._1 && viaStore.lemmas == rolled("ALL")._2)
+    viaStore.detailed.foreach { d =>
+      assert((d.pages, d.lemmas) == rolled(d.site), s"repo ${d.site} diverged")
+    }
   }
 
   test("fully gated corpus: persisted build completes empty instead of crashing") {

@@ -250,6 +250,36 @@ class SearchSpec extends AnyFunSuite {
     assert(got.forall(r => r._3 > 0.0 && r._3 <= 1.0001))
   }
 
+  test("mltQuery over prebuilt artifacts: pushed term filter, single candidate aggregate, ≡ wrapper") {
+    val (w0, norms0) = Search.mltBuild(tables.postings, tables.termStats, tables.nDocs)
+    val w = w0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val norms = norms0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      w.count(); norms.count() // materialize the index-side artifacts
+      val q = Search.mltQuery(w, norms, tables.nDocs, docId = 3L, k = 10, maxDfFrac = 0.9)
+      val plan = q.queryExecution.optimizedPlan.toString
+      // the per-query path pushes the source doc's pruned terms into the
+      // weighted-postings scan as an IN filter…
+      assert(plan.contains(" IN ") || plan.contains("INSET"),
+        s"no pushed term filter in plan:\n$plan")
+      // …and aggregates ONLY the filtered candidates: exactly one logical
+      // Aggregate node (the dot product); norms/weights come from the
+      // cached relations (leaf InMemoryRelation), never recomputed per query
+      val nAggs = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+      assert(nAggs == 1, s"per-query path must not re-aggregate the full relation ($nAggs aggs)")
+      assert(plan.contains("InMemoryRelation"),
+        "query must read the persisted artifacts")
+      // result identical to the one-shot wrapper
+      val a = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val b = Search.moreLikeThis(tables.postings, tables.termStats, tables.nDocs,
+          docId = 3L, k = 10, maxDfFrac = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(a == b)
+    } finally { w.unpersist(); norms.unpersist(): Unit }
+  }
+
   test("batched BM25 ≡ per-query bm25TopK for every query in the batch") {
     import spark.implicits._
     val batch = Seq(
