@@ -159,6 +159,39 @@ object SparkEntry {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** shared DuckDB twin of the champion-list tier — referenced by BOTH
+    * ft_champions (in-memory build) and ft_champions_persisted (cold read of
+    * the aux artifact): one oracle, two engine paths. */
+  private lazy val championsSql: String = {
+    val tfn = s"(tf * ${Bm25.k1 + 1.0}) / (tf + ${Bm25.k1} * (${1.0 - Bm25.b} + ${Bm25.b} * dl / s.avgdl))"
+    val score = Bm25.sql("c.tf", "t.df", "c.dl", "s.n", "s.avgdl")
+    s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+       |pj AS (SELECT p.doc_id, p.term, p.tf, d.dl FROM post p JOIN ds d ON p.doc_id = d.doc_id),
+       |ch AS (SELECT doc_id, term, tf, dl FROM (
+       |  SELECT doc_id, term, tf, dl,
+       |         row_number() OVER (PARTITION BY term ORDER BY $tfn DESC, doc_id) AS rn
+       |  FROM pj, stats s) WHERE rn <= 5),
+       |scored AS (
+       |  SELECT c.doc_id, sum($score) AS score
+       |  FROM ch c JOIN q USING (term) JOIN tstats t USING (term), stats s
+       |  GROUP BY c.doc_id)
+       |SELECT rank, doc_id, score_r FROM (
+       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       |         doc_id, round(score, 4) AS score_r FROM scored
+       |) WHERE rank <= 10""".stripMargin
+  }
+
+  /** shared DuckDB twin of the per-repo facets rollup — referenced by BOTH
+    * ft_facets (in-memory) and ft_facets_persisted (cold aux artifact). */
+  private lazy val facetsSql: String =
+    s"""WITH ${termsCte},
+       |rdf AS (SELECT repo, term, count(DISTINCT doc_id)::BIGINT AS df
+       |        FROM terms GROUP BY repo, term)
+       |SELECT repo, facet_rank, term, df FROM (
+       |  SELECT repo, term, df,
+       |         row_number() OVER (PARTITION BY repo ORDER BY df DESC, term) AS facet_rank
+       |  FROM rdf) WHERE facet_rank <= 3""".stripMargin
+
   // ---- corpus + index (built lazily per sfDir, cached per session) ------
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, InvertedIndex.Tables)]()
   def index(spark: SparkSession, sfDir: String): (DataFrame, InvertedIndex.Tables) =
@@ -181,6 +214,22 @@ object SparkEntry {
       IndexWriter.write(shards(spark, sfDir), dir, 1L)
       graft.io.TableIO.writeMeta(dir, graft.io.TableIO.IndexMeta(t.nDocs, t.avgDl))
       dir
+    })
+
+  private val auxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** persistedIndex dir with the derived aux artifacts committed (champion
+    * lists m=5, per-repo term stats) — built once per (session, sfDir).
+    * These are index-BUILD products persisted beside the bucket index with
+    * manifest lineage (IndexWriter.writeAux); the _persisted query variants
+    * read them COLD. */
+  def persistedAux(s: SparkSession, dir: String): String =
+    auxCache.computeIfAbsent(s"${s.hashCode}|$dir", _ => {
+      val tableDir = persistedIndex(s, dir)
+      val (c, t) = index(s, dir)
+      graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 5, tableDir)
+      graft.stats.Stats.persistRepoTermStats(
+        InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), tableDir)
+      tableDir
     })
 
   private val bm25fCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -678,12 +727,26 @@ object SparkEntry {
       graft.index.Champions.topK(ch, dfs, t.nDocs, t.avgDl, 10)
         .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // champion lists COLD: the persisted aux artifact (bucket-partitioned
+    // beside the index, lineage in the manifest) read back with partition
+    // pruning + pushed term filter — the index-artifact round trip
+    "ft_champions_persisted" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val ch = graft.index.Champions.readForTerms(s, persistedAux(s, dir), q2)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      graft.index.Champions.topK(ch, dfs, t.nDocs, t.avgDl, 10)
+        .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
     // term facets: top-3 terms per repo by per-repo df (WindowGroupLimit)
     "ft_facets" -> ((s, dir) => {
       val (c, _) = index(s, dir)
       graft.stats.Stats.topTermsPerRepo(
         InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), k = 3)
     }),
+    // facets COLD: same rollup over the persisted per-repo stats artifact —
+    // zero tokenization on the query path
+    "ft_facets_persisted" -> ((s, dir) =>
+      graft.stats.Stats.facetsPersisted(s, persistedAux(s, dir), k = 3)),
     // related terms by co-occurrence lift (query-expansion association)
     "ft_related" -> ((s, dir) => {
       val (_, t) = index(s, dir)
@@ -936,32 +999,13 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "ft_champions" -> {
-      val tfn = s"(tf * ${Bm25.k1 + 1.0}) / (tf + ${Bm25.k1} * (${1.0 - Bm25.b} + ${Bm25.b} * dl / s.avgdl))"
-      val score = Bm25.sql("c.tf", "t.df", "c.dl", "s.n", "s.avgdl")
-      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
-         |pj AS (SELECT p.doc_id, p.term, p.tf, d.dl FROM post p JOIN ds d ON p.doc_id = d.doc_id),
-         |ch AS (SELECT doc_id, term, tf, dl FROM (
-         |  SELECT doc_id, term, tf, dl,
-         |         row_number() OVER (PARTITION BY term ORDER BY $tfn DESC, doc_id) AS rn
-         |  FROM pj, stats s) WHERE rn <= 5),
-         |scored AS (
-         |  SELECT c.doc_id, sum($score) AS score
-         |  FROM ch c JOIN q USING (term) JOIN tstats t USING (term), stats s
-         |  GROUP BY c.doc_id)
-         |SELECT rank, doc_id, score_r FROM (
-         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
-         |         doc_id, round(score, 4) AS score_r FROM scored
-         |) WHERE rank <= 10""".stripMargin
-    },
-    "ft_facets" ->
-      s"""WITH ${termsCte},
-         |rdf AS (SELECT repo, term, count(DISTINCT doc_id)::BIGINT AS df
-         |        FROM terms GROUP BY repo, term)
-         |SELECT repo, facet_rank, term, df FROM (
-         |  SELECT repo, term, df,
-         |         row_number() OVER (PARTITION BY repo ORDER BY df DESC, term) AS facet_rank
-         |  FROM rdf) WHERE facet_rank <= 3""".stripMargin,
+    "ft_champions" -> championsSql,
+    // the persisted variant must agree with the SAME oracle — the artifact
+    // round trip (write → manifest lineage → bucket-pruned cold read) is
+    // exactly what the shared twin proves lossless
+    "ft_champions_persisted" -> championsSql,
+    "ft_facets" -> facetsSql,
+    "ft_facets_persisted" -> facetsSql,
     "ft_related" ->
       s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
          |seed AS (SELECT DISTINCT doc_id FROM post WHERE term = 'spark'),
@@ -1011,7 +1055,7 @@ object SparkEntry {
       val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
       val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
       s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
-         |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
          |      FROM (VALUES $qVals) AS t(query_id, term)),
          |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
          |scored AS (

@@ -280,17 +280,19 @@ object Dedup {
     * cluster_id)` and the canonical survivor is deterministic.
     *
     * Algorithm: min-label propagation over the symmetrized edge set —
-    * labels(v) ← min(labels(v), min over in-neighbors) until fixpoint.
-    * Each iteration is ONE equi-join + hash aggregate; lineage is cut per
-    * iteration (localCheckpoint, the iterative-Spark requirement) and the
+    * labels(v) ← min(labels(v), min over in-neighbors) — plus a
+    * POINTER-JUMPING shortcut each round: labels(v) ← min(labels(v),
+    * labels(labels(v))) (every label IS a node id, so the labels table
+    * doubles as the jump map). The shortcut halves the remaining chain
+    * depth per round, so convergence is O(log diameter) rounds (hash-to-min
+    * family, cf. Kiveris et al. 2014 "Connected Components in MapReduce and
+    * Beyond") — maxIter = 64 covers any diameter up to ~2^64, i.e. always.
+    * Each iteration is one edges equi-join + hash aggregate + one
+    * (doc_id,label) self-join; lineage is cut per iteration
+    * (localCheckpoint, the iterative-Spark requirement) and the
     * fixpoint witness is Σ labels (labels only ever decrease, so an
     * unchanged DECIMAL sum ⟺ no label changed — one cheap aggregate
-    * instead of a change-count join). Converges in O(component diameter)
-    * iterations; near-dup components are short chains/cliques in practice.
-    * At 10^10+ docs with adversarially long chains, switch to the
-    * alternating small-star/large-star contraction (Kiveris et al. 2014,
-    * "Connected Components in MapReduce and Beyond" — O(log n) rounds);
-    * this plain propagation keeps the plan minimal for the common shape.
+    * instead of a change-count join).
     *
     * Output: (doc_id, cluster_id) for every doc APPEARING IN `pairs` —
     * unpaired docs are implicitly their own singleton cluster and are not
@@ -314,9 +316,17 @@ object Dedup {
         .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
         .groupBy(col("v")).agg(min(col("ulabel")).as("nlabel"))
         .withColumnRenamed("v", "doc_id")
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val prop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer-jumping shortcut: label ← min(label, label(label)). Labels
+      // are node ids and every node is a doc_id row in `prop`, so the same
+      // relation serves as the jump map; the left join never widens a label
+      // (min is monotone) and halves the remaining chain depth per round.
+      val jump = prop.select(col("doc_id").as("j_id"), col("label").as("j_label"))
+      val next = prop.join(jump, prop("label") === jump("j_id"), "left")
+        .select(prop("doc_id"),
+          least(prop("label"), coalesce(col("j_label"), prop("label"))).as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
       labels = next
@@ -324,7 +334,8 @@ object Dedup {
       prevSum = s
     }
     sys.error(s"Dedup.clusters did not converge within $maxIter iterations " +
-      "(component diameter exceeds the bound — raise maxIter or use a " +
-      "star-contraction variant)")
+      "(pointer-jumping bounds this at diameter ~2^maxIter, so hitting it " +
+      "indicates corrupt input rather than a long chain — raise maxIter " +
+      "only after checking the pair set)")
   }
 }

@@ -37,6 +37,37 @@ object Champions {
       .filter(col("_rn") <= m)
       .select("term", "doc_id", "tf", "dl")
 
+  /** Manifest aux-lineage name of the persisted champion relation. */
+  val auxName = "champions"
+
+  /** Persist the champion relation as an index artifact beside the bucket
+    * index (IndexWriter.writeAux): bucket-partitioned with the SAME
+    * term-hash bucketing as the postings, so the cold query path prunes to
+    * ≤ |q| partition dirs before any row is read. Champion lists are an
+    * index-BUILD product (IIR §7.1.3) — recomputing them per query would
+    * forfeit exactly the cost ceiling they exist to provide. */
+  def persist(postings: DataFrame, docStats: DataFrame, avgDl: Double, m: Int,
+              tableDir: String,
+              cfg: IndexWriter.Config = IndexWriter.Config()): graft.io.TableIO.Manifest =
+    IndexWriter.writeAux(
+      build(postings, docStats, avgDl, m)
+        .withColumn("bucket", IndexWriter.bucketCol(col("term"), cfg.nBuckets)),
+      tableDir, auxName, partitionCols = Seq("bucket"))
+
+  /** Cold-read query path over the persisted champion relation: bucket
+    * partition pruning (≤ |terms| of nBuckets dirs scanned) + pushed term
+    * filter, same shape as IndexWriter.readForTerms. Output feeds `topK`
+    * identically to an in-memory `build` result. */
+  def readForTerms(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                   terms: Seq[String],
+                   cfg: IndexWriter.Config = IndexWriter.Config()): DataFrame = {
+    val buckets = terms.map(IndexWriter.bucketOf(_, cfg.nBuckets)).distinct
+    IndexWriter.readAux(spark, tableDir, auxName)
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*))
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .select("term", "doc_id", "tf", "dl")
+  }
+
   /** Approximate disjunctive BM25 top-k over the champion relation only.
     * Same formula and tie-breaks as Search.bm25TopKDisjunctive — restricted
     * to champion candidates. */

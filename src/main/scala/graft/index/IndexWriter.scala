@@ -227,7 +227,11 @@ object IndexWriter {
     phase("lineage")
     if (!observeLineage) todo.unpersist()
     val all = (prev.map(_.partitions).getOrElse(Nil) ++ lineage).sortBy(_.partition)
-    val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all, statusTime)
+    // aux artifacts of the resumed snapshot stay committed (a resume adds
+    // buckets to the SAME logical snapshot); mutation paths drop aux rows
+    // BEFORE reaching here (upsertBuckets), so staleness can't leak through
+    val m = TableIO.Manifest(snapshotId, prev.map(_.snapshotId), all, statusTime,
+      aux = prev.map(_.aux).getOrElse(Nil))
     TableIO.commit(tableDir, m)
     phase("commit")
     m
@@ -255,9 +259,13 @@ object IndexWriter {
     // manifest without the affected buckets == a resumable partial state;
     // write() clears the now-uncommitted bucket dirs itself (its orphan
     // cleanup) and rebuilds exactly those buckets — and ONLY those buckets
-    // ever reach the encoder
+    // ever reach the encoder. Aux artifacts (champions, per-repo stats) are
+    // derived from the postings, so ANY postings mutation decommits them —
+    // readers fail fast instead of serving stale candidates; rebuild via
+    // writeAux after the upsert.
     TableIO.commit(tableDir, prev.copy(
-      partitions = prev.partitions.filterNot(p => affectedBuckets(p.partition))))
+      partitions = prev.partitions.filterNot(p => affectedBuckets(p.partition)),
+      aux = Nil))
     write(shardPostings(postings, docStats, frozenAvgDl, cfg, Some(affectedBuckets)),
       tableDir, snapshotId, cfg)
   }
@@ -276,6 +284,63 @@ object IndexWriter {
     TableIO.writeMeta(tableDir, TableIO.IndexMeta(tables.nDocs, tables.avgDl))
     tables.postings.unpersist()
     m
+  }
+
+  /** Persist a derived index ARTIFACT (champion lists, per-repo term stats,
+    * …) beside the bucket index: parquet under `tableDir/aux/name`, lineage
+    * (rows, bytes, order-insensitive hash) committed into the CURRENT
+    * manifest's aux rows. Contract:
+    *  - attaches only to a committed snapshot (artifacts are index
+    *    derivatives — there is nothing consistent to derive from mid-build);
+    *  - `resume = true` (default) skips the write when the manifest already
+    *    carries lineage for `name` — a re-run after a crash between parquet
+    *    write and manifest commit simply overwrites the orphan files;
+    *  - postings mutations DECOMMIT every aux row (upsertBuckets), so a
+    *    cold reader can never see an artifact inconsistent with the
+    *    postings it was derived from.
+    * `partitionCols` lets term-keyed artifacts keep the same bucket
+    * partition pruning as the postings. */
+  def writeAux(df: DataFrame, tableDir: String, name: String,
+               partitionCols: Seq[String] = Nil,
+               resume: Boolean = true): TableIO.Manifest = {
+    require(name.matches("[a-z0-9_]+"), s"aux artifact name must be [a-z0-9_]+: $name")
+    val prev = TableIO.readCurrent(tableDir).getOrElse(sys.error(
+      s"aux artifact '$name' attaches to a committed index snapshot; none at $tableDir"))
+    if (resume && prev.aux.exists(_.name == name)) return prev
+    val dir = s"$tableDir/aux/$name"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    // lineage from the files a cold reader will actually scan (trust the
+    // disk, not the in-memory df): order-insensitive xxhash over every
+    // column, column order fixed by name so the hash is layout-independent
+    val back = df.sparkSession.read.parquet(dir)
+    val r = back.agg(
+      count(lit(1)).as("rows"),
+      coalesce(bit_xor(xxhash64(back.columns.sorted.map(col).toSeq: _*)), lit(0L)).as("h")).head()
+    val bytes = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+    }
+    val m = prev.copy(aux = prev.aux.filterNot(_.name == name) :+
+      TableIO.AuxLineage(name, r.getLong(0), bytes, r.getLong(1)))
+    TableIO.commit(tableDir, m)
+    m
+  }
+
+  /** Cold-read a committed aux artifact. Fails fast when `name` has no
+    * lineage row in the current manifest (never written, or decommitted by
+    * a postings mutation) — stale candidate sets must not serve queries. */
+  def readAux(spark: SparkSession, tableDir: String, name: String): DataFrame = {
+    val man = TableIO.readCurrent(tableDir).getOrElse(sys.error(
+      s"no committed index snapshot at $tableDir"))
+    if (!man.aux.exists(_.name == name)) sys.error(
+      s"aux artifact '$name' is not committed in snapshot ${man.snapshotId} at $tableDir " +
+        "(never written, or decommitted by a postings mutation — rebuild via writeAux)")
+    spark.read.parquet(s"$tableDir/aux/$name")
   }
 
   /** Read the index back, pruned to the query's terms: partition pruning on

@@ -13,11 +13,20 @@ import scala.jdk.CollectionConverters._
 object TableIO {
 
   case class PartitionLineage(partition: Int, rows: Long, bytes: Long, hashAgg: Long)
+  /** Lineage of a named derived index artifact (champion lists, per-repo
+    * term stats, …) persisted beside the bucket index under `aux/<name>` —
+    * same (rows, bytes, order-insensitive hash) triple as the bucket
+    * partitions, keyed by artifact name. An artifact is committed iff its
+    * row is in the CURRENT manifest; postings mutations drop these rows
+    * (IndexWriter.upsertBuckets), so a stale artifact can never be read as
+    * current. */
+  case class AuxLineage(name: String, rows: Long, bytes: Long, hashAgg: Long)
   /** `statusTime` is a DRIVER-supplied commit timestamp (reference
     * site.status_time, model/Site.java:26-30) — the engine itself stays
     * wall-clock-free; 0 = not recorded (older manifests parse to 0). */
   case class Manifest(snapshotId: Long, parentId: Option[Long],
-                      partitions: Seq[PartitionLineage], statusTime: Long = 0L) {
+                      partitions: Seq[PartitionLineage], statusTime: Long = 0L,
+                      aux: Seq[AuxLineage] = Nil) {
     def committed: Set[Int] = partitions.map(_.partition).toSet
   }
 
@@ -28,8 +37,11 @@ object TableIO {
     val parts = m.partitions.sortBy(_.partition).map(p =>
       s"""{"partition":${p.partition},"rows":${p.rows},"bytes":${p.bytes},"hashAgg":${p.hashAgg}}""")
       .mkString("[", ",", "]")
+    val aux = m.aux.sortBy(_.name).map(a =>
+      s"""{"name":"${a.name}","rows":${a.rows},"bytes":${a.bytes},"hashAgg":${a.hashAgg}}""")
+      .mkString("[", ",", "]")
     s"""{"snapshotId":${m.snapshotId},"parentId":${m.parentId.getOrElse(-1L)},""" +
-      s""""statusTime":${m.statusTime},"partitions":$parts}"""
+      s""""statusTime":${m.statusTime},"partitions":$parts,"aux":$aux}"""
   }
 
   /** minimal JSON parse for our own render output (no deps available). */
@@ -47,7 +59,11 @@ object TableIO {
     val partRe = """\{"partition":(\d+),"rows":(\d+),"bytes":(\d+),"hashAgg":(-?\d+)\}""".r
     val parts = partRe.findAllMatchIn(s).map(m =>
       PartitionLineage(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
-    Manifest(snapshotId, if (parentId < 0) None else Some(parentId), parts, statusTime)
+    // aux rows are absent in pre-aux manifests — parse to Nil (compatible)
+    val auxRe = """\{"name":"([a-z0-9_]+)","rows":(\d+),"bytes":(\d+),"hashAgg":(-?\d+)\}""".r
+    val aux = auxRe.findAllMatchIn(s).map(m =>
+      AuxLineage(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
+    Manifest(snapshotId, if (parentId < 0) None else Some(parentId), parts, statusTime, aux)
   }
 
   // ---- run-failure records (reference site.last_error + FAILED status,

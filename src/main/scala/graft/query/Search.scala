@@ -113,11 +113,14 @@ object Search {
   def bm25TopKBatch(postings: DataFrame, docStats: DataFrame, termStats: DataFrame,
                     queries: DataFrame, nDocs: Long, avgDl: Double, k: Int,
                     conjunctive: Boolean = true): DataFrame = {
-    val vocab = queries.select("term").distinct()
+    // A raw query log may repeat (query_id, term); dedupe so a repeated term
+    // contributes once — matching bm25TopK, whose Map-based dfs dedups terms.
+    val q = queries.select("query_id", "term").distinct()
+    val vocab = q.select("term").distinct()
     val dfs = termStats.join(vocab, "term").select(col("term"), col("df"))
-    val qn = queries.groupBy("query_id").agg(count(lit(1)).as("q_n"))
+    val qn = q.groupBy("query_id").agg(count(lit(1)).as("q_n"))
     val scored = postings
-      .join(broadcast(queries), "term")
+      .join(broadcast(q), "term")
       .join(broadcast(dfs), "term")
       .join(docStats, "doc_id")
       .withColumn("term_score", Bm25.score(col("tf"), col("df"), col("dl"), nDocs, avgDl))

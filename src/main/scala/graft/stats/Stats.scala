@@ -56,6 +56,23 @@ object Stats {
       .select("repo", "facet_rank", "term", "df")
   }
 
+  /** Manifest aux-lineage name of the persisted per-repo term stats. */
+  val repoTermStatsAux = "repo_term_stats"
+
+  /** Persist (repo, term, df) — the source relation of facets and per-repo
+    * lemma statistics — as an index artifact beside the bucket index
+    * (IndexWriter.writeAux). Like champion lists, this is an index-BUILD
+    * product: at 100 TB the per-repo df aggregation is a full tokenize +
+    * shuffle that must never run on a status-poll or SERP-sidebar path. */
+  def persistRepoTermStats(termStatsByRepo: DataFrame, tableDir: String): TableIO.Manifest =
+    graft.index.IndexWriter.writeAux(termStatsByRepo, tableDir, repoTermStatsAux)
+
+  /** Cold facets path: top-k terms per repo over the PERSISTED per-repo
+    * stats — reads one small aux parquet, zero tokenization, same
+    * WindowGroupLimit plan as the in-memory path. */
+  def facetsPersisted(spark: SparkSession, tableDir: String, k: Int): DataFrame =
+    topTermsPerRepo(graft.index.IndexWriter.readAux(spark, tableDir, repoTermStatsAux), k)
+
   /** status rows from the snapshot history of an index table dir — the
     * immutable replacement for the reference's in-place status updates.
     * FAILED rows come from the driver-written abort records

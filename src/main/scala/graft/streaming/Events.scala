@@ -119,9 +119,13 @@ object Events {
           // stragglers): merge into the open session WITHOUT rewinding
           // lastTs — state is monotone, so a later in-order event can
           // never be tricked into a spurious split; the session's start
-          // extends backward to cover the straggler.
+          // extends backward to cover the straggler, CLAMPED at
+          // lastTs - gapUs. The clamp guarantees sessions never overlap:
+          // session N opened > gapUs after session N-1's end, so
+          // lastTs - gapUs can never precede N-1's t_end_us.
           Some(s.copy(lastTsUs = math.max(ts, s.lastTsUs),
-            nEvents = s.nEvents + 1, startUs = math.min(ts, s.startUs)))
+            nEvents = s.nEvents + 1,
+            startUs = math.max(math.min(ts, s.startUs), s.lastTsUs - gapUs)))
       }
       val s = st.get
       touched += s.sessionIdx ->
@@ -144,7 +148,10 @@ object Events {
     * assignment may differ from the all-data batch answer (the straggler
     * might have belonged to an earlier session), which is the standard
     * best-effort contract; a source with heavy reordering needs an
-    * event-time buffer + watermark in front. */
+    * event-time buffer + watermark in front. The backward extension of
+    * t_start_us is clamped at lastTs - gapUs, so emitted session intervals
+    * never overlap: consumers may rely on [t_start_us, t_end_us] ranges
+    * being disjoint per user. */
   def sessionizeStream(events: DataFrame, gapMin: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -190,4 +190,14 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 31 && got.values.forall(_ == 0L))
   }
+
+  test("clusters pointer-jumping: a chain far longer than maxIter converges (O(log diameter))") {
+    import spark.implicits._
+    // diameter 200 ≫ maxIter 12: plain min-label propagation would need
+    // ~200 rounds and abort; pointer-jumping needs ~log2(200)+slack
+    val chain = (0L until 200L).map(i => (i + 1, i)) // reversed order: worst case for min-label
+    val got = Dedup.clusters(chain.toDF("a_id", "b_id"), maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L))
+  }
 }

@@ -128,6 +128,22 @@ class EventsSpec extends AnyFunSuite {
     assert(st3.get.sessionIdx == 1L)
   }
 
+  test("advanceSessions: backward extension clamps at lastTs - gap (sessions stay disjoint)") {
+    val (_, st1) = Events.advanceSessions(1L, None, Vector(0L), GAP_US)       // session 1 ends at 0
+    val t2 = GAP_US + 1000000L
+    val (_, st2) = Events.advanceSessions(1L, st1, Vector(t2, t2 + 500L), GAP_US)
+    assert(st2.get.sessionIdx == 2L)
+    // a straggler MORE than gap older than the open session's lastTs merges
+    // (state is monotone) but the start extension clamps at lastTs - gap —
+    // which by the session-split condition can never precede session 1's end
+    val (out3, st3) = Events.advanceSessions(1L, st2, Vector(1L), GAP_US)
+    val s = st3.get
+    assert(s.sessionIdx == 2L && s.nEvents == 3L)
+    assert(s.startUs == (t2 + 500L) - GAP_US)
+    assert(s.startUs > 0L, "clamped start must not overlap session 1's end")
+    assert(out3.last.t_start_us == s.startUs && out3.last.t_end_us == t2 + 500L)
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) over ordered micro-batches ≡ batch sessions") {
     val dir = Files.createTempDirectory("graft-ev-sess").toString
     try {

@@ -201,4 +201,97 @@ class IndexWriterSpec extends AnyFunSuite {
     assert(indexFingerprint(dir) == indexFingerprint(fullDir))
     assert(graft.io.TableIO.readCurrent(dir).get.snapshotId == 3L)
   }
+
+  // ---- aux artifacts (champion lists, per-repo term stats) ---------------
+
+  def buildIndexed(): (String, InvertedIndex.Tables) = {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus, cacheTokens = false)
+    val dir = tmpDir()
+    IndexWriter.write(IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg), dir, 1L, cfg)
+    (dir, t)
+  }
+
+  test("writeAux commits lineage; cold champion read ≡ in-memory build") {
+    val (dir, t) = buildIndexed()
+    graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 3, dir, cfg)
+    val man = TableIO.readCurrent(dir).get
+    val lin = man.aux.find(_.name == graft.index.Champions.auxName).get
+    val want = graft.index.Champions.build(t.postings, t.docStats, t.avgDl, m = 3)
+    assert(lin.rows == want.count() && lin.bytes > 0)
+    // manifest with aux rows roundtrips through JSON
+    assert(TableIO.parse(TableIO.render(man)) == man)
+    // cold read, bucket-pruned to two terms, equals the in-memory relation
+    val terms = Seq("spark", "hash")
+    val cold = graft.index.Champions.readForTerms(spark, dir, terms, cfg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val mem = want.filter(col("term").isin(terms: _*))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(cold == mem && cold.nonEmpty)
+    // and the pruning reaches the scan: only the terms' bucket dirs are read
+    val plan = graft.index.Champions.readForTerms(spark, dir, terms, cfg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+  }
+
+  test("writeAux resume: already-committed artifact is not rewritten; resume=false rebuilds") {
+    val (dir, t) = buildIndexed()
+    graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 3, dir, cfg)
+    // sentinel inside the artifact dir: an Overwrite write would delete it,
+    // a skipped resume leaves it
+    val sentinel = Path.of(dir, "aux", graft.index.Champions.auxName, "_sentinel")
+    Files.writeString(sentinel, "x")
+    graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 3, dir, cfg)
+    assert(Files.exists(sentinel), "resume must skip the committed artifact")
+    // forced rebuild (resume=false) rewrites the files
+    IndexWriter.writeAux(
+      graft.index.Champions.build(t.postings, t.docStats, t.avgDl, m = 3)
+        .withColumn("bucket", IndexWriter.bucketCol(col("term"), cfg.nBuckets)),
+      dir, graft.index.Champions.auxName, Seq("bucket"), resume = false)
+    assert(!Files.exists(sentinel), "resume=false must rewrite the artifact")
+    assert(TableIO.readCurrent(dir).get.aux.count(_.name == graft.index.Champions.auxName) == 1)
+  }
+
+  test("postings mutation decommits aux artifacts; readAux then fails fast") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val corpus0 = Corpus.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val t0 = InvertedIndex.build(corpus0, cacheTokens = false)
+    IndexWriter.write(IndexWriter.shardPostings(t0.postings, t0.docStats, t0.avgDl, cfg), dir, 1L, cfg)
+    graft.io.TableIO.writeMeta(dir, graft.io.TableIO.IndexMeta(t0.nDocs, t0.avgDl))
+    graft.index.Champions.persist(t0.postings, t0.docStats, t0.avgDl, m = 3, dir, cfg)
+    assert(TableIO.readCurrent(dir).get.aux.nonEmpty)
+    // upsert one doc — champions derive from the postings, so they decommit
+    val corpus1 = corpus0.withColumn("content",
+      when(col("doc_id") === 0L, lit("dup dup hash")).otherwise(col("content")))
+    val meta = graft.io.TableIO.readMeta(dir).get
+    val t1 = InvertedIndex.build(corpus1, cacheTokens = false, knownNDocs = meta.nDocs)
+    val affected = graft.analyze.Analyzer.queryTerms("en",
+      corpus0.filter(col("doc_id") === 0L).select("content").head.getString(0)) ++
+      Set("dup", "hash")
+    IndexWriter.upsertBuckets(t1.postings, t1.docStats, meta.avgDl, dir, affected, 2L, cfg)
+    assert(TableIO.readCurrent(dir).get.aux.isEmpty, "upsert must decommit aux artifacts")
+    val err = intercept[RuntimeException] {
+      IndexWriter.readAux(spark, dir, graft.index.Champions.auxName)
+    }
+    assert(err.getMessage.contains("not committed"))
+    // rebuild from the upserted postings recommits
+    graft.index.Champions.persist(t1.postings, t1.docStats, meta.avgDl, m = 3, dir, cfg)
+    assert(TableIO.readCurrent(dir).get.aux.exists(_.name == graft.index.Champions.auxName))
+  }
+
+  test("per-repo term stats artifact: cold facets ≡ in-memory rollup") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus, cacheTokens = false)
+    val dir = tmpDir()
+    IndexWriter.write(IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg), dir, 1L, cfg)
+    val byRepo = InvertedIndex.termStatsByRepo(InvertedIndex.tokens(corpus))
+    graft.stats.Stats.persistRepoTermStats(byRepo, dir)
+    val cold = graft.stats.Stats.facetsPersisted(spark, dir, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val mem = graft.stats.Stats.topTermsPerRepo(byRepo, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(cold == mem && cold.nonEmpty)
+  }
 }

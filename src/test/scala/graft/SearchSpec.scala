@@ -280,6 +280,17 @@ class SearchSpec extends AnyFunSuite {
     } finally { w.unpersist(); norms.unpersist(): Unit }
   }
 
+  test("batched BM25: a repeated (query_id, term) row neither double-counts nor changes ranks") {
+    import spark.implicits._
+    val clean = Seq((1L, "join"), (1L, "spark")).toDF("query_id", "term")
+    val dup = Seq((1L, "join"), (1L, "spark"), (1L, "join")).toDF("query_id", "term")
+    def run(qs: org.apache.spark.sql.DataFrame) =
+      Search.bm25TopKBatch(tables.postings, tables.docStats, tables.termStats,
+          qs, tables.nDocs, tables.avgDl, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(dup) == run(clean))
+  }
+
   test("batched BM25 ≡ per-query bm25TopK for every query in the batch") {
     import spark.implicits._
     val batch = Seq(
