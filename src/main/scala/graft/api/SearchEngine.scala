@@ -163,10 +163,16 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     * byte-identically (IndexWriter.write resume contract). Returns false
     * if stopped before completion (FAILED status + lastError recorded —
     * reference IndexingServiceImpl.java:67-83). */
+  /** `championsM = Some(m)` additionally persists the champion-list aux
+    * artifact (per-term top-m, Champions.persist) and the per-repo term
+    * stats beside the bucket index — the snapshot then ships with its
+    * derived artifacts and a cold reader gets facets + the champions tier
+    * without any recompute. */
   def startIndexingPersisted(tableDir: String, snapshotId: Long = 1L,
                              cfg: IndexWriter.Config = IndexWriter.Config(),
                              groupSize: Int = 4,
-                             onGroupCommitted: Int => Unit = _ => ()): Boolean = {
+                             onGroupCommitted: Int => Unit = _ => (),
+                             championsM: Option[Int] = None): Boolean = {
     if (!inFlight.compareAndSet(false, true)) return false
     try {
       cancel.set(false)
@@ -196,17 +202,23 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
           onGroupCommitted(g.size)
         }
         TableIO.writeMeta(tableDir, TableIO.IndexMeta(t.nDocs, t.avgDl))
+        // per-repo df derives from the cached postings + the corpus's
+        // (doc_id, repo) map — no second tokenization pass
+        val tsRepo = t.postings
+          .join(corpus.select("doc_id", "repo"), "doc_id")
+          .groupBy("repo", "term").agg(count(lit(1)).as("df"))
+        // optional derived artifacts ride along with the snapshot (manifest
+        // aux lineage): champion lists + the facets/statistics source
+        championsM.foreach { m =>
+          graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m, tableDir, cfg)
+          Stats.persistRepoTermStats(tsRepo, tableDir): Unit
+        }
         // the facade stays fully usable after a persisted build: seed the
         // live LSM store from the tables already in hand (one parquet
         // write, NO second tokenization pass), so search()/statistics()/
         // indexPage() work exactly as after startIndexing()
         synchronized {
           store = freshStore()
-          // per-repo df derives from the cached postings + the corpus's
-          // (doc_id, repo) map — no second tokenization pass
-          val tsRepo = t.postings
-            .join(corpus.select("doc_id", "repo"), "doc_id")
-            .groupBy("repo", "term").agg(count(lit(1)).as("df"))
           IncrementalIndex.seedBase(store, t, rawDocs = Some(corpus),
             termStatsRepo = Some(tsRepo))
           invalidateTables()

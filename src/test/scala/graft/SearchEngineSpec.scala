@@ -262,6 +262,26 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(r2.result && r2.count == 1 && r2.data.head.uri == "doc/0")
   }
 
+  test("persisted build ships aux artifacts: champions + per-repo stats committed with lineage") {
+    import java.nio.file.Files
+    val cfg = graft.index.IndexWriter.Config(docsPerShard = 64, nBuckets = 8)
+    val dir = Files.createTempDirectory("graft-api-aux").toString
+    val e = new SearchEngine(spark, Corpus.fromDocuments(spark, "/root/testdata/sf0.001"))
+    assert(e.startIndexingPersisted(dir, 1L, cfg, groupSize = 4, championsM = Some(3)))
+    val man = graft.io.TableIO.readCurrent(dir).get
+    assert(man.aux.map(_.name).toSet ==
+      Set(graft.index.Champions.auxName, graft.stats.Stats.repoTermStatsAux))
+    assert(man.aux.forall(a => a.rows > 0 && a.bytes > 0))
+    // the cold champions tier answers from the artifact alone
+    val ch = graft.index.Champions.readForTerms(spark, dir, Seq("spark", "join"), cfg)
+    assert(ch.count() > 0)
+    // and the cold facets path needs no tokenization
+    val f = graft.stats.Stats.facetsPersisted(spark, dir, k = 2)
+    assert(f.count() > 0)
+    assert(!f.queryExecution.analyzed.toString.contains("regexp_replace"),
+      "cold facets must not tokenize")
+  }
+
   test("query cache cannot serve a doc the upsert path just deleted") {
     import spark.implicits._
     val e = freshEngine()
