@@ -316,9 +316,13 @@ object Dedup {
         .join(labels.select(col("doc_id").as("u"), col("label").as("ulabel")), "u")
         .groupBy(col("v")).agg(min(col("ulabel")).as("nlabel"))
         .withColumnRenamed("v", "doc_id")
+      // materialized once: the jump below reads `prop` on BOTH sides of a
+      // self-join — without the checkpoint each side would recompute the
+      // O(edges) join+aggregate above, doubling the per-iteration cost
       val prop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
       // pointer-jumping shortcut: label ← min(label, label(label)). Labels
       // are node ids and every node is a doc_id row in `prop`, so the same
       // relation serves as the jump map; the left join never widens a label
