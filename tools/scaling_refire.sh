@@ -1,10 +1,11 @@
 #!/bin/bash
 # Waits for a probe-clean window (two consecutive one-shot tmpfs dd reads
 # >= MIN_GBPS), then fires one paired ScalingBench run. Usage:
-#   bash tools/scaling_refire.sh <runId> [minGBps] [maxWaitSec]
+#   bash tools/scaling_refire.sh <runId> [minGBps] [maxWaitSec] [reps]
 RUN_ID=${1:?runId}
 MIN=${2:-2.0}
 MAXWAIT=${3:-1800}
+REPS=${4:-2}
 t0=$(date +%s)
 ok=0
 while true; do
@@ -18,4 +19,4 @@ while true; do
   sleep 45
 done
 cd /root/repo
-SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ScalingBench gen:400000 -2,-8 2 $RUN_ID"
+SPARK_SCALA_VERSION=2.13 sbt -batch "runMain graft.ScalingBench gen:400000 -2,-8 ${REPS} $RUN_ID"
