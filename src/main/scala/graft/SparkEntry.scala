@@ -527,6 +527,24 @@ object SparkEntry {
         t.nDocs, iters = 3)
       graft.corpus.LinkRank.topK(pr, 20)
     }),
+    // Anchor-text postings: link text counts toward the TARGET page (one
+    // explode + hash aggregate shuffled on (dst, term))
+    "ft_anchor_postings" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      graft.corpus.Anchors.anchorPostings(
+        graft.corpus.Anchors.syntheticAnchors(c, t.nDocs))
+    }),
+    // Anchor-blended ranking: body postings + in-link anchor field (w=3),
+    // scored through the shared BM25F build/score split
+    "ft_anchor_search" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val apost = graft.corpus.Anchors.anchorPostings(
+        graft.corpus.Anchors.syntheticAnchors(c, t.nDocs))
+      Search.bm25fTopKFromPostings(
+        graft.corpus.Anchors.withAnchors(t.postings, apost, wAnchor = 3),
+        q2, t.nDocs, k = 10)
+        .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
     // Batched multi-query BM25: the whole query log scored in ONE postings
     // pass (query-eval harness shape; WindowGroupLimit per query)
     "ft_batch_bm25" -> ((s, dir) => {
@@ -946,6 +964,33 @@ object SparkEntry {
          |SELECT rank, doc_id, pr FROM (
          |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
          |  FROM p3) WHERE rank <= 20""".stripMargin,
+    "ft_anchor_postings" ->
+      s"""WITH ${tokArrCte},
+         |$anchorCtes
+         |SELECT doc_id, term, atf FROM ap""".stripMargin,
+    "ft_anchor_search" ->
+      s"""WITH ${termsCte}, ${postCte}, ${tokArrCte},
+         |$anchorCtes,
+         |eff AS (SELECT coalesce(p.doc_id, ap.doc_id) AS doc_id,
+         |               coalesce(p.term, ap.term) AS term,
+         |               coalesce(p.tf, 0) + 3 * coalesce(ap.atf, 0) AS tf
+         |        FROM post p FULL OUTER JOIN ap ON p.doc_id = ap.doc_id AND p.term = ap.term),
+         |ds2 AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM eff GROUP BY doc_id),
+         |ts2 AS (SELECT term, count(*)::BIGINT AS df FROM eff GROUP BY term),
+         |st2 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         |               (SELECT avg(dl) FROM ds2) AS avgdl),
+         |${qCte(q2)},
+         |scored AS (
+         |  SELECT e.doc_id, count(*) AS n_terms,
+         |         sum(${Bm25.sql("e.tf", "t.df", "d.dl", "s.n", "s.avgdl")}) AS score
+         |  FROM eff e JOIN q USING (term) JOIN ts2 t USING (term)
+         |       JOIN ds2 d ON e.doc_id = d.doc_id, st2 s
+         |  GROUP BY e.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r
+         |  FROM scored WHERE n_terms = ${q2.size}
+         |) WHERE rank <= 10""".stripMargin,
     "ft_blend" -> {
       val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
       s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
@@ -1372,6 +1417,18 @@ object SparkEntry {
        |${iter("p1", "p2")},
        |${iter("p2", "p3")}""".stripMargin
   }
+
+  /** Twin of Anchors.syntheticAnchors + anchorPostings: consumes `tokarr`
+    * (ordered stop-filtered token arrays), exports `ap` (doc_id, term, atf).
+    * Shared by ft_anchor_postings and ft_anchor_search. */
+  private def anchorCtes: String =
+    s"""ann AS (SELECT count(*) AS n FROM documents),
+       |anch AS (
+       |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM ann) AS dst, arr[1:3] AS a FROM tokarr
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM ann), arr[4:6] FROM tokarr),
+       |at AS (SELECT dst, unnest(a) AS term FROM anch),
+       |ap AS (SELECT dst AS doc_id, term, count(*)::BIGINT AS atf FROM at GROUP BY dst, term)""".stripMargin
 
   // ---- HTML wrap / lexicon twins ---------------------------------------
   /** deterministic HTML wrapper around the documents corpus (no external
