@@ -527,6 +527,15 @@ object SparkEntry {
         t.nDocs, iters = 3)
       graft.corpus.LinkRank.topK(pr, 20)
     }),
+    // HITS hubs/authorities over the same link graph (fixed-point BIGINT,
+    // two join+agg passes per iteration)
+    "ft_hits" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val ah = graft.corpus.LinkRank.hits(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        iters = 2)
+      graft.corpus.LinkRank.hitsTopK(ah, 20)
+    }),
     // Anchor-text postings: link text counts toward the TARGET page (one
     // explode + hash aggregate shuffled on (dst, term))
     "ft_anchor_postings" -> ((s, dir) => {
@@ -964,6 +973,12 @@ object SparkEntry {
          |SELECT rank, doc_id, pr FROM (
          |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
          |  FROM p3) WHERE rank <= 20""".stripMargin,
+    "ft_hits" ->
+      s"""WITH $hitsCtes
+         |SELECT rank, doc_id, auth, hub FROM (
+         |  SELECT row_number() OVER (ORDER BY a.s DESC, a.doc_id ASC) AS rank,
+         |         a.doc_id, a.s AS auth, h.s AS hub
+         |  FROM a2 a JOIN h2 h USING (doc_id)) WHERE rank <= 20""".stripMargin,
     "ft_anchor_postings" ->
       s"""WITH ${tokArrCte},
          |$anchorCtes
@@ -1416,6 +1431,33 @@ object SparkEntry {
        |${iter("p0", "p1")},
        |${iter("p1", "p2")},
        |${iter("p2", "p3")}""".stripMargin
+  }
+
+  /** Twin of LinkRank.hits (2 iterations, scale 10^9): same nodes/edges as
+    * pagerankCtes; each ℓ1-normalized half-step is raw // (Σraw // scale),
+    * integer-exact in both engines. Exports a2/h2 (doc_id, s). */
+  private def hitsCtes: String = {
+    val S = "1000000000"
+    // one half-step: scores flow from `from` to `to` across edges
+    def half(score: String, from: String, to: String, out: String) =
+      s"""${out}raw AS (SELECT nd.doc_id, coalesce(r.raw, 0)::BIGINT AS raw
+         |  FROM hnodes nd LEFT JOIN (
+         |    SELECT e.$to AS doc_id, sum(x.s)::BIGINT AS raw
+         |    FROM hedges e JOIN $score x ON e.$from = x.doc_id
+         |    GROUP BY e.$to) r USING (doc_id)),
+         |${out}den AS (SELECT greatest(sum(raw) // $S, 1)::BIGINT AS d FROM ${out}raw),
+         |$out AS (SELECT doc_id, (raw // (SELECT d FROM ${out}den))::BIGINT AS s FROM ${out}raw)""".stripMargin
+    s"""hnodes AS (SELECT doc_id FROM documents),
+       |hnn AS (SELECT count(*) AS n FROM hnodes),
+       |hedges AS (
+       |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM hnn) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM hnn) FROM documents),
+       |h0 AS (SELECT doc_id, CAST($S AS BIGINT) AS s FROM hnodes),
+       |${half("h0", "src", "dst", "a1")},
+       |${half("a1", "dst", "src", "h1")},
+       |${half("h1", "src", "dst", "a2")},
+       |${half("a2", "dst", "src", "h2")}""".stripMargin
   }
 
   /** Twin of Anchors.syntheticAnchors + anchorPostings: consumes `tokarr`

@@ -73,4 +73,52 @@ object LinkRank {
         row_number().over(Window.orderBy(desc("pr"), asc("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("pr"))
   }
+
+  /** HITS hubs/authorities (Kleinberg 1999) — the query-independent link
+    * signal complementary to PageRank: a page is a good AUTHORITY if good
+    * hubs link to it, a good HUB if it links to good authorities. Same
+    * fixed-point BIGINT design as `pagerank` (order-independent integer
+    * sums → bit-exact at any parallelism); the ℓ1 normalization each
+    * half-step is `raw div (Σraw div scale)` — dividing the SUM down first
+    * keeps every intermediate ≤ Σraw ≈ N·scale, so with the default scale
+    * 10^9 the arithmetic stays in BIGINT range up to N ≈ 10^9 nodes.
+    *
+    * Scale shape per iteration: two (join + hash aggregate) passes shuffled
+    * on the edge endpoint plus two broadcast 1-row sums — no windows, no
+    * collect; lineage cut per iteration like `pagerank`. Returns
+    * (doc_id, auth, hub). */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int = 2,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1)
+    // one ℓ1-normalized half-step: scores flow across `edges` from
+    // `fromCol` to `toCol`, then the whole vector is rescaled to Σ ≈ scale·N/N
+    def halfStep(score: DataFrame, fromCol: String, toCol: String,
+                 outName: String): DataFrame = {
+      val raw = edges.join(score, edges(fromCol) === score("doc_id"))
+        .groupBy(col(toCol).as("doc_id")).agg(sum(col("s")).as("raw"))
+      val filled = nodes.join(raw, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val total = filled.agg(greatest(expr(s"sum(raw) div ${scale}L"), lit(1L)).as("denom"))
+      filled.crossJoin(broadcast(total))
+        .select(col("doc_id"), expr("raw div denom").as(outName))
+    }
+    var auth = nodes.select(col("doc_id"), lit(scale).as("auth"))
+    var hub = nodes.select(col("doc_id"), lit(scale).as("hub"))
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub.withColumnRenamed("hub", "s"), "src", "dst", "auth")
+        .localCheckpoint(true)
+      hub = halfStep(auth.withColumnRenamed("auth", "s"), "dst", "src", "hub")
+        .localCheckpoint(true)
+    }
+    auth.join(hub, Seq("doc_id"))
+  }
+
+  /** Top-k by authority: (rank, doc_id, auth, hub), ties by doc_id. */
+  def hitsTopK(ah: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ah.orderBy(desc("auth"), asc("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("auth"), asc("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("auth"), col("hub"))
+  }
 }

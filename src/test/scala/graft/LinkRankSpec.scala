@@ -73,4 +73,42 @@ class LinkRankSpec extends AnyFunSuite {
     val top = LinkRank.topK(pr, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(top.toSeq == Seq((1L, 1L), (2L, 9L), (3L, 2L)))
   }
+
+  /** scalar twin of LinkRank.hits — same truncating integer normalization */
+  def scalarHits(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
+                 scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    var auth = nodes.map(_ -> scale).toMap
+    var hub = nodes.map(_ -> scale).toMap
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val d = math.max(raw.values.sum / scale, 1L)
+      raw.map { case (k, v) => k -> v / d }
+    }
+    for (_ <- 1 to iters) {
+      auth = norm(nodes.map(v => v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+      hub = norm(nodes.map(v => v -> edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+    }
+    nodes.map(v => v -> ((auth(v), hub(v)))).toMap
+  }
+
+  test("hits ≡ scalar fixed-point iteration on the synthetic graph (bit-exact)") {
+    val n = 60L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 7) % n)))
+    val got = LinkRank.hits(edges.toDF("src", "dst"), nodes.toDF("doc_id"), iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == scalarHits(edges, nodes, 2))
+  }
+
+  test("hits: star graph — center is the hub, leaves are the authorities") {
+    val edges = (1L to 5L).map(i => (0L, i))
+    val nodes = 0L to 5L
+    val got = LinkRank.hits(edges.toDF("src", "dst"), nodes.toDF("doc_id"), iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == scalarHits(edges, nodes, 2))
+    // center: zero authority (nothing links to it), dominant hub
+    assert(got(0L)._1 == 0L && got(0L)._2 > got(1L)._2)
+    // every leaf: positive equal authority, zero hub (no out-links)
+    assert((1L to 5L).map(got(_)._1).toSet.size == 1 && got(1L)._1 > 0L)
+    assert((1L to 5L).forall(got(_)._2 == 0L))
+  }
 }
