@@ -80,6 +80,11 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     * mutation (the persisted snapshot is stale once the live LSM moves) */
   @volatile private var persistedDir: Option[String] = None
   private var persistedCfg: IndexWriter.Config = IndexWriter.Config()
+  /** query-independent authority prior (doc_id, pr) + blend β; when set,
+    * every search blends it into the ranking (Search.blendScores). Survives
+    * corpus mutations by design: docs absent from the prior take pr = 0
+    * (rank on relevance alone until the next prior refresh) */
+  @volatile private var authorityPrior: Option[(DataFrame, Double)] = None
 
   // ---- LSM state store backing the live tables -------------------------
   private val baseDir = stateDir.getOrElse(
@@ -172,7 +177,10 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
                              cfg: IndexWriter.Config = IndexWriter.Config(),
                              groupSize: Int = 4,
                              onGroupCommitted: Int => Unit = _ => (),
-                             championsM: Option[Int] = None): Boolean = {
+                             championsM: Option[Int] = None,
+                             priorEdges: Option[DataFrame] = None,
+                             priorIters: Int = 3,
+                             priorBeta: Double = 0.5): Boolean = {
     if (!inFlight.compareAndSet(false, true)) return false
     try {
       cancel.set(false)
@@ -212,6 +220,16 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
         championsM.foreach { m =>
           graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m, tableDir, cfg)
           Stats.persistRepoTermStats(tsRepo, tableDir): Unit
+        }
+        // optional authority prior: PageRank over the supplied crawl graph,
+        // persisted beside the index (manifest aux lineage, decommitted by
+        // postings mutations like any aux artifact) and installed for the
+        // serve path in the same breath
+        priorEdges.foreach { ed =>
+          val pr = graft.corpus.LinkRank.pagerank(
+            ed, corpus.select("doc_id"), t.nDocs, priorIters)
+          IndexWriter.writeAux(pr, tableDir, "prior")
+          setAuthorityPrior(pr, priorBeta)
         }
         // the facade stays fully usable after a persisted build: seed the
         // live LSM store from the tables already in hand (one parquet
@@ -317,6 +335,26 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
   /** `lang` picks the query-analysis branch (stoplist/normalizer — "ru"
     * routes through the Cyrillic chain) and must match how the corpus was
     * tokenized, exactly like Search.search's contract. */
+  /** Install a static authority prior (doc_id, pr) — e.g. `LinkRank
+    * .pagerank` over the crawl graph — blended into every subsequent
+    * search's ranking: blend = bm25 · (β + (1−β)·pr/max(pr)). The response
+    * cache is invalidated (same query, different ranking). */
+  def setAuthorityPrior(prior: DataFrame, beta: Double = 0.5): Unit = synchronized {
+    authorityPrior = Some((prior.select(col("doc_id"), col("pr")).cache(), beta))
+    cache.clear()
+  }
+
+  def clearAuthorityPrior(): Unit = synchronized {
+    authorityPrior = None
+    cache.clear()
+  }
+
+  /** Restore a persisted prior (the `prior` aux artifact written by
+    * `startIndexingPersisted(priorEdges = …)`) — fails fast if the artifact
+    * was decommitted by a postings mutation (IndexWriter.readAux). */
+  def loadAuthorityPrior(tableDir: String, beta: Double = 0.5): Unit =
+    setAuthorityPrior(IndexWriter.readAux(spark, tableDir, "prior"), beta)
+
   def search(query: String, site: Option[String] = None,
              offset: Int = 0, limit: Int = 20, lang: String = "en"): SearchResponse = {
     require(indexed, "index not built")
@@ -378,16 +416,34 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     // rank-identical to the DataFrame aggregate by construction (shared
     // formula + tie-breaks; asserted in SearchEngineSpec). Site-scoped
     // queries stay on the DataFrame path (shards are not repo-scoped).
+    val prior = authorityPrior
     val top = pDir match {
       case Some(dir) if site.isEmpty =>
         val meta = TableIO.readMeta(dir).get
         val idfs = dfs.map { case (tm, d) => tm -> graft.query.Bm25.idfS(d, meta.nDocs) }
-        graft.query.Wand.topK(
-            IndexWriter.readForTerms(spark, dir, kept, persistedCfg),
-            idfs, meta.avgDl, effOffset + effLimit)
-          .filter(col("rank") > effOffset)
+        def wandTopK(k: Int) = graft.query.Wand.topK(
+          IndexWriter.readForTerms(spark, dir, kept, persistedCfg),
+          idfs, meta.avgDl, k)
+        prior match {
+          case Some((p, beta)) =>
+            // two-stage ranking: WAND retrieves C candidates by pure BM25
+            // (an upper bound of the blended score, Search.rerankWithPrior
+            // doc), the prior reranks those C rows only
+            val c = math.max(8 * (effOffset + effLimit), 64)
+            Search.rerankWithPrior(wandTopK(c), p, beta, effLimit, effOffset)
+          case None =>
+            wandTopK(effOffset + effLimit).filter(col("rank") > effOffset)
+        }
       case _ =>
-        Search.bm25TopK(scoped, t.docStats, dfs, t.nDocs, t.avgDl, effLimit, effOffset)
+        prior match {
+          case Some((p, beta)) =>
+            Search.blendTopK(scoped, t.docStats, dfs, t.nDocs, t.avgDl, p,
+                effOffset + effLimit, beta)
+              .filter(col("rank") > effOffset)
+              .withColumnRenamed("blend", "score")
+          case None =>
+            Search.bm25TopK(scoped, t.docStats, dfs, t.nDocs, t.avgDl, effLimit, effOffset)
+        }
     }
     val rows = Search.decorate(corpus, top, dfs.keySet).collect()
     val items = rows.map { r =>

@@ -264,20 +264,43 @@ object Search {
                 dfs: Map[String, Long], nDocs: Long, avgDl: Double,
                 prior: DataFrame, k: Int, beta: Double = 0.5): DataFrame = {
     val scored = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
-    // empty prior: max(pr) is NULL — coalesce to 1 so every doc's prior
-    // factor is 0 and the ranking degrades to β-scaled pure relevance
-    // instead of all-NULL blends
+    rankTopK(blendScores(scored, prior, beta), k, Seq(desc("blend"), asc("doc_id")))
+      .withColumn("rank", col("rank").cast("long"))
+      .select(col("rank"), col("doc_id"), col("blend"))
+  }
+
+  /** The blend factor join shared by `blendTopK` and the facade's two-stage
+    * rerank: blend = score · (β + (1−β)·pr/max(pr)) over (doc_id, score)
+    * rows. Empty prior: max(pr) is NULL — coalesce to 1 so every doc's
+    * prior factor is 0 and the ranking degrades to β-scaled pure relevance
+    * instead of all-NULL blends. Docs absent from the prior (left join)
+    * take pr = 0: new pages rank on relevance alone until the next prior
+    * refresh, which is the graceful-staleness semantics a periodically
+    * recomputed authority signal needs. */
+  def blendScores(scored: DataFrame, prior: DataFrame, beta: Double): DataFrame = {
     val prMax = prior.agg(coalesce(max(col("pr")), lit(1L)).cast("double").as("pr_max"))
-    val blended = scored
+    scored
       .join(prior.select(col("doc_id"), col("pr")), Seq("doc_id"), "left")
       .crossJoin(broadcast(prMax))
       .withColumn("blend", col("score") *
         (lit(beta) + lit(1.0 - beta) *
           coalesce(col("pr"), lit(0L)).cast("double") / col("pr_max")))
-    rankTopK(blended, k, Seq(desc("blend"), asc("doc_id")))
-      .withColumn("rank", col("rank").cast("long"))
-      .select(col("rank"), col("doc_id"), col("blend"))
   }
+
+  /** Stage-2 authority rerank of a stage-1 candidate list (rank, doc_id,
+    * score) — the standard two-stage web-ranking shape: retrieval fetches
+    * C ≥ k candidates by pure relevance (WAND/BM25), the rerank blends the
+    * static prior over those C rows only. The blend factor is ≤ 1, so a
+    * candidate's BM25 score upper-bounds its blended score — whenever the
+    * k-th blended score among the C candidates ≥ the C-th BM25 score, the
+    * result is provably identical to blending the whole corpus; larger C
+    * trades rerank cost (C rows, trivial) for that certificate. */
+  def rerankWithPrior(cands: DataFrame, prior: DataFrame, beta: Double,
+                      k: Int, offset: Int = 0): DataFrame =
+    rankTopK(blendScores(cands.select(col("doc_id"), col("score")), prior, beta)
+        .drop("score").withColumnRenamed("blend", "score"),
+      k, Seq(desc("score"), asc("doc_id")), offset)
+      .select(col("rank"), col("doc_id"), col("score"))
 
   /** BM25F — field-weighted BM25 over (title, body) fields of the same page
     * (Robertson/Zaragoza 2004, the standard web-ranking upgrade: a title hit

@@ -404,6 +404,61 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(r.result && r.count == 1)
   }
 
+  test("authority prior: blend across both tiers, persisted restore, graceful staleness") {
+    import java.nio.file.Files
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val nDocs = corpus.count()
+    val edges = graft.corpus.Crawl.syntheticEdges(corpus, nDocs)
+
+    // DataFrame tier: installing the prior changes scores, clearing restores
+    val de = new SearchEngine(spark, corpus)
+    assert(de.startIndexing())
+    val plain = de.search("spark join", limit = 10)
+    val pr = graft.corpus.LinkRank.pagerank(edges, corpus.select("doc_id"), nDocs, iters = 3)
+    de.setAuthorityPrior(pr, beta = 0.5)
+    val blended = de.search("spark join", limit = 10)
+    assert(blended.result && blended.count == plain.count) // candidates unchanged
+    assert(blended.data.map(_.relevance) != plain.data.map(_.relevance),
+      "blend must rescale scores (factor <= 1)")
+    de.clearAuthorityPrior()
+    assert(de.search("spark join", limit = 10).data.map(_.uri) == plain.data.map(_.uri))
+
+    // persisted tier: the prior rides the build as an aux artifact and the
+    // WAND two-stage rerank must agree with the DataFrame blend tier
+    val cfg = graft.index.IndexWriter.Config(docsPerShard = 64, nBuckets = 8)
+    val dir = Files.createTempDirectory("graft-api-prior").toString
+    val pe = new SearchEngine(spark, corpus)
+    assert(pe.startIndexingPersisted(dir, 1L, cfg, groupSize = 4,
+      priorEdges = Some(edges)))
+    assert(pe.servesFromPersisted)
+    de.setAuthorityPrior(pr, beta = 0.5)
+    for (q <- Seq("spark join", "hash")) {
+      val a = pe.search(q, limit = 10) // WAND candidates -> rerank
+      val b = de.search(q, limit = 10) // exhaustive DataFrame blend
+      assert(a.data.map(_.uri) == b.data.map(_.uri),
+        s"$q: two-stage rerank diverged from exhaustive blend")
+      a.data.zip(b.data).foreach { case (x, y) =>
+        assert(math.abs(x.relevance - y.relevance) < 1e-9, s"$q: ${x.uri} score diverged")
+      }
+    }
+
+    // a fresh engine restores the persisted prior by lineage
+    val fe = new SearchEngine(spark, corpus)
+    assert(fe.startIndexing())
+    fe.loadAuthorityPrior(dir, beta = 0.5)
+    val restored = fe.search("spark join", limit = 10)
+    assert(restored.data.map(_.uri) == de.search("spark join", limit = 10).data.map(_.uri))
+
+    // graceful staleness: an upserted page is absent from the prior (pr = 0)
+    // yet stays searchable on relevance alone
+    import spark.implicits._
+    val doc = Seq((0L, "src0", "doc/0", "0" * 40, "en", "priorstaleword"))
+      .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    assert(pe.indexPage(doc))
+    val r = pe.search("priorstaleword", limit = 5)
+    assert(r.result && r.count == 1)
+  }
+
   test("statistics() reads only store tables — no Analyzer nodes, values unchanged") {
     val e = freshEngine()
     val plan = e.statisticsFrame().queryExecution.analyzed.toString
