@@ -88,26 +88,42 @@ object ScalingBench {
           .groupBy("k").count().count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // bandwidth-bound calibration: a pure-shuffle reference job — hash
+      // first so the exchanged longs are incompressible, then a full
+      // repartition moves every row through the exchange. The sha2 calib
+      // above is compute-bound and BLIND to memory-bandwidth collapse (the
+      // round-3 finding); the index build sits between the two resources,
+      // so its admissible efficiency band is [shuffle ceiling, compute
+      // ceiling] — report both and read the job against each.
+      val calibShuffle = (0 to 1).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(150000000L)
+          .select(xxhash64(col("id")).as("h"))
+          .repartition(4 * math.abs(cores), col("h"))
+          .agg(sum(col("h"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       val best = runs.map(_._2).min
       val n = runs.head._1
-      println(f"""{"level":"$master","files":$n,"sec":$best,"files_per_sec":${n / best},"calib_sec":$calib%.3f}""")
-      cores -> (n, best, calib)
+      println(f"""{"level":"$master","files":$n,"sec":$best,"files_per_sec":${n / best},"calib_sec":$calib%.3f,"calib_shuffle_sec":$calibShuffle%.3f}""")
+      cores -> (n, best, calib, calibShuffle)
     }
     if (timings.size >= 2) {
-      val (c1raw, (_, t1, cal1)) = timings.head
-      val (c2raw, (n, t2, cal2)) = timings.last
+      val (c1raw, (_, t1, cal1, calSh1)) = timings.head
+      val (c2raw, (n, t2, cal2, calSh2)) = timings.last
       val (c1, c2) = (math.abs(c1raw), math.abs(c2raw))
       val ratio = c2.toDouble / c1
       val eff = (t1 / t2) / ratio
       val platformEff = (cal1 / cal2) / ratio
+      val shuffleEff = (calSh1 / calSh2) / ratio
       // run identifier so Bench consumers can detect a stale relay (a failed
       // write below would otherwise report a previous run's numbers as
       // current, with nothing to tell them apart)
       val runId = args.lift(3).getOrElse(System.currentTimeMillis().toString)
-      val line = f"""{"metric":"scaling_efficiency","run_id":"$runId","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"files":$n,"sf":"$sfDir"}"""
+      val line = f"""{"metric":"scaling_efficiency","run_id":"$runId","n_cores":$c1,"n4_cores":$c2,"t_n_sec":$t1%.3f,"t_4n_sec":$t2%.3f,"speedup":${t1 / t2}%.3f,"efficiency":$eff%.3f,"platform_efficiency":$platformEff%.3f,"shuffle_efficiency":$shuffleEff%.3f,"files":$n,"sf":"$sfDir"}"""
       println(line)
       // record the summary so graft.Bench can relay the latest actual run
       val out = sys.env.getOrElse("SCALING_OUT", "tools/scaling_latest.json")

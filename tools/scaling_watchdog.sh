@@ -2,15 +2,16 @@
 # Refires probe-gated scaling pairs until one lands with BOTH job and
 # platform efficiency >= MIN_EFF (i.e. neither phase straddled a host
 # bandwidth dip), archiving every attempt to tools/scaling_r4_<id>.json.
-# Usage: bash tools/scaling_watchdog.sh <prefix> [attempts] [minEff]
+# Usage: bash tools/scaling_watchdog.sh <prefix> [attempts] [minEff] [reps]
 PREFIX=${1:?prefix}
 ATTEMPTS=${2:-6}
 MINEFF=${3:-0.75}
+REPS=${4:-1}
 cd /root/repo
 for i in $(seq 1 "$ATTEMPTS"); do
   id="${PREFIX}${i}"
   echo "=== attempt $id $(date +%H:%M:%S) ==="
-  bash tools/scaling_refire.sh "$id" 2.0 2700 1 > "tools/refire_${id}.log" 2>&1
+  bash tools/scaling_refire.sh "$id" 2.0 2700 "$REPS" > "tools/refire_${id}.log" 2>&1
   cp tools/scaling_latest.json "tools/scaling_r4_${id}.json" 2>/dev/null
   eff=$(grep -oE '"efficiency":[0-9.]+' tools/scaling_latest.json | head -1 | cut -d: -f2)
   peff=$(grep -oE '"platform_efficiency":[0-9.]+' tools/scaling_latest.json | cut -d: -f2)
