@@ -97,10 +97,12 @@ object ScalingBench {
       // ceiling] — report both and read the job against each.
       val calibShuffle = (0 to 1).map { _ =>
         val t0 = System.nanoTime()
+        // bit_xor, not sum: the XOR of 150M random 64-bit hashes cannot
+        // overflow (sum throws under ANSI arithmetic)
         spark.range(150000000L)
           .select(xxhash64(col("id")).as("h"))
           .repartition(4 * math.abs(cores), col("h"))
-          .agg(sum(col("h"))).head()
+          .agg(bit_xor(col("h"))).head()
         (System.nanoTime() - t0) / 1e9
       }.min
       spark.stop()

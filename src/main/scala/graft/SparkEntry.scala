@@ -718,6 +718,17 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       TextAnalysis.fingerprint(c)
     }),
+    // PII scrub over deterministically injected emails/IPs/phones (the
+    // corpus itself is synthetic, so the fixtures inject the PII to find)
+    "text_redact" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.redactPii(c.withColumn("content", piiInject))
+    }),
+    // Gopher-style repetition quality signals (dup-word / top-bigram)
+    "text_repetition" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.repetition(c)
+    }),
     // multimodal: metadata projection over the binary media table
     "mm_meta" -> ((s, dir) => {
       Multimodal.meta(Multimodal.mediaFromDocuments(s, dir))
@@ -1323,6 +1334,31 @@ object SparkEntry {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
          |    (a, b) -> (a * 1000003 + b) % ${TextHash.P}) AS fp
          |FROM hh""".stripMargin,
+    "text_redact" ->
+      s"""WITH pii AS (SELECT doc_id, $piiInjectSql AS text FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.ipRe}', '<IP>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS red,
+         |  len(regexp_extract_all(text, '${TextAnalysis.emailRe}'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(text, '${TextAnalysis.ipRe}'))::BIGINT AS n_ip,
+         |  len(regexp_extract_all(text, '${TextAnalysis.phoneRe}'))::BIGINT AS n_phone
+         |FROM pii""".stripMargin,
+    "text_repetition" ->
+      s"""WITH ${tokArrCte},
+         |g AS (SELECT doc_id, unnest(list_transform(range(greatest(len(arr) - 1, 0)),
+         |  i -> arr[i + 1] || ' ' || arr[i + 2])) AS gram FROM tokarr),
+         |bg AS (SELECT doc_id, count(*)::BIGINT AS c FROM g GROUP BY doc_id, gram),
+         |bstat AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_grams FROM bg GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  len(arr)::BIGINT AS n_tokens,
+         |  round(CASE WHEN len(arr) > 0
+         |    THEN 1.0 - len(list_distinct(arr))::DOUBLE / len(arr) ELSE 0.0 END, 4) AS dup_word_frac_r,
+         |  round(CASE WHEN coalesce(b.n_grams, 0) > 0
+         |    THEN b.top_c::DOUBLE / b.n_grams ELSE 0.0 END, 4) AS top_bigram_frac_r,
+         |  (dup_word_frac_r <= 0.7 AND top_bigram_frac_r <= 0.2) AS keep
+         |FROM tokarr t LEFT JOIN bstat b USING (doc_id)""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -1494,6 +1530,22 @@ object SparkEntry {
     "'<html><head><title>Doc ' || doc_id || ' - ' || source || " +
       "'</title><style>body { color: #000; }</style></head><body><p>' || text || " +
       "'</p><script>var x = 1 < 2;</script></body></html>'"
+
+  /** deterministic PII injection for text_redact (the synthetic corpus
+    * carries no real PII, so the fixture plants emails/IPs/phones to find) */
+  private def piiInject: org.apache.spark.sql.Column =
+    concat(col("content"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +1555"), lpad((col("doc_id") % 10000).cast("string"), 7, "0"))).otherwise(lit("")))
+  private def piiInjectSql: String =
+    "text || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.1' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' call +1555' || lpad((doc_id % 10000)::VARCHAR, 7, '0') ELSE '' END"
 
   /** the shipped lexicon as a VALUES relation — the oracle applies the SAME
     * surface→forms map as a 1→N left join */

@@ -86,4 +86,63 @@ object TextAnalysis {
   def fingerprintS(content: String): Long =
     content.split("\\s+").filter(_.nonEmpty)
       .foldLeft(0L)((acc, t) => (acc * 1000003L + TextHash.tokenHash(t)) % TextHash.P)
+
+  // PII patterns kept RE2-compatible (no lookarounds, no backrefs) so the
+  // DuckDB twin runs the IDENTICAL strings — one source of truth per pattern
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{7,15}"
+
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before anything leaves the raw zone: emails / IPv4 addresses /
+    * international phone numbers replaced by typed placeholders, with
+    * per-doc match counts for the audit trail. Pure codegen'd
+    * regexp_replace/regexp_count chain (one scan, no UDF); counts are
+    * measured on the ORIGINAL text so the audit is independent of
+    * replacement order. Returns (doc_id, red, n_email, n_ip, n_phone). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("content"), emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs.select(col("doc_id"), red.as("red"),
+      regexp_count(col("content"), lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(col("content"), lit(ipRe)).cast("long").as("n_ip"),
+      regexp_count(col("content"), lit(phoneRe)).cast("long").as("n_phone"))
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021, app. A1.1 —
+    * the repetition rules used to drop boilerplate/spam docs):
+    * dup_word_frac = 1 − distinct/total tokens, top_bigram_frac = count of
+    * the single most frequent word 2-gram / total 2-grams; `keep` applies
+    * both thresholds to the ROUNDED values (cross-engine-stable booleans).
+    *
+    * Scale shape: token stats come from array functions on the analyzed
+    * token array (no explode); only the 2-gram mode needs an explode +
+    * (doc_id, gram) hash aggregate — partial aggregation absorbs repetitive
+    * docs map-side, which is exactly the skew this operator hunts. */
+  def repetition(docs: DataFrame, dupWordMax: Double = 0.7,
+                 topBigramMax: Double = 0.2): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      Analyzer.termsCol(col("content"), Analyzer.naturalStop).as("arr"))
+    val idxs = when(size(col("arr")) >= 2, sequence(lit(0), size(col("arr")) - 2))
+      .otherwise(expr("array()").cast("array<int>"))
+    val grams = base.select(col("doc_id"), explode(
+      transform(idxs, i => concat_ws(" ",
+        element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))).as("gram"))
+    val bg = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_grams"))
+    base.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("arr")).cast("long").as("n_tokens"),
+        round(when(size(col("arr")) > 0,
+          lit(1.0) - size(array_distinct(col("arr"))).cast("double") / size(col("arr")))
+          .otherwise(lit(0.0)), 4).as("dup_word_frac_r"),
+        round(when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("top_c").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)), 4).as("top_bigram_frac_r"))
+      .withColumn("keep",
+        col("dup_word_frac_r") <= dupWordMax && col("top_bigram_frac_r") <= topBigramMax)
+  }
 }

@@ -87,4 +87,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert((0 until 64).map(TextHash.mixer) == ms)
   }
+
+  test("redactPii: typed placeholders + audit counts on the original text") {
+    val d = df(
+      (0L, "mail me at bob.smith+x@corp.example.org or call +4915512345678"),
+      (1L, "server 192.168.0.1 and 10.0.0.2 are up"),
+      (2L, "nothing personal here"))
+    val got = TextAnalysis.redactPii(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == (("mail me at <EMAIL> or call <PHONE>", 1L, 0L, 1L)))
+    assert(got(1L) == (("server <IP> and <IP> are up", 0L, 2L, 0L)))
+    assert(got(2L) == (("nothing personal here", 0L, 0L, 0L)))
+  }
+
+  test("repetition: dup-word and top-bigram fractions, keep thresholds") {
+    val d = df(
+      (0L, "x x x x y"),               // dwf = 1-2/5 = 0.6; top bigram 'x x' 3/4
+      (1L, "alpha beta gamma delta"),  // all distinct, all bigrams unique
+      (2L, "solo"),                    // one token, zero bigrams
+      (3L, ""))                        // empty
+    val got = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(0L) == ((5L, 0.6, 0.75, false)))  // bigram frac over the limit
+    // 3 distinct bigrams of 3 -> top 1/3 = 0.3333: short docs exceed the
+    // 0.2 default too (the Gopher thresholds target page-length docs)
+    assert(got(1L) == ((4L, 0.0, 0.3333, false)))
+    assert(got(2L) == ((1L, 0.0, 0.0, true)))
+    assert(got(3L) == ((0L, 0.0, 0.0, true)))
+  }
 }
