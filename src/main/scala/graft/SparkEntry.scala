@@ -576,6 +576,13 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 4).as("score_r"))
     }),
+    // Reverse search / percolation: every stored query matched against the
+    // corpus in ONE postings pass (the alerting primitive)
+    "ft_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      Search.percolate(t.postings, batchQ.toDF("query_id", "term"))
+    }),
     // Flagship end-to-end (front-end + BM25 + decoration minus snippet)
     "ft_search_flagship" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -1152,6 +1159,17 @@ object SparkEntry {
          |         s.doc_id, round(s.score, 4) AS score_r
          |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
          |) WHERE rank <= 10""".stripMargin
+    },
+    "ft_percolate" -> {
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id)
+         |SELECT p.doc_id, q.query_id
+         |FROM post p JOIN q USING (term) JOIN qn ON q.query_id = qn.query_id
+         |GROUP BY p.doc_id, q.query_id, qn.q_n
+         |HAVING count(*) = qn.q_n""".stripMargin
     },
     "ft_postings_ru" ->
       s"""WITH ru AS (SELECT doc_id, $ruWrapSql AS rtext FROM documents),

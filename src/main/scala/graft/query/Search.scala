@@ -96,6 +96,32 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Reverse search (percolation — the Elasticsearch-percolator / alerting
+    * primitive): instead of a query finding docs, every STORED query is
+    * matched against the docs in hand — "notify me when a page matching
+    * (spark AND join) is indexed". Returns (doc_id, query_id) for every doc
+    * containing ALL of a query's terms (the same conjunctive semantics as
+    * `conjunctive`, batched across the whole query table).
+    *
+    * Scale shape: the stored-query table is small (10^4–10^6 rows) →
+    * broadcast both the (query_id, term) pairs and the per-query term
+    * counts; ONE pass over the postings (a posting row fans out only to
+    * queries containing its term) and ONE (doc_id, query_id) count-k hash
+    * aggregate. Applied per micro-batch of newly indexed docs, this is the
+    * streaming alerting operator — the postings argument is then just the
+    * batch's delta postings, so per-batch cost is O(batch), never
+    * O(corpus). Duplicate (query_id, term) rows are deduped up front (same
+    * contract as bm25TopKBatch). */
+  def percolate(postings: DataFrame, queries: DataFrame): DataFrame = {
+    val q = queries.select("query_id", "term").distinct()
+    val sizes = q.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    postings.select("doc_id", "term").join(broadcast(q), "term")
+      .groupBy("doc_id", "query_id").agg(count(lit(1)).as("hit"))
+      .join(broadcast(sizes), "query_id")
+      .filter(col("hit") === col("n_terms"))
+      .select("doc_id", "query_id")
+  }
+
   /** Batched multi-query BM25 top-k: score an ENTIRE query log in one pass
     * over the postings — what a 100 TB evaluation/relevance harness actually
     * runs (Q ≈ 10^4 queries against one index build), where looping

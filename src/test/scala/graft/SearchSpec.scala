@@ -464,4 +464,17 @@ class SearchSpec extends AnyFunSuite {
     // millions of docs
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("percolate: conjunctive reverse search ≡ scalar recompute, dup query terms deduped") {
+    import spark.implicits._
+    val post = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "a", 1L), (3L, "b", 1L), (3L, "c", 1L))
+      .toDF("doc_id", "term", "tf")
+    val qs = Seq((10L, "a"), (10L, "b"), (11L, "b"), (12L, "a"), (12L, "z"),
+      (13L, "b"), (13L, "b")).toDF("query_id", "term")
+    val got = Search.percolate(post, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // scalar truth: q10={a,b} -> doc1; q11={b} -> 1,3; q12={a,z} -> none;
+    // q13 dedups to {b} -> 1,3
+    assert(got == Set((1L, 10L), (1L, 11L), (3L, 11L), (1L, 13L), (3L, 13L)))
+  }
 }
