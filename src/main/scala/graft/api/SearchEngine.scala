@@ -316,9 +316,23 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     // postings via point-read + signed df deltas)
     val delIds = ids.join(docOk.select("doc_id"), Seq("doc_id"), "left_anti")
     if (!delIds.isEmpty) IncrementalIndex.deleteDocs(store, delIds)
-    if (!docOk.isEmpty)
+    if (!docOk.isEmpty) {
       IncrementalIndex.mergeBatch(store, indexedView(docOk),
         lexicons = lexicons, rawDocs = Some(docOk))
+      // percolate the BATCH ONLY against the stored alert queries — the
+      // alerting cost of an upsert is O(page), never O(corpus); matches
+      // accumulate until drainAlerts()
+      if (alertQueries.nonEmpty) {
+        import spark.implicits._
+        val q = alertQueries.toSeq
+          .flatMap { case (id, ts) => ts.map(t => (id, t)) }
+          .toDF("query_id", "term")
+        val bp = InvertedIndex.tokensByLang(indexedView(docOk), lexicons)
+          .select("doc_id", "term").distinct()
+        alertHits ++= Search.percolate(bp, q).collect()
+          .map(r => (r.getLong(1), r.getLong(0)))
+      }
+    }
     // bound read fan-in: fold the log once it grows past compactEvery
     if (store.pointer.exists(p => p._1 - p._2 >= compactEvery))
       IncrementalIndex.compactState(store, spark)
@@ -335,6 +349,32 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
   /** `lang` picks the query-analysis branch (stoplist/normalizer — "ru"
     * routes through the Cyrillic chain) and must match how the corpus was
     * tokenized, exactly like Search.search's contract. */
+  // ---- percolation alerts (reverse search over incoming pages) ----------
+  /** stored alert queries: id → analyzed conjunctive terms (the SAME
+    * analyzer chain as search, so an alert fires exactly when the search
+    * for its query would start matching the page) */
+  private val alertQueries = scala.collection.concurrent.TrieMap.empty[Long, Seq[String]]
+  private val alertHits = scala.collection.mutable.Buffer.empty[(Long, Long)]
+
+  /** Register "notify me when a page matching `query` is indexed". Returns
+    * false when the query analyzes to nothing (same guard as search). */
+  def registerAlert(alertId: Long, query: String, lang: String = "en"): Boolean = {
+    val lex = lexicons.getOrElse(lang, Analyzer.emptyLexicon)
+    val terms = Analyzer.queryTerms(lang, query, lex)
+    if (terms.isEmpty) false
+    else { alertQueries.put(alertId, terms.toSeq); true }
+  }
+
+  def removeAlert(alertId: Long): Unit = alertQueries.remove(alertId): Unit
+
+  /** (alertId, docId) matches accumulated by indexPage since the last
+    * drain — the pull side of the alerting contract. */
+  def drainAlerts(): Seq[(Long, Long)] = synchronized {
+    val out = alertHits.toSeq
+    alertHits.clear()
+    out
+  }
+
   /** Install a static authority prior (doc_id, pr) — e.g. `LinkRank
     * .pagerank` over the crawl graph — blended into every subsequent
     * search's ranking: blend = bm25 · (β + (1−β)·pr/max(pr)). The response

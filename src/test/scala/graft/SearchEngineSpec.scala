@@ -459,6 +459,24 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(r.result && r.count == 1)
   }
 
+  test("percolation alerts: registerAlert fires on matching upserts only, drain clears") {
+    import spark.implicits._
+    val e = freshEngine()
+    assert(!e.registerAlert(1L, "the a")) // analyzes to nothing -> refused
+    assert(e.registerAlert(2L, "percolword spark"))
+    assert(e.registerAlert(3L, "neverseenterm"))
+    def page(id: Long, content: String) =
+      Seq((id, "src1", s"doc/$id", "0" * 40, "en", content))
+        .toDF("doc_id", "repo", "path", "commit", "lang", "content")
+    assert(e.indexPage(page(7001L, "percolword spark here")))  // matches 2
+    assert(e.indexPage(page(7002L, "spark only, no match")))   // partial ≠ match
+    assert(e.drainAlerts() == Seq((2L, 7001L)))
+    assert(e.drainAlerts().isEmpty) // drained
+    e.removeAlert(2L)
+    assert(e.indexPage(page(7003L, "percolword spark again")))
+    assert(e.drainAlerts().isEmpty) // removed alerts stay silent
+  }
+
   test("statistics() reads only store tables — no Analyzer nodes, values unchanged") {
     val e = freshEngine()
     val plan = e.statisticsFrame().queryExecution.analyzed.toString
