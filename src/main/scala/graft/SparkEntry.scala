@@ -541,6 +541,17 @@ object SparkEntry {
         t.nDocs, iters = 3)
       graft.corpus.LinkRank.topK(pr, 20)
     }),
+    // Co-citation related-pages: pairs cited together, hot-citer pruned
+    "ft_cocitation" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val pairs = graft.corpus.LinkRank.cocitation(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs))
+      pairs.orderBy(desc("cocite"), col("a_id"), col("b_id")).limit(25)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("cocite"), col("a_id"), col("b_id"))).cast("long"))
+        .select(col("rank"), col("a_id"), col("b_id"), col("cocite"))
+    }),
     // HITS hubs/authorities over the same link graph (fixed-point BIGINT,
     // two join+agg passes per iteration)
     "ft_hits" -> ((s, dir) => {
@@ -1002,6 +1013,21 @@ object SparkEntry {
          |SELECT rank, doc_id, pr FROM (
          |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
          |  FROM p3) WHERE rank <= 20""".stripMargin,
+    "ft_cocitation" ->
+      s"""WITH ccn AS (SELECT count(*) AS n FROM documents),
+         |cce AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM ccn) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM ccn) FROM documents)),
+         |ccdeg AS (SELECT src FROM cce GROUP BY src HAVING count(*) <= 64),
+         |cck AS (SELECT cce.src, cce.dst FROM cce JOIN ccdeg USING (src)),
+         |ccp AS (SELECT a.dst AS a_id, b.dst AS b_id, count(*)::BIGINT AS cocite
+         |        FROM cck a JOIN cck b ON a.src = b.src AND a.dst < b.dst
+         |        GROUP BY a.dst, b.dst)
+         |SELECT rank, a_id, b_id, cocite FROM (
+         |  SELECT row_number() OVER (ORDER BY cocite DESC, a_id ASC, b_id ASC) AS rank,
+         |         a_id, b_id, cocite FROM ccp
+         |) WHERE rank <= 25""".stripMargin,
     "ft_hits" ->
       s"""WITH $hitsCtes
          |SELECT rank, doc_id, auth, hub FROM (

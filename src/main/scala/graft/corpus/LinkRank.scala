@@ -113,6 +113,30 @@ object LinkRank {
     auth.join(hub, Seq("doc_id"))
   }
 
+  /** Co-citation similarity (Small 1973): two pages are related when the
+    * same third pages cite BOTH — the link-graph analog of "customers who
+    * bought X also bought Y", and the classic related-pages signal that
+    * needs no text at all. Returns (a_id, b_id, cocite) with a_id < b_id
+    * and cocite = number of distinct citing pages.
+    *
+    * Scale shape: the pair generator is a self-join of each citing page's
+    * out-list with itself — outdeg² pairs per citer, so `maxOutDeg` drops
+    * hub pages above the bound BEFORE the join (the same hot-key prune as
+    * Dedup's `maxShingleDf`: a directory page citing 10^5 targets would
+    * alone emit 10^10 pairs and dominates nothing but the shuffle). Edges
+    * are deduped first so cocite counts citers, not parallel edges. */
+  def cocitation(edges: DataFrame, maxOutDeg: Long = 64L,
+                 minCocite: Long = 1L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val kept = e.join(deg.filter(col("odeg") <= maxOutDeg).select("src"), "src")
+    val a = kept.select(col("src"), col("dst").as("a_id"))
+    val b = kept.select(col("src"), col("dst").as("b_id"))
+    a.join(b, "src").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("cocite"))
+      .filter(col("cocite") >= minCocite)
+  }
+
   /** Top-k by authority: (rank, doc_id, auth, hub), ties by doc_id. */
   def hitsTopK(ah: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -74,6 +74,16 @@ class LinkRankSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((1L, 1L), (2L, 9L), (3L, 2L)))
   }
 
+  test("cocitation ≡ scalar recompute; duplicate edges deduped; hot citers pruned") {
+    // src 0 cites {1,2,3}; src 5 cites {1,2} (one edge duplicated); src 6
+    // cites {2,3}; src 9 cites 70 targets -> dropped by maxOutDeg=64
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 1L), (5L, 2L), (5L, 1L),
+      (6L, 2L), (6L, 3L)) ++ (1L to 70L).map(i => (9L, i))).toDF("src", "dst")
+    val got = LinkRank.cocitation(edges, maxOutDeg = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+  }
+
   /** scalar twin of LinkRank.hits — same truncating integer normalization */
   def scalarHits(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
                  scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
