@@ -124,7 +124,9 @@ object LinkRank {
     * hub pages above the bound BEFORE the join (the same hot-key prune as
     * Dedup's `maxShingleDf`: a directory page citing 10^5 targets would
     * alone emit 10^10 pairs and dominates nothing but the shuffle). Edges
-    * are deduped first so cocite counts citers, not parallel edges. */
+    * are deduped first so cocite counts citers, not parallel edges.
+    * Bibliographic coupling (Kessler 1963) — pages CITING the same targets
+    * are related — is the exact dual: call this with (src, dst) swapped. */
   def cocitation(edges: DataFrame, maxOutDeg: Long = 64L,
                  minCocite: Long = 1L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()

@@ -476,5 +476,10 @@ class SearchSpec extends AnyFunSuite {
     // scalar truth: q10={a,b} -> doc1; q11={b} -> 1,3; q12={a,z} -> none;
     // q13 dedups to {b} -> 1,3
     assert(got == Set((1L, 10L), (1L, 11L), (3L, 11L), (1L, 13L), (3L, 13L)))
+    // plan shape: both query-side joins must be broadcasts — the postings
+    // relation is never shuffled by the stored-query table
+    val plan = Search.percolate(post, qs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "stored-query joins must not shuffle the postings")
   }
 }
