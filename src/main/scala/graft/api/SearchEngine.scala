@@ -380,11 +380,13 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     * search's ranking: blend = bm25 · (β + (1−β)·pr/max(pr)). The response
     * cache is invalidated (same query, different ranking). */
   def setAuthorityPrior(prior: DataFrame, beta: Double = 0.5): Unit = synchronized {
+    authorityPrior.foreach(_._1.unpersist())
     authorityPrior = Some((prior.select(col("doc_id"), col("pr")).cache(), beta))
     cache.clear()
   }
 
   def clearAuthorityPrior(): Unit = synchronized {
+    authorityPrior.foreach(_._1.unpersist())
     authorityPrior = None
     cache.clear()
   }
