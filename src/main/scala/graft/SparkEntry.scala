@@ -521,6 +521,12 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       QueryFrontend.fuzzyTerms(t.termStats, "sprk")
     }),
+    // General wildcard via the k-gram index + LIKE post-filter (IIR
+    // 3.2.2); the brute-force LIKE twin proves candidate completeness
+    "ft_wildcard" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      QueryFrontend.wildcardTerms(t.termStats, "s*a*")
+    }),
     // "More like this": TF-IDF-cosine doc-to-doc top-k (broadcast pruned
     // query vector, equi-join candidates, reusable norm pass)
     "ft_more_like" -> ((s, dir) => {
@@ -991,6 +997,13 @@ object SparkEntry {
          |SELECT term, df FROM tstats WHERE term LIKE 'sp%'
          |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
     "ft_fuzzy" -> fuzzySql("sprk", 1),
+    // brute-force LIKE over the whole vocabulary: equality with the
+    // k-gram-index path proves candidate completeness AND that the
+    // post-filter killed every false positive
+    "ft_wildcard" ->
+      s"""WITH ${termsCte}, ${tstatsCte}
+         |SELECT term, df FROM tstats WHERE term LIKE 's%a%'
+         |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
     "ft_more_like" ->
       s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
          |w AS (SELECT doc_id, term, df,

@@ -62,6 +62,68 @@ object QueryFrontend {
       .orderBy(desc("df"), asc("term")).limit(maxExpand)
   }
 
+  // ---- general wildcard via a k-gram index (Manning IIR §3.2.2) ---------
+
+  /** boundary-padded k-grams of dictionary term `s`: the k-windows of
+    * "$s$", distinct. '$' is safe as the boundary marker because the
+    * analyzer vocabulary is letters only (Analyzer char classes). */
+  def kgrams(s: String, k: Int = 2): Seq[String] = {
+    val p = "$" + s + "$"
+    (0 to p.length - k).map(i => p.substring(i, i + k)).distinct
+  }
+
+  /** the SAME extraction as a Column-SQL array over `term` — the
+    * dictionary side of the k-gram index. Vocabulary-bounded
+    * (|term|+3−k gram rows per term): at scale, materialize
+    * `explode(this)` once per index build beside term_stats, partitioned
+    * by gram, and the per-query path below becomes a pruned point read. */
+  private def kgramSql(k: Int): String =
+    s"array_distinct(transform(sequence(1, length(concat('$$', term, '$$')) - ${k - 1}), " +
+      s"i -> substr(concat('$$', term, '$$'), i, $k)))"
+
+  /** grams every match of wildcard `pattern` must contain: each literal
+    * segment contributes its k-windows, with the '$' boundary attached to
+    * the leading/trailing segment (so `red*` yields {$r, re, ed} and
+    * anchors at the word start). Segments shorter than k after padding
+    * contribute nothing — the LIKE post-filter alone enforces them. */
+  def wildcardGrams(pattern: String, k: Int = 2): Seq[String] = {
+    val segs = pattern.split("\\*", -1)
+    segs.zipWithIndex.flatMap { case (s, i) =>
+      val p = (if (i == 0) "$" else "") + s + (if (i == segs.length - 1) "$" else "")
+      (0 to p.length - k).map(j => p.substring(j, j + k))
+    }.distinct.toSeq
+  }
+
+  /** General wildcard (`s*a*`, `*er`, `f*er`, multi-star) term expansion —
+    * the textbook k-gram index probe: candidates are dictionary terms whose
+    * gram set CONTAINS all of the pattern's grams (count-k over a gram
+    * equi-probe — the tiny query-gram list is a pushed IN filter, never a
+    * vocabulary cross-join), then the exact LIKE post-filter kills k-gram
+    * false positives (IIR's `red*` ⊃ "retired" example). A pattern too
+    * short to yield any gram (e.g. `*a*` at k=2) degrades to a plain LIKE
+    * scan — still vocabulary-bounded, never corpus-sized. Returns matching
+    * (term, df) ordered df desc, term asc, capped at `maxExpand` (bounded
+    * fan-out, same contract as [[prefixTerms]]). */
+  def wildcardTerms(termStats: DataFrame, pattern: String, k: Int = 2,
+                    maxExpand: Int = 50): DataFrame = {
+    require(pattern.exists(_ != '*'), "wildcard pattern needs a literal character")
+    require(pattern.matches("[\\p{L}\\p{N}*]+"),
+      s"wildcard pattern must be letters/digits/'*' only (got '$pattern')")
+    val grams = wildcardGrams(pattern, k)
+    val candidates =
+      if (grams.isEmpty) termStats
+      else termStats
+        .select(col("term"), col("df"), explode(expr(kgramSql(k))).as("gram"))
+        .filter(col("gram").isin(grams.map(x => x: Any): _*))
+        .groupBy(col("term"), col("df"))
+        .agg(count(lit(1)).as("_g"))
+        .filter(col("_g") === grams.size)
+    candidates
+      .filter(col("term").like(pattern.replace('*', '%')))
+      .select("term", "df")
+      .orderBy(desc("df"), asc("term")).limit(maxExpand)
+  }
+
   /** Fuzzy term match (edit distance ≤ `maxDist`, default 1) via the
     * SymSpell deletion-neighborhood: candidates are dictionary terms whose
     * single-deletion variant set intersects the query's variant set — an

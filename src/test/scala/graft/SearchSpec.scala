@@ -173,6 +173,33 @@ class SearchSpec extends AnyFunSuite {
     assert(QueryFrontend.prefixTerms(ts, "z").count() == 0)
   }
 
+  test("wildcard: k-gram candidates + LIKE post-filter == brute-force LIKE") {
+    import spark.implicits._
+    val dict = Seq("retired", "red", "redo", "read", "spark", "scan", "small",
+      "stream", "filter", "customer", "order", "sort")
+    val ts = dict.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }.toDF("term", "df")
+    def bruteLike(pat: String): Set[String] = {
+      val re = ("^" + pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+      dict.filter(t => re.findFirstIn(t).isDefined).toSet
+    }
+    // IIR's classic false positive: `red*` grams {$r, re, ed} ⊂ "retired"'s
+    // gram set, so "retired" is a CANDIDATE — the post-filter must kill it
+    assert(QueryFrontend.wildcardGrams("red*").toSet == Set("$r", "re", "ed"))
+    for (pat <- Seq("red*", "s*a*", "*er", "f*er", "sp*rk*", "s*am", "*a*", "red")) {
+      val got = QueryFrontend.wildcardTerms(ts, pat).collect().map(_.getString(0)).toSet
+      assert(got == bruteLike(pat), s"pattern '$pat': got $got want ${bruteLike(pat)}")
+    }
+    // ordering df desc / term asc, and fan-out cap
+    val top = QueryFrontend.wildcardTerms(ts, "*e*", maxExpand = 2)
+      .collect().map(_.getString(0)).toList
+    val wantTop = dict.zipWithIndex.filter(_._1.contains("e"))
+      .sortBy { case (t, i) => (-(i + 1), t) }.map(_._1).take(2)
+    assert(top == wantTop)
+    // guards: no literal char / illegal chars
+    intercept[IllegalArgumentException](QueryFrontend.wildcardTerms(ts, "*"))
+    intercept[IllegalArgumentException](QueryFrontend.wildcardTerms(ts, "a%b"))
+  }
+
   test("fuzzy match: deletion-neighborhood candidates == brute-force levenshtein <= 1") {
     import spark.implicits._
     val dict = Seq("spark", "spars", "park", "sparkle", "stark", "spar", "join", "sprk")
