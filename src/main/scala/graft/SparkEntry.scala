@@ -159,6 +159,48 @@ object SparkEntry {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB twin of the pseudo-relevance-feedback pipeline: conjunctive
+    * top-r feedback docs → Σtf-weighted top-e expansion terms (BIGINT
+    * weight: the top-e cut is exact, no float-order hazard) → weighted
+    * disjunctive BM25 re-rank (original terms wOrig×, expansion 1×). */
+  private def prfSql(terms: Seq[String], k: Int, r: Int, e: Int, wOrig: Int): String = {
+    val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+    val origList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(terms)},
+       |s0 AS (
+       |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+       |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+       |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+       |  GROUP BY p.doc_id
+       |),
+       |fb AS (
+       |  SELECT doc_id FROM (
+       |    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+       |    FROM s0 WHERE n_terms = ${terms.size}
+       |  ) WHERE rank <= $r
+       |),
+       |exp AS (
+       |  SELECT term FROM (
+       |    SELECT p.term, sum(p.tf) AS w
+       |    FROM post p JOIN fb USING (doc_id)
+       |    WHERE p.term NOT IN ($origList)
+       |    GROUP BY p.term ORDER BY w DESC, term ASC LIMIT $e
+       |  )
+       |),
+       |qx AS (SELECT term, $wOrig AS wq FROM q UNION ALL SELECT term, 1 AS wq FROM exp),
+       |rescored AS (
+       |  SELECT p.doc_id, sum(x.wq * $score) AS score
+       |  FROM post p JOIN qx x USING (term) JOIN tstats t USING (term)
+       |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT rank, doc_id, score_r FROM (
+       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       |         doc_id, round(score, 4) AS score_r
+       |  FROM rescored
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** shared DuckDB twin of the champion-list tier — referenced by BOTH
     * ft_champions (in-memory build) and ft_champions_persisted (cold read of
     * the aux artifact): one oracle, two engine paths. */
@@ -411,6 +453,14 @@ object SparkEntry {
       val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
       val qShards = shards(s, dir).filter(col("term").isin(idfs.keys.toSeq.map(x => x: Any): _*))
       Wand.topKDisjunctive(qShards, idfs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // Pseudo-relevance feedback: Rocchio-style blind expansion from the
+    // top-5 docs, weighted disjunctive re-rank (orig 2x, expansion 1x)
+    "ft_prf" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.prfTopK(t.postings, t.docStats, t.termStats, dfs, t.nDocs, t.avgDl, k = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
     // Cold-start query over the PERSISTED index: write-once per sfDir, then
@@ -890,6 +940,7 @@ object SparkEntry {
     "ft_bm25_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
+    "ft_prf" -> prfSql(q2, k = 10, r = 5, e = 3, wOrig = 2),
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
     "ft_year_filter" ->

@@ -96,6 +96,71 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Expansion-term mining for blind relevance feedback: the strongest
+    * terms of the pseudo-relevant doc set, weighted by Σtf WITHIN that set
+    * (BIGINT — order-independent, so the top-e cut is bit-exact at any
+    * parallelism, unlike a float tf-idf weight whose sum order could flip a
+    * boundary tie). Original query terms are excluded; ties break term asc.
+    * `feedbackDocs` is ≤ r driver-side ids, so the doc filter is a pushed
+    * IN predicate on the postings scan — one bounded point-read, never a
+    * corpus pass. */
+  def prfExpansion(postings: DataFrame, feedbackDocs: Seq[Long],
+                   exclude: Set[String], e: Int): DataFrame =
+    postings
+      .filter(col("doc_id").isin(feedbackDocs.map(x => x: Any): _*))
+      .filter(!col("term").isin(exclude.toSeq.sorted.map(x => x: Any): _*))
+      .groupBy("term").agg(sum(col("tf")).as("w"))
+      .orderBy(desc("w"), asc("term")).limit(e)
+
+  /** Disjunctive BM25 with per-term integer weights — the scoring half of
+    * pseudo-relevance feedback (original terms count `wOrig`×, expansion
+    * terms 1×). wdfs: term -> (df, weight); both enter the plan as literal
+    * CASE maps like bm25TopK's dfs, so the only work is one IN-filtered
+    * postings scan + one hash aggregate. */
+  def bm25TopKWeighted(postings: DataFrame, docStats: DataFrame,
+                       wdfs: Map[String, (Long, Int)], nDocs: Long,
+                       avgDl: Double, k: Int): DataFrame = {
+    val terms = wdfs.keys.toSeq.sorted
+    val dfCol = wdfs.foldLeft(lit(0L)) { case (acc, (t, (d, _))) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val wCol = wdfs.foldLeft(lit(0)) { case (acc, (t, (_, w))) =>
+      when(col("term") === t, lit(w)).otherwise(acc)
+    }
+    val scored = postings
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(docStats, "doc_id")
+      .withColumn("term_score", wCol * Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Pseudo-relevance feedback (Rocchio-style blind feedback, Manning IIR
+    * §9.1.6): retrieve the top-r docs conjunctively, mine the e strongest
+    * terms from them (`prfExpansion`), then re-rank DISJUNCTIVELY with the
+    * original terms weighted `wOrig`× and expansion terms 1× — docs matching
+    * only expansion terms can now surface (recall widens), while original-
+    * term matches dominate (precision holds).
+    *
+    * Scale shape: two bounded driver collects (r doc ids, e terms — the
+    * same ≤-dozens contract as QueryFrontend.plan's df lookup) bracketing
+    * three IN-pruned postings scans; nothing corpus-sized ever leaves the
+    * executors. At qps scale, the feedback retrieval would ride the WAND
+    * tier — the expansion/rescore halves are tier-agnostic. */
+  def prfTopK(postings: DataFrame, docStats: DataFrame, termStats: DataFrame,
+              dfs: Map[String, Long], nDocs: Long, avgDl: Double, k: Int,
+              r: Int = 5, e: Int = 3, wOrig: Int = 2): DataFrame = {
+    val fbDocs = bm25TopK(postings, docStats, dfs, nDocs, avgDl, r)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expTerms = prfExpansion(postings, fbDocs, dfs.keySet, e)
+      .select("term").collect().map(_.getString(0)).toSet
+    val expDfs = QueryFrontend.lookupDf(termStats, expTerms)
+    val wdfs = dfs.map { case (t, d) => t -> (d, wOrig) } ++
+      expDfs.map { case (t, d) => t -> (d, 1) }
+    bm25TopKWeighted(postings, docStats, wdfs, nDocs, avgDl, k)
+  }
+
   /** Reverse search (percolation — the Elasticsearch-percolator / alerting
     * primitive): instead of a query finding docs, every STORED query is
     * matched against the docs in hand — "notify me when a page matching

@@ -200,6 +200,45 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryFrontend.wildcardTerms(ts, "a%b"))
   }
 
+  test("pseudo-relevance feedback == scalar recompute of all three stages") {
+    val orig = Set("join", "spark")
+    val dfs = QueryFrontend.lookupDf(tables.termStats, orig)
+    val posts = tables.postings.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dlMap = tables.docStats.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bm25(tf: Long, df: Long, dl: Long) = Bm25.scoreS(tf, df, dl, tables.nDocs, tables.avgDl)
+    // stage 1: conjunctive BM25 top-5 feedback docs
+    val s0 = posts.filter(p => orig(p._2)).groupBy(_._1).collect {
+      case (d, ps) if ps.map(_._2).toSet == orig =>
+        d -> ps.map(p => bm25(p._3, dfs(p._2), dlMap(d))).sum
+    }
+    val fb = s0.toSeq.sortBy { case (d, s) => (-s, d) }.take(5).map(_._1)
+    // stage 2: Σtf-weighted expansion terms, orig excluded, ties term asc
+    val w = posts.filter(p => fb.contains(p._1) && !orig(p._2))
+      .groupBy(_._2).map { case (t, ps) => t -> ps.map(_._3).sum }
+    val expWant = w.toSeq.sortBy { case (t, s) => (-s, t) }.take(3).map(_._1)
+    val expGot = Search.prfExpansion(tables.postings, fb, orig, 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(expGot == expWant)
+    assert(expGot.nonEmpty && expGot.forall(!orig(_)))
+    // stage 3: weighted disjunctive re-rank (orig 2x, expansion 1x)
+    val expDfs = QueryFrontend.lookupDf(tables.termStats, expWant.toSet)
+    val wdfs = dfs.map { case (t, d) => t -> (d, 2) } ++ expDfs.map { case (t, d) => t -> (d, 1) }
+    val all = posts.filter(p => wdfs.contains(p._2)).groupBy(_._1).map { case (d, ps) =>
+      d -> ps.map(p => wdfs(p._2)._2 * bm25(p._3, wdfs(p._2)._1, dlMap(d))).sum
+    }
+    val want = all.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = Search.prfTopK(tables.postings, tables.docStats, tables.termStats,
+        dfs, tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1 to want.size))
+    assert(got.map(_._2).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, _, g), (_, wv)) => assert(math.abs(g - wv) < 1e-9) }
+    // recall widened: the weighted-disjunctive pool admits docs outside the
+    // original conjunction (score still dominated by 2x original terms)
+    val conj = s0.map(_._1).toSet
+    assert(all.keySet.exists(!conj(_)))
+  }
+
   test("fuzzy match: deletion-neighborhood candidates == brute-force levenshtein <= 1") {
     import spark.implicits._
     val dict = Seq("spark", "spars", "park", "sparkle", "stark", "spar", "join", "sprk")
