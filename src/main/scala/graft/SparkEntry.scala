@@ -608,6 +608,18 @@ object SparkEntry {
             .orderBy(desc("cocite"), col("a_id"), col("b_id"))).cast("long"))
         .select(col("rank"), col("a_id"), col("b_id"), col("cocite"))
     }),
+    // Bibliographic coupling: pages CITING the same targets (the dual of
+    // co-citation — swapped edge orientation, in-degree prune)
+    "ft_coupling" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val pairs = graft.corpus.LinkRank.coupling(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs))
+      pairs.orderBy(desc("couple"), col("a_id"), col("b_id")).limit(25)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("couple"), col("a_id"), col("b_id"))).cast("long"))
+        .select(col("rank"), col("a_id"), col("b_id"), col("couple"))
+    }),
     // HITS hubs/authorities over the same link graph (fixed-point BIGINT,
     // two join+agg passes per iteration)
     "ft_hits" -> ((s, dir) => {
@@ -1091,6 +1103,22 @@ object SparkEntry {
          |SELECT rank, a_id, b_id, cocite FROM (
          |  SELECT row_number() OVER (ORDER BY cocite DESC, a_id ASC, b_id ASC) AS rank,
          |         a_id, b_id, cocite FROM ccp
+         |) WHERE rank <= 25""".stripMargin,
+    // the dual twin: prune on IN-degree, pair the citing SOURCES per target
+    "ft_coupling" ->
+      s"""WITH ccn AS (SELECT count(*) AS n FROM documents),
+         |cce AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM ccn) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM ccn) FROM documents)),
+         |ccdeg AS (SELECT dst FROM cce GROUP BY dst HAVING count(*) <= 64),
+         |cck AS (SELECT cce.src, cce.dst FROM cce JOIN ccdeg USING (dst)),
+         |ccp AS (SELECT a.src AS a_id, b.src AS b_id, count(*)::BIGINT AS couple
+         |        FROM cck a JOIN cck b ON a.dst = b.dst AND a.src < b.src
+         |        GROUP BY a.src, b.src)
+         |SELECT rank, a_id, b_id, couple FROM (
+         |  SELECT row_number() OVER (ORDER BY couple DESC, a_id ASC, b_id ASC) AS rank,
+         |         a_id, b_id, couple FROM ccp
          |) WHERE rank <= 25""".stripMargin,
     "ft_hits" ->
       s"""WITH $hitsCtes

@@ -139,6 +139,17 @@ object LinkRank {
       .filter(col("cocite") >= minCocite)
   }
 
+  /** Bibliographic coupling (Kessler 1963): pages CITING the same targets
+    * are related — the exact dual of [[cocitation]], realized by swapping
+    * the edge orientation. The hot-key prune here bounds IN-degree (a page
+    * cited by 10^5 others would emit 10^10 coupled pairs), the mirror of
+    * cocitation's out-degree bound. Returns (a_id, b_id, couple). */
+  def coupling(edges: DataFrame, maxInDeg: Long = 64L,
+               minCouple: Long = 1L): DataFrame =
+    cocitation(edges.select(col("dst").as("src"), col("src").as("dst")),
+        maxInDeg, minCouple)
+      .withColumnRenamed("cocite", "couple")
+
   /** Top-k by authority: (rank, doc_id, auth, hub), ties by doc_id. */
   def hitsTopK(ah: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

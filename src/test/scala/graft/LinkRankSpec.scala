@@ -1,6 +1,7 @@
 package graft
 
 import graft.corpus.{Crawl, LinkRank}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Fixed-point PageRank ≡ scalar fixed-point power iteration: bit-exact
@@ -82,6 +83,21 @@ class LinkRankSpec extends AnyFunSuite {
     val got = LinkRank.cocitation(edges, maxOutDeg = 64).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+  }
+
+  test("coupling ≡ scalar recompute; duality with cocitation on swapped edges") {
+    // 1 and 5 both cite {2,3}; 1 and 6 share {3}; dst 9 has 70 citers ->
+    // every pair THROUGH 9 is dropped by maxInDeg=64
+    val edges = (Seq((1L, 2L), (1L, 3L), (5L, 2L), (5L, 3L), (5L, 3L),
+      (6L, 3L)) ++ (10L to 79L).map(i => (i, 9L))).toDF("src", "dst")
+    val got = LinkRank.coupling(edges, maxInDeg = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 5L) -> 2L, (1L, 6L) -> 1L, (5L, 6L) -> 1L))
+    // exact dual: coupling(E) == cocitation(E with src/dst swapped)
+    val dual = LinkRank.cocitation(
+        edges.select(col("dst").as("src"), col("src").as("dst")), maxOutDeg = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == dual)
   }
 
   /** scalar twin of LinkRank.hits — same truncating integer normalization */
