@@ -882,6 +882,12 @@ object SparkEntry {
     // zero tokenization on the query path
     "ft_facets_persisted" -> ((s, dir) =>
       graft.stats.Stats.facetsPersisted(s, persistedAux(s, dir), k = 3)),
+    // tf-idf keyword extraction: top-5 informative terms per doc (document
+    // tagging; j-row heap per doc via WindowGroupLimit)
+    "text_keywords" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      graft.stats.Stats.keywords(t.postings, t.termStats, t.nDocs, j = 5, minDf = 2)
+    }),
     // related terms by co-occurrence lift (query-expansion association)
     "ft_related" -> ((s, dir) => {
       val (_, t) = index(s, dir)
@@ -1212,6 +1218,15 @@ object SparkEntry {
     // exactly what the shared twin proves lossless
     "ft_champions_persisted" -> championsSql,
     "ft_facets" -> facetsSql,
+    "text_keywords" ->
+      s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
+         |kw AS (SELECT doc_id, term,
+         |              tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS wt
+         |       FROM post JOIN tstats USING (term) WHERE df >= 2),
+         |rk AS (SELECT doc_id, term, wt,
+         |              row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, term ASC) AS kw_rank
+         |       FROM kw)
+         |SELECT doc_id, kw_rank, term, round(wt, 4) AS wt_r FROM rk WHERE kw_rank <= 5""".stripMargin,
     "ft_facets_persisted" -> facetsSql,
     "ft_related" ->
       s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},

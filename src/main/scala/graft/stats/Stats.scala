@@ -56,6 +56,26 @@ object Stats {
       .select("repo", "facet_rank", "term", "df")
   }
 
+  /** tf-idf keyword extraction — the top-j most informative terms per doc
+    * (wt = tf · ln(N/df), the same weight as Search.mltBuild), the document
+    * TAGGING primitive of a training-data pipeline. One postings⋈term_stats
+    * join, then the rank filter over row_number compiles to WindowGroupLimit:
+    * a j-row heap per doc, never a full per-doc sort — at 100 TB the cost is
+    * one shuffle on term plus one on doc_id, both partial-agg free. The
+    * weight is a single product per row (no float-sum order hazard), ties
+    * break term asc; `minDf` drops hapax noise tags. */
+  def keywords(postings: DataFrame, termStats: DataFrame, nDocs: Long,
+               j: Int = 5, minDf: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postings.join(termStats.filter(col("df") >= minDf), "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("wt"))
+      .withColumn("kw_rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("wt"), asc("term"))).cast("long"))
+      .filter(col("kw_rank") <= j)
+      .select(col("doc_id"), col("kw_rank"), col("term"), round(col("wt"), 4).as("wt_r"))
+  }
+
   /** Manifest aux-lineage name of the persisted per-repo term stats. */
   val repoTermStatsAux = "repo_term_stats"
 

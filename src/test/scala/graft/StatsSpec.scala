@@ -87,4 +87,26 @@ class StatsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
     byRepo.unpersist(): Unit
   }
+
+  test("keywords: per-doc tf-idf top-j == scalar recompute; WindowGroupLimit plan") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus, cacheTokens = false)
+    val res = Stats.keywords(t.postings, t.termStats, t.nDocs, j = 3, minDf = 2)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val dfm = t.termStats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val posts = t.postings.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    posts.groupBy(_._1).foreach { case (doc, rows) =>
+      val want = rows.filter(p => dfm(p._2) >= 2)
+        .map { case (_, term, tf) => (term, tf * math.log(t.nDocs.toDouble / dfm(term))) }
+        .sortBy { case (term, w) => (-w, term) }.take(3)
+      val g = got.filter(_._1 == doc).sortBy(_._2)
+      assert(g.length == want.length, s"doc $doc size")
+      g.zip(want).zipWithIndex.foreach { case (((_, rk, term, wr), (wt, ww)), i) =>
+        assert(rk == i + 1 && term == wt, s"doc $doc rank ${i + 1}: got $term want $wt")
+        assert(math.abs(wr - BigDecimal(ww).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+    }
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
