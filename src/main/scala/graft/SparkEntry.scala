@@ -201,6 +201,53 @@ object SparkEntry {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** DuckDB twin of MMR diversification: BM25 top-`poolSize` pool +
+    * pool-restricted pairwise term-set Jaccard, then the greedy selection
+    * UNROLLED as one CTE pair (argmax stage + selected-set union) per pick —
+    * the same unroll technique as the k-means and PageRank twins. λ = 0.5. */
+  private def mmrSql(terms: Seq[String], poolSize: Int, k: Int): String = {
+    val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+    val stages = (2 to k).map { i =>
+      val prevSel = (1 until i).map(j => s"SELECT doc_id FROM s$j").mkString(" UNION ALL ")
+      s"""sel$i AS ($prevSel),
+         |m$i AS (SELECT p.doc_id, 0.5 * p.score - 0.5 * coalesce(max(v.sim), 0) AS mmr
+         |        FROM pool p
+         |        LEFT JOIN (SELECT x, sim FROM sim2 JOIN sel$i ON sim2.y = sel$i.doc_id) v
+         |               ON v.x = p.doc_id
+         |        WHERE p.doc_id NOT IN (SELECT doc_id FROM sel$i)
+         |        GROUP BY p.doc_id, p.score),
+         |s$i AS (SELECT doc_id, mmr FROM m$i ORDER BY mmr DESC, doc_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (Seq(s"SELECT CAST(1 AS BIGINT) AS rank, doc_id, round(0.5 * score, 4) AS mmr_r FROM s1") ++
+      (2 to k).map(i => s"SELECT CAST($i AS BIGINT) AS rank, doc_id, round(mmr, 4) AS mmr_r FROM s$i"))
+      .mkString("\nUNION ALL ")
+    s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(terms)},
+       |scored AS (
+       |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+       |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+       |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+       |  GROUP BY p.doc_id
+       |),
+       |pool AS (
+       |  SELECT doc_id, score FROM (
+       |    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+       |    FROM scored WHERE n_terms = ${terms.size}
+       |  ) WHERE rank <= $poolSize
+       |),
+       |pp AS (SELECT p.doc_id, p.term FROM post p JOIN pool USING (doc_id)),
+       |psz AS (SELECT doc_id, count(*) AS sz FROM pp GROUP BY doc_id),
+       |pint AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |         FROM pp a JOIN pp b ON a.term = b.term AND a.doc_id < b.doc_id
+       |         GROUP BY a.doc_id, b.doc_id),
+       |sims AS (SELECT a_id, b_id, i::DOUBLE / (sa.sz + sb.sz - i) AS sim
+       |         FROM pint JOIN psz sa ON a_id = sa.doc_id JOIN psz sb ON b_id = sb.doc_id),
+       |sim2 AS (SELECT a_id AS x, b_id AS y, sim FROM sims
+       |         UNION ALL SELECT b_id, a_id, sim FROM sims),
+       |s1 AS (SELECT doc_id, score FROM pool ORDER BY score DESC, doc_id ASC LIMIT 1),
+       |$stages
+       |$out""".stripMargin
+  }
+
   /** shared DuckDB twin of the champion-list tier — referenced by BOTH
     * ft_champions (in-memory build) and ft_champions_persisted (cold read of
     * the aux artifact): one oracle, two engine paths. */
@@ -454,6 +501,14 @@ object SparkEntry {
       val qShards = shards(s, dir).filter(col("term").isin(idfs.keys.toSeq.map(x => x: Any): _*))
       Wand.topKDisjunctive(qShards, idfs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // MMR diversification: greedy re-rank of the BM25 top-20 pool by
+    // relevance minus max-Jaccard-to-picks (pool-restricted sim self-join)
+    "ft_mmr" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.mmrTopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, poolSize = 20, k = 5)
+        .select(col("rank"), col("doc_id"), round(col("mmr"), 4).as("mmr_r"))
     }),
     // Pseudo-relevance feedback: Rocchio-style blind expansion from the
     // top-5 docs, weighted disjunctive re-rank (orig 2x, expansion 1x)
@@ -959,6 +1014,7 @@ object SparkEntry {
     "ft_wand_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_prf" -> prfSql(q2, k = 10, r = 5, e = 3, wOrig = 2),
+    "ft_mmr" -> mmrSql(q2, poolSize = 20, k = 5),
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
     "ft_year_filter" ->

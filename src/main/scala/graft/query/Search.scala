@@ -161,6 +161,56 @@ object Search {
     bm25TopKWeighted(postings, docStats, wdfs, nDocs, avgDl, k)
   }
 
+  /** Maximal Marginal Relevance result diversification (Carbonell &
+    * Goldstein 1998): greedily re-rank a BM25 candidate pool so each pick
+    * maximizes λ·relevance − (1−λ)·(max Jaccard similarity to the picks so
+    * far) — near-duplicate results stop crowding the first page. Similarity
+    * is term-set Jaccard (integer intersection / union sizes, one IEEE
+    * division — both engines compute it bit-exactly); ties break doc_id asc.
+    *
+    * Scale shape: the distributed halves are the pool retrieval (any top-k
+    * tier) and the pool-restricted pairwise similarity — an IN-pruned
+    * postings self-join over ≤ poolSize docs, so poolSize² pairs, never
+    * corpus². The greedy selection is inherently sequential and runs on the
+    * driver over the collected ≤ poolSize²/2 sim rows (poolSize is a serve-
+    * path constant, ~10²; the same bounded-collect contract as prfTopK). */
+  def mmrTopK(postings: DataFrame, docStats: DataFrame, dfs: Map[String, Long],
+              nDocs: Long, avgDl: Double, poolSize: Int = 20, k: Int = 5,
+              lambda: Double = 0.5): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val pool = bm25TopK(postings, docStats, dfs, nDocs, avgDl, poolSize)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ids = pool.map(_._1).toSeq
+    val pp = postings.filter(col("doc_id").isin(ids.map(x => x: Any): _*))
+      .select("doc_id", "term")
+    val sz = pp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sims = pp.select(col("doc_id").as("a_id"), col("term"))
+      .join(pp.select(col("doc_id").as("b_id"), col("term")), "term")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sim(x: Long, y: Long): Double =
+      sims.getOrElse(if (x < y) (x, y) else (y, x), 0.0)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(pool.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { case (d, s) =>
+        val maxSim = if (selected.isEmpty) 0.0
+                     else selected.iterator.map(t => sim(d, t._1)).max
+        (d, lambda * s - (1 - lambda) * maxSim)
+      }.minBy { case (d, m) => (-m, d) }
+      selected += best
+      remaining -= best._1
+    }
+    selected.zipWithIndex.map { case ((d, m), i) => (i + 1L, d, m) }.toSeq
+      .toDF("rank", "doc_id", "mmr")
+  }
+
   /** Reverse search (percolation — the Elasticsearch-percolator / alerting
     * primitive): instead of a query finding docs, every STORED query is
     * matched against the docs in hand — "notify me when a page matching

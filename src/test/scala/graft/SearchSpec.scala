@@ -200,6 +200,52 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryFrontend.wildcardTerms(ts, "a%b"))
   }
 
+  test("MMR diversification: demotes the near-duplicate; == scalar recompute on real data") {
+    import spark.implicits._
+    // crafted pool: A(1) top by tf; B(2) is a near-duplicate of A (shared
+    // filler terms, slightly lower tf); C(3) matches less but shares nothing
+    // with A. Pure BM25 orders A,B,C — MMR must pick C second.
+    val posts = Seq(
+      (1L, "q", 5L), (1L, "f1", 1L), (1L, "f2", 1L), (1L, "f3", 1L),
+      (2L, "q", 4L), (2L, "f1", 1L), (2L, "f2", 1L), (2L, "f3", 1L),
+      (3L, "q", 2L), (3L, "g1", 1L), (3L, "g2", 1L), (3L, "g3", 1L)
+    ).toDF("doc_id", "term", "tf")
+    val dstats = Seq((1L, 8L), (2L, 7L), (3L, 5L)).toDF("doc_id", "dl")
+    val got = Search.mmrTopK(posts, dstats, Map("q" -> 3L), nDocs = 3,
+        avgDl = 20.0 / 3, poolSize = 3, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"MMR should order A,C,B — got ${got.toSeq}")
+    // real-data scalar recompute: pool, pairwise Jaccard, greedy — all redone
+    // driver-side from raw collected postings
+    val dfs = QueryFrontend.lookupDf(tables.termStats, Set("join", "spark"))
+    val pool = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2))
+    val ids = pool.map(_._1).toSet
+    val termSets = tables.postings.filter(col("doc_id").isin(ids.toSeq.map(x => x: Any): _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+    def jac(x: Long, y: Long): Double = {
+      val i = (termSets(x) intersect termSets(y)).size
+      if (i == 0) 0.0 else i.toDouble / (termSets(x).size + termSets(y).size - i)
+    }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val rem = scala.collection.mutable.LinkedHashMap(pool.toSeq: _*)
+    while (sel.size < 4 && rem.nonEmpty) {
+      val best = rem.map { case (d, s) =>
+        val ms = if (sel.isEmpty) 0.0 else sel.iterator.map(t => jac(d, t._1)).max
+        (d, 0.5 * s - 0.5 * ms)
+      }.minBy { case (d, m) => (-m, d) }
+      sel += best; rem -= best._1
+    }
+    val eng = Search.mmrTopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, poolSize = 10, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(eng.map(_._1).toSeq == sel.map(_._1).toSeq)
+    eng.zip(sel).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
+  }
+
   test("pseudo-relevance feedback == scalar recompute of all three stages") {
     val orig = Set("join", "spark")
     val dfs = QueryFrontend.lookupDf(tables.termStats, orig)
