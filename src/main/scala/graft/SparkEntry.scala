@@ -502,6 +502,19 @@ object SparkEntry {
       Wand.topKDisjunctive(qShards, idfs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Hybrid lexical+vector retrieval: BM25 top-10 fused with brute-force
+    // cosine top-10 (query = doc 0's embedding; vec_id ≡ doc_id) by RRF
+    "hybrid_rrf" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val lex = Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val vec = graft.ann.Ann.bruteForceTopK(emb, graft.ann.Ann.fixedQueries(s, emb, 1), 10)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(lex.select("doc_id", "rank"), vec, k0 = 60, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf_r"))
+    }),
     // MMR diversification: greedy re-rank of the BM25 top-20 pool by
     // relevance minus max-Jaccard-to-picks (pool-restricted sim self-join)
     "ft_mmr" -> ((s, dir) => {
@@ -1015,6 +1028,34 @@ object SparkEntry {
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_prf" -> prfSql(q2, k = 10, r = 5, e = 3, wOrig = 2),
     "ft_mmr" -> mmrSql(q2, poolSize = 20, k = 5),
+    // lexical CTEs + the cosine twin fused on integer ranks: each
+    // reciprocal is one IEEE division, so the fusion is hash-exact
+    "hybrid_rrf" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id
+         |),
+         |lex AS (SELECT doc_id, r FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         |  FROM scored WHERE n_terms = ${q2.size}) WHERE r <= 10),
+         |vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vscored AS (SELECT e.vec_id, ${cosSql("vq.qv", "e.embedding")} AS cos
+         |            FROM embeddings e, vq),
+         |vec AS (SELECT vec_id AS doc_id, r FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+         |  FROM vscored) WHERE r <= 10),
+         |fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |                 coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + v.r), 0) AS rrf
+         |          FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT rank, doc_id, rrf_r FROM (
+         |  SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+         |         doc_id, round(rrf, 6) AS rrf_r FROM fused
+         |) WHERE rank <= 10""".stripMargin
+    },
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
     "ft_year_filter" ->

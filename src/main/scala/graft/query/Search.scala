@@ -161,6 +161,27 @@ object Search {
     bm25TopKWeighted(postings, docStats, wdfs, nDocs, avgDl, k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    * rankings — the standard hybrid lexical+vector combiner:
+    * score(d) = Σ_r 1/(k0 + rank_r(d)), a ranking that omits d contributes
+    * 0. Ranks are integers, each reciprocal is one IEEE division, and the
+    * sum is a fixed two-term expression (not a float aggregation) — the
+    * fused order is bit-exact at any parallelism. Fusing on ranks rather
+    * than scores needs no score normalization across heterogeneous scorers
+    * (BM25 vs cosine), which is the whole point of RRF. Inputs are top-N
+    * relations, so the fusion full-outer join costs O(N) regardless of
+    * corpus size. Inputs: (doc_id, rank); output (rank, doc_id, rrf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, k: Int = 10): DataFrame = {
+    val fa = a.select(col("doc_id"), col("rank").cast("long").as("ra"))
+    val fb = b.select(col("doc_id"), col("rank").cast("long").as("rb"))
+    val scored = fa.join(fb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(k0) + col("ra")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(k0) + col("rb")), lit(0.0))).as("rrf"))
+    rankTopK(scored, k, Seq(desc("rrf"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** Maximal Marginal Relevance result diversification (Carbonell &
     * Goldstein 1998): greedily re-rank a BM25 candidate pool so each pick
     * maximizes λ·relevance − (1−λ)·(max Jaccard similarity to the picks so

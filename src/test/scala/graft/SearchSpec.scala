@@ -200,6 +200,22 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryFrontend.wildcardTerms(ts, "a%b"))
   }
 
+  test("RRF fusion == scalar recompute; absent docs contribute zero") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(a, b, k0 = 60, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val want = Map(10L -> 1.0 / 61, 20L -> (1.0 / 62 + 1.0 / 61),
+      30L -> 1.0 / 63, 40L -> 1.0 / 62)
+      .toSeq.sortBy { case (d, s) => (-s, d) }
+    assert(got.map(_._2).toSeq == want.map(_._1))
+    got.zip(want).zipWithIndex.foreach { case (((rk, _, g), (_, w)), i) =>
+      assert(rk == i + 1)
+      assert(g == w, s"rrf at rank ${i + 1}: $g vs $w") // bit-exact, no tolerance
+    }
+  }
+
   test("MMR diversification: demotes the near-duplicate; == scalar recompute on real data") {
     import spark.implicits._
     // crafted pool: A(1) top by tf; B(2) is a near-duplicate of A (shared
