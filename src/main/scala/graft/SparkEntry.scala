@@ -318,6 +318,7 @@ object SparkEntry {
       graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 5, tableDir)
       graft.stats.Stats.persistRepoTermStats(
         InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), tableDir)
+      QueryFrontend.persistKgrams(t.termStats, tableDir)
       tableDir
     })
 
@@ -645,6 +646,10 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       QueryFrontend.wildcardTerms(t.termStats, "s*a*")
     }),
+    // Wildcard COLD: same probe over the PERSISTED gram-partitioned k-gram
+    // artifact — shares ft_wildcard's oracle (the round trip is lossless)
+    "ft_wildcard_persisted" -> ((s, dir) =>
+      QueryFrontend.wildcardTermsPersisted(s, persistedAux(s, dir), "s*a*")),
     // "More like this": TF-IDF-cosine doc-to-doc top-k (broadcast pruned
     // query vector, equi-join candidates, reusable norm pass)
     "ft_more_like" -> ((s, dir) => {
@@ -920,6 +925,9 @@ object SparkEntry {
     // gap-rule sessionization rollup (batch twin of flatMapGroupsWithState)
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Events.sessions(graft.streaming.Events.read(s, dir))),
+    // burst detection: hour buckets vs trailing-6 baseline, BIGINT test
+    "events_bursts" -> ((s, dir) =>
+      graft.streaming.Events.bursts(graft.streaming.Events.read(s, dir))),
     // champion lists: per-term top-m impact-ordered candidates (index-build
     // artifact), approximate disjunctive BM25 over champions only — the
     // hard-cost-ceiling query tier (IIR §7.1.3)
@@ -1170,6 +1178,12 @@ object SparkEntry {
       s"""WITH ${termsCte}, ${tstatsCte}
          |SELECT term, df FROM tstats WHERE term LIKE 's%a%'
          |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+    // the persisted variant must agree with the SAME oracle — write →
+    // gram-partitioned aux → pruned cold read is provably lossless
+    "ft_wildcard_persisted" ->
+      s"""WITH ${termsCte}, ${tstatsCte}
+         |SELECT term, df FROM tstats WHERE term LIKE 's%a%'
+         |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
     "ft_more_like" ->
       s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
          |w AS (SELECT doc_id, term, df,
@@ -1309,6 +1323,18 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_bursts" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, bucket, cnt,
+        |        coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS trail,
+        |        count(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |          ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS nprev
+        |      FROM b)
+        |SELECT event_type, epoch_us(bucket) AS bucket_us, cnt, trail,
+        |       (nprev = 6 AND cnt * 6 > 2 * trail) AS is_burst
+        |FROM t""".stripMargin,
     "ft_champions" -> championsSql,
     // the persisted variant must agree with the SAME oracle — the artifact
     // round trip (write → manifest lineage → bucket-pruned cold read) is

@@ -124,6 +124,53 @@ object QueryFrontend {
       .orderBy(desc("df"), asc("term")).limit(maxExpand)
   }
 
+  /** Index-BUILD half of the wildcard path: the exploded (term, df, gram)
+    * k-gram relation over the dictionary — vocabulary-bounded, ~|term|+3−k
+    * rows per term. [[wildcardTerms]] re-derives it per query (fine for ad
+    * hoc use); at scale persist it once per index build via
+    * [[persistKgrams]] so a probe is partition pruning + a pushed filter. */
+  def kgramIndex(termStats: DataFrame, k: Int = 2): DataFrame =
+    termStats.select(col("term"), col("df"), explode(expr(kgramSql(k))).as("gram"))
+
+  /** Manifest aux-lineage name of the persisted k-gram index. */
+  val kgramAuxName = "kgram_index"
+
+  /** Persist the k-gram index beside the bucket index, PARTITIONED BY GRAM:
+    * a wildcard probe scans only the pattern's ≤ dozen gram directories
+    * (partition pruning), never the whole vocabulary — the scale path the
+    * [[wildcardTerms]] scaladoc promises. Lineage rides the manifest like
+    * champions/repo stats; postings mutations decommit it. */
+  def persistKgrams(termStats: DataFrame, tableDir: String,
+                    k: Int = 2): graft.io.TableIO.Manifest =
+    graft.index.IndexWriter.writeAux(kgramIndex(termStats, k), tableDir,
+      kgramAuxName, partitionCols = Seq("gram"))
+
+  /** Cold wildcard expansion over the PERSISTED k-gram index: same
+    * candidates-then-LIKE contract as [[wildcardTerms]], but the gram probe
+    * is a pruned point read of the aux artifact. A gramless pattern (e.g.
+    * `*a*` at k=2) degrades to a LIKE scan over the distinct dictionary
+    * rows of the same artifact. */
+  def wildcardTermsPersisted(spark: org.apache.spark.sql.SparkSession,
+                             tableDir: String, pattern: String, k: Int = 2,
+                             maxExpand: Int = 50): DataFrame = {
+    require(pattern.exists(_ != '*'), "wildcard pattern needs a literal character")
+    require(pattern.matches("[\\p{L}\\p{N}*]+"),
+      s"wildcard pattern must be letters/digits/'*' only (got '$pattern')")
+    val kg = graft.index.IndexWriter.readAux(spark, tableDir, kgramAuxName)
+    val grams = wildcardGrams(pattern, k)
+    val candidates =
+      if (grams.isEmpty) kg.select("term", "df").distinct()
+      else kg
+        .filter(col("gram").isin(grams.map(x => x: Any): _*))
+        .groupBy(col("term"), col("df"))
+        .agg(count(lit(1)).as("_g"))
+        .filter(col("_g") === grams.size)
+    candidates
+      .filter(col("term").like(pattern.replace('*', '%')))
+      .select("term", "df")
+      .orderBy(desc("df"), asc("term")).limit(maxExpand)
+  }
+
   /** Fuzzy term match (edit distance ≤ `maxDist`, default 1) via the
     * SymSpell deletion-neighborhood: candidates are dictionary terms whose
     * single-deletion variant set intersects the query's variant set — an

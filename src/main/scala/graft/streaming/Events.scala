@@ -52,6 +52,31 @@ object Events {
       .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
         col("n_events"), col("sum_cents"))
 
+  /** Burst detection over the event stream (trend/ops alerting): hour
+    * buckets per event_type, flagged when a bucket's count exceeds
+    * `factor`× the trailing mean of the previous `w` OBSERVED buckets. The
+    * test is kept entirely in BIGINT (cnt·w > factor·trailΣ — the mean is
+    * never materialized as a float), so the flag is hash-exact across
+    * engines and parallelism levels. Buckets with fewer than `w`
+    * predecessors stay unflagged (cold start). The trailing frame is
+    * rows-based — the w preceding observed buckets, not wall-clock hours:
+    * an empty hour emits no bucket row, so a quiet gap does not dilute the
+    * baseline (the conservative choice for alerting). Cost: one hash
+    * aggregate + one shuffle on event_type with an in-partition ordered
+    * frame scan; per-type bucket counts are hours-per-retention-window
+    * small, so the window sort never spills. */
+  def bursts(events: DataFrame, w: Int = 6, factor: Int = 2): DataFrame = {
+    val win = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-w, -1)
+    withTsLtz(events)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("trail", coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .withColumn("nprev", count(col("cnt")).over(win))
+      .select(col("event_type"), unix_micros(col("bucket")).as("bucket_us"),
+        col("cnt"), col("trail"),
+        (col("nprev") === w && col("cnt") * w > lit(factor) * col("trail")).as("is_burst"))
+  }
+
   /** Gap-rule sessionization (batch): a new session starts when a user is
     * idle longer than `gapMin` minutes. One shuffle on user_id + an in-
     * partition sort — the canonical distributed sessionize; no per-user

@@ -176,4 +176,35 @@ class EventsSpec extends AnyFunSuite {
       assert(byKey == scalarSessions(eventTuples))
     } finally Bench.deleteRec(new java.io.File(dir))
   }
+
+  test("bursts: crafted spike flagged, cold start unflagged; == scalar recompute on real data") {
+    import spark.implicits._
+    // type x: 6 calm hours (2 events each), then a 5-event spike at h6
+    // (5*6=30 > 2*12=24 → burst), then calm h7 (trail now 15, not a burst)
+    val crafted = (0 until 6).flatMap(h => Seq.fill(2)(("x", f"2024-01-01 $h%02d:10:00"))) ++
+      Seq.fill(5)(("x", "2024-01-01 06:10:00")) ++ Seq.fill(2)(("x", "2024-01-01 07:10:00"))
+    val cdf = crafted.toDF("event_type", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    val cg = Events.bursts(cdf).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val hourUs = 3600L * 1000000
+    val t0 = cg.keys.min
+    assert(cg(t0 + 6 * hourUs) == ((5L, 12L, true)), s"spike hour: ${cg(t0 + 6 * hourUs)}")
+    assert(cg(t0 + 7 * hourUs) == ((2L, 15L, false)))
+    (0 until 6).foreach(h => assert(!cg(t0 + h * hourUs)._3, s"cold-start hour $h flagged"))
+    // real data: full scalar recompute of the trailing-window test
+    val raw = events.select(col("event_type"), unix_micros(col("ts").cast("timestamp")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = raw.groupBy(_._1).flatMap { case (et, rs) =>
+      val buckets = rs.map(r => r._2 - Math.floorMod(r._2, hourUs))
+        .groupBy(identity).map { case (b, g) => (b, g.size.toLong) }.toSeq.sortBy(_._1)
+      buckets.zipWithIndex.map { case ((b, cnt), i) =>
+        val prev = buckets.slice(math.max(0, i - 6), i)
+        val trail = prev.map(_._2).sum
+        (et, b) -> ((cnt, trail, prev.size == 6 && cnt * 6 > 2 * trail))
+      }
+    }
+    val got = Events.bursts(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == want.toMap)
+  }
 }

@@ -212,6 +212,23 @@ class IndexWriterSpec extends AnyFunSuite {
     (dir, t)
   }
 
+  test("persisted k-gram index: cold wildcard ≡ in-memory path; gram partition pruning reaches the scan") {
+    val (dir, t) = buildIndexed()
+    graft.query.QueryFrontend.persistKgrams(t.termStats, dir)
+    assert(TableIO.readCurrent(dir).get.aux.exists(_.name == graft.query.QueryFrontend.kgramAuxName))
+    for (pat <- Seq("s*a*", "*er", "red*", "*a*")) {
+      val cold = graft.query.QueryFrontend.wildcardTermsPersisted(spark, dir, pat)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toList
+      val mem = graft.query.QueryFrontend.wildcardTerms(t.termStats, pat)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toList
+      assert(cold == mem, s"pattern '$pat'")
+    }
+    // partition pruning: only the pattern's gram dirs appear in the scan
+    val plan = graft.query.QueryFrontend.wildcardTermsPersisted(spark, dir, "s*a*")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("gram"), s"expected gram pruning/filter in:\n$plan")
+  }
+
   test("writeAux commits lineage; cold champion read ≡ in-memory build") {
     val (dir, t) = buildIndexed()
     graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 3, dir, cfg)
