@@ -763,6 +763,13 @@ object SparkEntry {
     "split_assign" -> ((s, dir) => {
       graft.pipeline.Splits.assign(Corpus.fromDocuments(s, dir))
     }),
+    // stratified per-stratum quota sampling (training-data mixing): at most
+    // 40 docs per lang, selected by the cross-engine hash order — a pure
+    // function of ids, so the subset is stable under growth and engines
+    "split_stratified" -> ((s, dir) => {
+      graft.pipeline.Splits.stratifiedSample(
+        Corpus.fromDocuments(s, dir).select("doc_id", "lang"), "lang", quota = 40)
+    }),
     // one-plan curation: quality gate → exact-dedup keep → hash split
     "pipeline_curate" -> ((s, dir) => {
       graft.pipeline.Curation.curate(Corpus.fromDocuments(s, dir))
@@ -1460,6 +1467,14 @@ object SparkEntry {
          |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "split_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS samp_rank
+         |  FROM h)
+         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 40""".stripMargin,
     "dedup_contamination" ->
       s"""WITH ${shinglesCte},
          |bs AS (SELECT doc_id AS bench_id, shingle FROM shd WHERE doc_id < 20),

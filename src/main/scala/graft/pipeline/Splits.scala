@@ -31,4 +31,25 @@ object Splits {
   /** scalar twin (tests) */
   def bucketS(docId: Long): Long =
     TextHash.mix(7, TextHash.tokenHash(docId.toString)) % 1000
+
+  /** Deterministic stratified sampling with a per-stratum quota — the
+    * data-mixing primitive of a training pipeline ("at most n docs per
+    * (language, quality-bin)"). Docs are ordered WITHIN each stratum by the
+    * same cross-engine hash family as [[assign]] (doc_id as total
+    * tie-break) and the first `quota` win, so the selection is a pure
+    * function of ids: stable across runs, engines and partitionings, and
+    * under growth a kept doc is displaced only by a new doc hashing ahead
+    * of it — never by reordering. The rank filter compiles to
+    * WindowGroupLimit: a quota-row heap per stratum, never a full
+    * per-stratum sort (the hot-stratum shuffle key is absorbed map-side).
+    * Keeps the input columns and adds `samp_rank`. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("_h", TextHash.mixCol(7, TextHash.tokenHashCol(col("doc_id").cast("string"))))
+      .withColumn("samp_rank", row_number().over(
+        Window.partitionBy(strataCol).orderBy(col("_h"), col("doc_id"))).cast("long"))
+      .filter(col("samp_rank") <= quota)
+      .drop("_h")
+  }
 }

@@ -105,4 +105,30 @@ class PositionalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     got.foreach { case (id, _, s) => assert(grown(id) == s) }
   }
+
+  test("stratifiedSample: scalar recompute, growth monotone, WindowGroupLimit plan") {
+    import graft.textan.TextHash
+    def mk(n: Long) = (0L until n).map(id => (id, s"s${id % 7}")).toDF("doc_id", "strata")
+    val quota = 25
+    val df = Splits.stratifiedSample(mk(2000), "strata", quota)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // scalar recompute: per stratum, order by (mix_7(tokenHash(id)), id), take quota
+    val want = (0L until 2000L).map(id => (id, s"s${id % 7}"))
+      .groupBy(_._2).flatMap { case (st, rows) =>
+        rows.sortBy { case (id, _) => (TextHash.mix(7, TextHash.tokenHash(id.toString)), id) }
+          .take(quota).zipWithIndex.map { case ((id, _), i) => (id, st, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == want, s"diff: ${(got.toSet diff want) ++ (want diff got.toSet)}")
+    got.groupBy(_._2).foreach { case (st, rows) => assert(rows.length == quota, st) }
+    // growth monotonicity: a doc kept in the grown corpus that existed before
+    // was either already kept, or every displacement came from NEW ids only
+    val keptBefore = got.map(_._1).toSet
+    val keptGrownOld = Splits.stratifiedSample(mk(4000), "strata", quota)
+      .filter(col("doc_id") < 2000).collect().map(_.getLong(0)).toSet
+    assert(keptGrownOld.subsetOf(keptBefore),
+      s"old doc newly selected under growth: ${keptGrownOld diff keptBefore}")
+    // rank<=quota must compile to a quota-row heap, never a full stratum sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
