@@ -770,6 +770,22 @@ object SparkEntry {
       graft.pipeline.Splits.stratifiedSample(
         Corpus.fromDocuments(s, dir).select("doc_id", "lang"), "lang", quota = 40)
     }),
+    // LTR training-set export: per-(query,doc) feature vectors for the
+    // whole query log in ONE postings pass (disjunctive candidates keep the
+    // partial-match hard negatives a ranker trains on)
+    "ltr_features" -> ((s, dir) => {
+      import s.implicits._
+      val (c, t) = index(s, dir)
+      val pr = graft.corpus.LinkRank.pagerank(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        t.nDocs, iters = 3)
+      graft.pipeline.Features.ltr(t.postings, t.docStats, t.termStats,
+        batchQ.toDF("query_id", "term"), pr, t.nDocs, t.avgDl, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("f_matched"), col("q_n"), col("f_sum_tf"), col("f_max_tf"),
+          col("f_dl"), round(col("f_idf"), 4).as("f_idf_r"),
+          round(col("f_bm25"), 4).as("f_bm25_r"), col("f_prior"))
+    }),
     // one-plan curation: quality gate → exact-dedup keep → hash split
     "pipeline_curate" -> ((s, dir) => {
       graft.pipeline.Curation.curate(Corpus.fromDocuments(s, dir))
@@ -1421,6 +1437,39 @@ object SparkEntry {
          |                            ORDER BY s.score DESC, s.doc_id ASC) AS rank,
          |         s.doc_id, round(s.score, 4) AS score_r
          |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+         |) WHERE rank <= 10""".stripMargin
+    },
+    "ltr_features" -> {
+      val idf = "ln((((SELECT n FROM stats) - t.df + 0.5) / (t.df + 0.5)) + 1.0)"
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |$pagerankCtes,
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*)::BIGINT AS q_n FROM q GROUP BY query_id),
+         |cand AS (
+         |  SELECT q.query_id, p.doc_id,
+         |         count(*)::BIGINT AS f_matched,
+         |         sum(p.tf)::BIGINT AS f_sum_tf,
+         |         max(p.tf)::BIGINT AS f_max_tf,
+         |         max(d.dl)::BIGINT AS f_dl,
+         |         sum($idf) AS f_idf,
+         |         sum($score) AS f_bm25
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY q.query_id, p.doc_id)
+         |SELECT query_id, rank, doc_id, f_matched, q_n, f_sum_tf, f_max_tf,
+         |       f_dl, f_idf_r, f_bm25_r, f_prior
+         |FROM (
+         |  SELECT c.query_id,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY c.f_bm25 DESC, c.doc_id ASC)::BIGINT AS rank,
+         |         c.doc_id, c.f_matched, qn.q_n, c.f_sum_tf, c.f_max_tf, c.f_dl,
+         |         round(c.f_idf, 4) AS f_idf_r, round(c.f_bm25, 4) AS f_bm25_r,
+         |         coalesce(p3.pr, 0)::BIGINT AS f_prior
+         |  FROM cand c JOIN qn USING (query_id)
+         |       LEFT JOIN p3 ON c.doc_id = p3.doc_id
          |) WHERE rank <= 10""".stripMargin
     },
     "ft_percolate" -> {
