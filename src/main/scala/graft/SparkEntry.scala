@@ -871,6 +871,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
+    // SQ8 scalar-quantized ANN: per-dim affine int8 codes (4× smaller scan),
+    // asymmetric (raw-query vs dequantized) cosine top-5
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.ann.Quantize.sqTrain(emb, 64)
+      graft.ann.Quantize.sqTopK(
+          graft.ann.Quantize.sqEncode(emb, p), Ann.fixedQueries(s, emb, 5), p, 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
+    // SQ8 two-stage: quantized scan picks 3k candidates, exact cosine
+    // rescored on the isin-pruned raw table — full precision never scanned
+    "ann_sq8_rerank" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.ann.Quantize.sqTrain(emb, 64)
+      graft.ann.Quantize.sqRerankTopK(emb,
+          graft.ann.Quantize.sqEncode(emb, p), Ann.fixedQueries(s, emb, 5), p, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
     // recall@k of the LSH index vs exact brute force — the ANN eval harness
     // (per-query integer hits; recall = hits/k, hash-exact)
     "ann_recall" -> ((s, dir) => {
@@ -1612,6 +1632,8 @@ object SparkEntry {
          |    ON x.label = y.label AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
     "ann_topk" -> annBfSql,
+    "ann_sq8_topk" -> annSq8Sql,
+    "ann_sq8_rerank" -> annSq8RerankSql,
     // recall@k harness: LEFT JOIN the exact top-k against the approximate
     // top-k (both full nested-WITH twins) — integer hits, exact recall
     "ann_recall" ->
@@ -2023,6 +2045,52 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
   }
+
+  /** SQ8 shared CTE chain: per-dim global (min, step), 0..255 codes, and
+    * the dequantized vector relation `dq` (twin of Quantize.sqTrain +
+    * sqEncode + dequantize — same double expressions before round, so
+    * knife-edge .5 cases agree) plus the raw-double query set `q`. */
+  private def sq8Ctes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range($embDim)) AS d),
+       |ex AS (SELECT vec_id, d, v[CAST(d + 1 AS INTEGER)] AS x FROM e, dims),
+       |mm AS (SELECT d, min(x) AS lo,
+       |         CASE WHEN max(x) > min(x) THEN (max(x) - min(x)) / 255.0 ELSE 0.0 END AS step
+       |       FROM ex GROUP BY d),
+       |cd AS (SELECT vec_id, d,
+       |         CASE WHEN step = 0.0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(least(greatest(round((x - lo) / step), 0.0), 255.0) AS BIGINT)
+       |         END AS c, lo, step
+       |       FROM ex JOIN mm USING (d)),
+       |dq AS (SELECT vec_id, list(lo + c * step ORDER BY d) AS v FROM cd GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5)""".stripMargin
+
+  private def annSq8Sql: String =
+    s"""WITH $sq8Ctes,
+       |scored AS (SELECT q.query_id, dq.vec_id, ${cosSql("q.qv", "dq.v")} AS cos
+       |           FROM dq, q)
+       |SELECT query_id, rank, vec_id, cos_r FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  private def annSq8RerankSql: String =
+    s"""WITH $sq8Ctes,
+       |s1 AS (SELECT q.query_id, dq.vec_id, ${cosSql("q.qv", "dq.v")} AS cos
+       |       FROM dq, q),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM s1) WHERE rank <= 15),
+       |s2 AS (SELECT c.query_id, c.vec_id, ${cosSql("qq.qv", "ee.v")} AS cos
+       |       FROM cand c JOIN q qq USING (query_id)
+       |            JOIN e ee ON c.vec_id = ee.vec_id)
+       |SELECT query_id, rank, vec_id, cos_r FROM (
+       |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM s2)
+       |WHERE rank <= 5""".stripMargin
 
   /** byte-exact checksum twin: blob bytes recovered via hex() so multibyte
     * UTF-8 text hashes identically to the Scala fold over Array[Byte] */
