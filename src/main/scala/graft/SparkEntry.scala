@@ -610,6 +610,14 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       graft.index.Positional.phraseTopK(graft.index.Positional.tokenPositions(c), q2, 10)
     }),
+    // Biword fast path: build-time adjacent-pair index, 2-word phrase =
+    // ONE equality probe. Shares ft_phrase's oracle SQL — the hash gate
+    // itself proves biword ≡ positional-intersection across engines
+    "ft_biword" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.index.Positional.biwordTopK(
+        graft.index.Positional.biwordPostings(c), q2(0), q2(1), 10)
+    }),
     // Proximity ("phrase within slop"): same count-k-over-windowed-starts
     // relational shape as ft_phrase, slop=2 — the natural next query
     // operator after exact phrase
@@ -1208,6 +1216,9 @@ object SparkEntry {
          |       array_to_string(list(pos ORDER BY pos), ',') AS positions_s
          |FROM tp GROUP BY doc_id, term""".stripMargin,
     "ft_phrase" -> phraseSql(q2, 10),
+    // deliberately the SAME twin as ft_phrase: the biword index must be
+    // indistinguishable from the positional intersection for k = 2
+    "ft_biword" -> phraseSql(q2, 10),
     "ft_proximity" -> proximitySql(q2, 2, 10),
     "ft_prefix" ->
       s"""WITH ${termsCte}, ${tstatsCte}

@@ -62,6 +62,50 @@ object Positional {
       .select("rank", "doc_id", "phrase_tf")
   }
 
+  /** Biword (next-word) index (Manning IIR §2.4.1): consecutive analyzed
+    * token pairs materialized as single index entries at BUILD time, so an
+    * exact 2-word phrase is answered by ONE equality probe of a
+    * pre-aggregated relation instead of the k-way positional intersection —
+    * the standard high-QPS phrase fast path (positional postings remain the
+    * general path for k > 2, and [[IndexWriter.writeAux]] persists this
+    * relation beside the index like any derived artifact).
+    *
+    * Build is MAP-ONLY up to the final partial+final hash aggregate: pairs
+    * come straight off each doc's ordered token array (zip with its own
+    * 1-shift — no Window, no per-doc shuffle-and-sort), so the only
+    * exchange is the aggregate's, keyed on (doc, w1, w2). */
+  def biwordPostings(corpus: DataFrame): DataFrame = {
+    val toks = InvertedIndex.termsForLang(col("content"), col("lang"))
+    corpus
+      .select(col("doc_id"), toks.as("arr"))
+      .select(col("doc_id"),
+        explode(zip_with(col("arr"),
+          slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bw"))
+      // zip_with pads the shorter side with null: the last token's pair
+      .filter(col("bw.w2").isNotNull)
+      .select(col("doc_id"), col("bw.w1").as("w1"), col("bw.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** 2-word exact phrase via the biword relation: one equality probe.
+    * Row-identical to `phraseMatches(tokenPos, Seq(w1, w2))` — proven by
+    * the shared oracle (ft_biword hashes against ft_phrase's twin) and
+    * PositionalSpec's relation-equality test. */
+  def biwordPhrase(biwords: DataFrame, w1: String, w2: String): DataFrame =
+    biwords.filter(col("w1") === w1 && col("w2") === w2)
+      .select(col("doc_id"), col("tf").as("phrase_tf"))
+
+  /** biword phrase top-k, same ranking contract as [[phraseTopK]] */
+  def biwordTopK(biwords: DataFrame, w1: String, w2: String, k: Int): DataFrame = {
+    val top = biwordPhrase(biwords, w1, w2)
+      .orderBy(desc("phrase_tf"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("phrase_tf"), asc("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "phrase_tf")
+  }
+
   /** Ordered proximity ("phrase within slop"): a start position matches
     * when term i occurs at some pos ∈ [start + i, start + i + slop] for
     * EVERY i — slop = 0 degenerates to exact [[phraseMatches]]. Returns

@@ -44,6 +44,27 @@ class PositionalSpec extends AnyFunSuite {
     assert(got.toList == List((1L, 0L, 2L), (2L, 2L, 1L)))
   }
 
+  test("biword index ≡ positional phrase for EVERY bigram of the fixture; map-only build") {
+    val bi = Positional.biwordPostings(docs)
+    val tp = Positional.tokenPositions(docs)
+    // relation equality over the full bigram vocabulary, not a sample
+    val pairs = bi.select("w1", "w2").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (w1, w2) =>
+      val viaBi = Positional.biwordPhrase(bi, w1, w2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaPos = Positional.phraseMatches(tp, Seq(w1, w2))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaBi == viaPos, s"bigram ($w1,$w2): biword $viaBi vs positional $viaPos")
+    }
+    // a bigram never adjacent (order matters) probes to empty
+    assert(Positional.biwordPhrase(bi, "fast", "spark").isEmpty)
+    // build plan: no Window (pairs come off the token array, not a sort)
+    val plan = bi.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"biword build must not window-sort:\n$plan")
+  }
+
   test("proximity: slop=0 equals exact phrase; slop admits bounded gaps") {
     val tp = Positional.tokenPositions(docs)
     val phrase = Positional.phraseMatches(tp, Seq("spark", "join"))
