@@ -460,6 +460,32 @@ object SparkEntry {
       Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, k = 10, offset = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Cursor (search-after) pagination: page 2 via a strict-after filter on
+    // the page-1 cursor — the deep-paging scale path; provably identical to
+    // the offset page under the deterministic total order (shared ranking)
+    "ft_search_after" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val cur = Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, k = 10)
+        .filter(col("rank") === 10).select("score", "doc_id").head()
+      Search.bm25TopKAfter(t.postings, t.docStats, dfs, t.nDocs, t.avgDl,
+          k = 10, afterScore = cur.getDouble(0), afterDoc = cur.getLong(1))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
+    // Boolean query tree: (join OR merge) AND spark AND NOT dup — Lucene
+    // semantics: the tree filters, the positive leaves score
+    "ft_boolean" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      import graft.query.BooleanQuery
+      import graft.query.BooleanQuery._
+      val tree = And(Seq(Or(Seq(Term("join"), Term("merge"))),
+        Term("spark"), Not(Term("dup"))))
+      val dfs = QueryFrontend.lookupDf(t.termStats, Set("join", "merge", "spark"))
+      BooleanQuery.topK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, tree, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // J2: missing-term anti-join (error short-circuit path)
     "ft_missing_terms" -> ((s, dir) => {
       import s.implicits._
@@ -1117,6 +1143,31 @@ object SparkEntry {
     },
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
+    // cursor page 2 ≡ offset page 2 under the deterministic total order —
+    // the twin STATES the equality the cursor plan must reproduce
+    "ft_search_after" -> bm25TopKSql(q2, 20)
+      .replace("SELECT rank, doc_id, score_r FROM (",
+        "SELECT rank - 10 AS rank, doc_id, score_r FROM (")
+      .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
+    "ft_boolean" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |c1 AS (SELECT DISTINCT doc_id FROM post WHERE term IN ('join', 'merge')),
+         |c2 AS (SELECT doc_id FROM c1
+         |       WHERE doc_id IN (SELECT doc_id FROM post WHERE term = 'spark')),
+         |cand AS (SELECT doc_id FROM c2
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'dup')),
+         |scored AS (
+         |  SELECT p.doc_id, sum($score) AS score
+         |  FROM post p JOIN tstats t USING (term) JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  WHERE p.term IN ('join', 'merge', 'spark')
+         |    AND p.doc_id IN (SELECT doc_id FROM cand)
+         |  GROUP BY p.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
     "ft_year_filter" ->
       """WITH links AS (
         |  SELECT doc_id, 'doc/' || doc_id ||

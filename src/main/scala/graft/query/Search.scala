@@ -62,8 +62,8 @@ object Search {
     * the ≤ k surviving rows (single tiny partition) with the SAME sort keys
     * — the two sorts must match exactly for ranks to be correct, which is
     * why this lives in one place. */
-  private def rankTopK(scored: DataFrame, k: Int, sort: Seq[org.apache.spark.sql.Column],
-                       offset: Int = 0): DataFrame =
+  private[query] def rankTopK(scored: DataFrame, k: Int, sort: Seq[org.apache.spark.sql.Column],
+                              offset: Int = 0): DataFrame =
     scored.orderBy(sort: _*).offset(offset).limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(sort: _*)) + offset)
 
@@ -92,6 +92,28 @@ object Search {
       .join(docStats, "doc_id")
       .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
       .groupBy("doc_id").agg(sum(col("term_score")).as("score"))
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Cursor ("search after") pagination: the next page = top-k of the
+    * candidates STRICTLY AFTER the cursor (score, doc_id) in the
+    * deterministic total order (score desc, doc_id asc). This is the deep-
+    * paging scale path: OFFSET p·k recomputes and discards p·k rows on
+    * every page (the classic collapse around page 10^4), while the cursor
+    * filter prunes candidates BEFORE the top-k heap, so page 10^4 costs
+    * the same as page 1. Because the total order is deterministic, the
+    * cursor page is provably identical to the offset page — ft_search_after
+    * hashes against exactly that statement (ranks offset+1..offset+k of the
+    * full ordering). The cursor score is the exact double collected from
+    * the previous page; scoring is deterministic, so the equality/strict
+    * comparison against the recomputed score is bit-safe. */
+  def bm25TopKAfter(postings: DataFrame, docStats: DataFrame,
+                    dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                    k: Int, afterScore: Double, afterDoc: Long): DataFrame = {
+    val scored = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
+      .filter(col("score") < afterScore ||
+        (col("score") === afterScore && col("doc_id") > afterDoc))
     rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
       .select(col("rank"), col("doc_id"), col("score"))
   }

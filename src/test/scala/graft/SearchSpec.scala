@@ -408,6 +408,66 @@ class SearchSpec extends AnyFunSuite {
     } finally { w.unpersist(); norms.unpersist(): Unit }
   }
 
+  test("search-after cursor page ≡ offset page for every multi-page query; pages chain") {
+    queries.foreach { case (qid, q) =>
+      val p = QueryFrontend.plan(tables.termStats, "en", q)
+      if (!p.isEmpty) {
+        val dfs = p.terms.map(t => t.term -> t.df).toMap
+        val page1 = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+            tables.nDocs, tables.avgDl, 5)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        if (page1.length == 5) {
+          val (_, cd, cs) = page1.maxBy(_._1)
+          val viaCursor = Search.bm25TopKAfter(tables.postings, tables.docStats, dfs,
+              tables.nDocs, tables.avgDl, 5, afterScore = cs, afterDoc = cd)
+            .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+          val viaOffset = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+              tables.nDocs, tables.avgDl, 5, offset = 5)
+            .collect().map(r => (r.getInt(0) - 5, r.getLong(1), r.getDouble(2))).toSeq
+          assert(viaCursor == viaOffset, s"$qid: cursor $viaCursor vs offset $viaOffset")
+        }
+      }
+    }
+  }
+
+  test("boolean tree: scalar set-algebra recompute; NOT excludes without scoring") {
+    import graft.query.BooleanQuery
+    import graft.query.BooleanQuery._
+    val tree = And(Seq(Or(Seq(Term("join"), Term("merge"))), Term("spark"), Not(Term("dup"))))
+    val dfs = Seq("join", "merge", "spark").map(t => t -> oracle.df(t)).toMap
+    // top-20 (deeper cuts reach last-ulp score near-ties whose order
+    // depends on float summation order — the 4dp-rounded oracle gate is
+    // the cross-engine contract; rank-identity is asserted where gaps are
+    // real, the same depth the BM25 rank tests use)
+    val got = BooleanQuery.topK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, tree, 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // scalar recompute: candidates by set algebra, score positive present
+    val docsOf = (t: String) => oracle.postingList(t).toSet
+    val cand = ((docsOf("join") union docsOf("merge")) intersect docsOf("spark")) diff docsOf("dup")
+    val want = cand.toSeq.map { id =>
+      val present = Seq("join", "merge", "spark").filter(t => oracle.tf.contains((id, t)))
+      id -> present.map(t =>
+        graft.query.Bm25.scoreS(oracle.tf((id, t)), oracle.df(t), oracle.dl(id),
+          oracle.nDocs, oracle.avgDl)).sum
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    got.zip(want).zipWithIndex.foreach { case (((rk, id, sc), (wid, wsc)), i) =>
+      assert(rk == i + 1 && id == wid, s"rank ${i + 1}: ($rk,$id) vs $wid")
+      assert(math.abs(sc - wsc) < 1e-9, s"score at ${i + 1}")
+    }
+    // the excluded docs really are gone
+    got.foreach { case (_, id, _) => assert(!docsOf("dup").contains(id)) }
+    // pure negation is rejected by construction
+    intercept[IllegalArgumentException] {
+      BooleanQuery.matches(tables.postings, And(Seq(Not(Term("join")))))
+    }
+    // single-term OR degenerates to the term's doc set
+    val orOne = BooleanQuery.matches(tables.postings, Or(Seq(Term("dup"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(orOne == docsOf("dup"))
+  }
+
   test("batched BM25: a repeated (query_id, term) row neither double-counts nor changes ranks") {
     import spark.implicits._
     val clean = Seq((1L, "join"), (1L, "spark")).toDF("query_id", "term")
