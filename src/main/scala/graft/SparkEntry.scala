@@ -600,6 +600,19 @@ object SparkEntry {
       graft.corpus.Crawl.frontier(
         graft.corpus.Crawl.syntheticEdges(c, t.nDocs), Seq(0L).toDF("doc_id"), maxDepth = 8)
     }),
+    // Recrawl delta: added/removed/changed/unchanged between two corpus
+    // versions by sha256 — hashes only cross the join, content never moves
+    "ft_recrawl_delta" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val old = c.select("doc_id", "content")
+      val kept = old.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("content", when(col("doc_id") % 13 === 0,
+          concat(col("content"), lit(" updated"))).otherwise(col("content")))
+      val added = old.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + t.nDocs).as("doc_id"),
+          concat(lit("new page "), col("doc_id").cast("string")).as("content"))
+      graft.corpus.Crawl.recrawlDelta(old, kept.unionByName(added))
+    }),
     // F4: HTTP-status gate (code <= 299, IndexingServiceImpl.java:135-137)
     // over a synthesized deterministic status column
     "ft_http_filter" -> ((s, dir) => {
@@ -1635,6 +1648,24 @@ object SparkEntry {
         |  SELECT doc_id, (CASE WHEN doc_id % 97 = 0 THEN 404 ELSE 200 END)::BIGINT AS code
         |  FROM documents)
         |WHERE code <= 299""".stripMargin,
+    "ft_recrawl_delta" ->
+      """WITH old AS (SELECT doc_id, text AS content FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |kept AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 13 = 0 THEN content || ' updated' ELSE content END AS content
+        |         FROM old WHERE doc_id % 17 <> 0),
+        |added AS (SELECT doc_id + (SELECT n FROM nn) AS doc_id,
+        |                 'new page ' || doc_id AS content
+        |          FROM old WHERE doc_id % 23 = 0),
+        |newv AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+        |a AS (SELECT doc_id, sha256(content) AS so FROM old),
+        |b AS (SELECT doc_id, sha256(content) AS sn FROM newv)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN so = sn THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
 
     // ===== training-data ops =====
     "dedup_exact" ->

@@ -71,6 +71,32 @@ object Crawl {
       .otherwise(y.between(nowYear - 1, nowYear + 1))
   }
 
+  /** Recrawl delta: classify every doc of two corpus VERSIONS as added /
+    * removed / changed / unchanged by content sha256 — the incremental-crawl
+    * primitive that decides the reindex work-list (the reference recrawls a
+    * page and delete+reindexes it unconditionally,
+    * IndexingServiceImpl.java:244-264; diffing first means unchanged pages
+    * cost a hash compare instead of a reindex). `added` + `changed` rows
+    * feed [[graft.index.IndexWriter.upsertBuckets]]; `removed` feeds
+    * deletes.
+    *
+    * Scale shape: ONE co-partitioned full-outer join on doc_id carrying
+    * 32-byte hashes only — content never crosses the shuffle, so the delta
+    * costs O(|old| + |new|) hash+join regardless of document sizes, and the
+    * hash columns prune to nothing when both sides persist their sha256
+    * column (fromDocuments already carries it). */
+  def recrawlDelta(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val a = oldCorpus.select(col("doc_id"), sha2(col("content"), 256).as("_sha_old"))
+    val b = newCorpus.select(col("doc_id"), sha2(col("content"), 256).as("_sha_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("_sha_old").isNull, lit("added"))
+          .when(col("_sha_new").isNull, lit("removed"))
+          .when(col("_sha_old") === col("_sha_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** deterministic synthetic link graph over the corpus doc ids (no
     * external data): every doc links to (2i+1) mod N and (3i+7) mod N —
     * branching 2 with cycles, like a real site graph. */

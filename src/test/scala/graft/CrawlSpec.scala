@@ -65,6 +65,26 @@ class CrawlSpec extends AnyFunSuite {
     cases.foreach { case (l, want) => assert(got(l) == want, s"link=$l") }
   }
 
+  test("recrawlDelta classifies added/removed/changed/unchanged by content hash") {
+    val old = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "content")
+    val neu = Seq((0L, "alpha"),            // unchanged
+                  (1L, "beta v2"),          // changed
+                                            // 2 removed
+                  (3L, "delta"),            // unchanged
+                  (9L, "epsilon"))          // added
+      .toDF("doc_id", "content")
+    val got = Crawl.recrawlDelta(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed",
+      3L -> "unchanged", 9L -> "added"))
+    // identical versions -> all unchanged (idempotent recrawl costs nothing)
+    val same = Crawl.recrawlDelta(old, old).collect().map(_.getString(1)).toSet
+    assert(same == Set("unchanged"))
+    // the join carries hashes only: no content column survives the plan's output
+    assert(Crawl.recrawlDelta(old, neu).columns.toSeq == Seq("doc_id", "status"))
+  }
+
   test("multiple seeds crawl in one pass; shared descendants get the min depth") {
     val edges = Seq((0L, 5L), (9L, 5L), (5L, 6L)).toDF("src", "dst")
     // duplicate seed must not duplicate output rows
