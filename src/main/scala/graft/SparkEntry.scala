@@ -319,6 +319,7 @@ object SparkEntry {
       graft.stats.Stats.persistRepoTermStats(
         InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), tableDir)
       QueryFrontend.persistKgrams(t.termStats, tableDir)
+      graft.ann.Quantize.persist(s.read.parquet(s"$dir/embeddings.parquet"), 64, tableDir)
       tableDir
     })
 
@@ -935,6 +936,18 @@ object SparkEntry {
       val p = graft.ann.Quantize.sqTrain(emb, 64)
       graft.ann.Quantize.sqRerankTopK(emb,
           graft.ann.Quantize.sqEncode(emb, p), Ann.fixedQueries(s, emb, 5), p, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
+    // SQ8 COLD: the persisted codes+params aux artifacts serve the same
+    // ADC top-5 — write → manifest-lineaged read is provably lossless
+    // (same oracle as ann_sq8_topk)
+    "ann_sq8_persisted" -> ((s, dir) => {
+      val td = persistedAux(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.ann.Quantize.readParams(s, td)
+      graft.ann.Quantize.sqTopK(
+          graft.ann.Quantize.readCodes(s, td), Ann.fixedQueries(s, emb, 5), p, 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
@@ -1726,6 +1739,9 @@ object SparkEntry {
          |WHERE cos >= 0.4""".stripMargin,
     "ann_topk" -> annBfSql,
     "ann_sq8_topk" -> annSq8Sql,
+    // deliberately the SAME twin: the persisted artifact must be
+    // indistinguishable from the in-memory encode
+    "ann_sq8_persisted" -> annSq8Sql,
     "ann_sq8_rerank" -> annSq8RerankSql,
     // recall@k harness: LEFT JOIN the exact top-k against the approximate
     // top-k (both full nested-WITH twins) — integer hits, exact recall

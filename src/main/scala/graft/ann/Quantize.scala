@@ -96,6 +96,34 @@ object Quantize {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Persist the SQ8 artifact beside a committed index snapshot: the codes
+    * relation plus a 1-row params relation, both manifest-lineaged aux
+    * artifacts ([[graft.index.IndexWriter.writeAux]]) — decommitted by any
+    * postings mutation like every derived artifact, so a cold reader can
+    * never score against params or codes trained on a different corpus
+    * version. Returns the trained params (idempotent: a committed artifact
+    * is not rewritten; training is deterministic, so re-derived params
+    * equal the committed ones). */
+  def persist(emb: DataFrame, dim: Int, tableDir: String): SqParams = {
+    val p = sqTrain(emb, dim)
+    graft.index.IndexWriter.writeAux(sqEncode(emb, p), tableDir, "sq8_codes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.index.IndexWriter.writeAux(
+      Seq((p.lo.toSeq, p.step.toSeq)).toDF("lo", "step"), tableDir, "sq8_params")
+    p
+  }
+
+  /** cold-read the persisted affine params (fails fast when decommitted) */
+  def readParams(spark: org.apache.spark.sql.SparkSession, tableDir: String): SqParams = {
+    val r = graft.index.IndexWriter.readAux(spark, tableDir, "sq8_params").head()
+    SqParams(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+  }
+
+  /** cold-read the persisted codes relation */
+  def readCodes(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    graft.index.IndexWriter.readAux(spark, tableDir, "sq8_codes")
+
   /** Two-stage search: SQ8 ADC scan selects `rf·k` candidates per query,
     * the raw embedding table rescores ONLY those candidates with exact
     * cosine, top-k of the rescored set. Exact whenever the true top-k

@@ -70,6 +70,30 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted codes+params round-trip: cold read serves identical top-k, schema kept") {
+    import graft.index.{IndexWriter, InvertedIndex}
+    import graft.corpus.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus)
+    IndexWriter.write(
+      IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl), dir, snapshotId = 1L)
+    val pw = Quantize.persist(emb, 64, dir)
+    assert(pw.lo.sameElements(params.lo) && pw.step.sameElements(params.step))
+    val pr = Quantize.readParams(spark, dir)
+    assert(pr.lo.sameElements(params.lo) && pr.step.sameElements(params.step))
+    val cold = Quantize.readCodes(spark, dir)
+    assert(cold.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType, "tinyint codes must survive parquet")
+    val q = Ann.fixedQueries(spark, emb, 5)
+    val hot = Quantize.sqTopK(codes, q, params, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaCold = Quantize.sqTopK(cold, q, pr, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaCold == hot)
+  }
+
   test("plan contracts: encode is map-only; rerank pushes the candidate isin") {
     val encPlan = codes.queryExecution.executedPlan.toString
     assert(!encPlan.contains("Exchange"), s"sqEncode must not shuffle:\n$encPlan")
