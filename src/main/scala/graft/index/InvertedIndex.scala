@@ -85,6 +85,22 @@ object InvertedIndex {
     tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Approximate df via HyperLogLog++ (Heule et al. 2013; Spark's
+    * `approx_count_distinct`) — the sketch path for term statistics when
+    * exact distinct state is the bottleneck: at 10^12 docs the exact df
+    * needs the full (term, doc) pre-distinct shuffle, while the sketch
+    * holds a FIXED-size register set per term that merges associatively —
+    * so it also composes with streaming/incremental maintenance, where
+    * exact df needs the whole signed-delta machinery
+    * (IncrementalIndex.termStats) and a sketch just unions. `rsd` is the
+    * target relative standard deviation (Spark default 0.05). Approximate
+    * values are engine-specific (register hashing differs per
+    * implementation), so this is deliberately NOT oracle-gated — IndexSpec
+    * bounds its relative error against the exact df instead. */
+  def termStatsApprox(tokens: DataFrame, rsd: Double = 0.05): DataFrame =
+    tokens.groupBy("term")
+      .agg(approx_count_distinct(col("doc_id"), rsd).as("df_approx"))
+
   /** df scoped per repo — the reference's per-site lemma table key
     * (site FK on `lemma`, model/Lemma.java:24-27). */
   def termStatsByRepo(tokens: DataFrame): DataFrame =

@@ -99,6 +99,25 @@ class IndexSpec extends AnyFunSuite {
     assert(dlMismatch == 0)
   }
 
+  test("approximate df sketch: bounded relative error vs exact on sf0.001") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val toks = InvertedIndex.tokens(corpus)
+    val joined = InvertedIndex.termStatsApprox(toks, rsd = 0.05)
+      .join(InvertedIndex.termStats(toks), "term")
+      .select(col("term"), col("df_approx"), col("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(joined.nonEmpty)
+    val relErr = joined.map { case (_, a, e) => math.abs(a - e).toDouble / e }
+    // rsd = 0.05: every term within 15% (3σ), mean within 5%
+    val worst = joined.maxBy { case (_, a, e) => math.abs(a - e).toDouble / e }
+    assert(relErr.max <= 0.15, s"worst term $worst")
+    assert(relErr.sum / relErr.length <= 0.05, s"mean ${relErr.sum / relErr.length}")
+    // small-cardinality exactness: df <= ~100 uses the exact HLL++ sparse path
+    joined.filter(_._3 <= 100L).foreach { case (t, a, e) =>
+      assert(a == e, s"small-df term $t: approx $a vs exact $e")
+    }
+  }
+
   test("lexicon-enabled tokens: 1->N normal-form expansion in the engine path (T4)") {
     import spark.implicits._
     val lex: graft.analyze.Analyzer.Lexicon =
