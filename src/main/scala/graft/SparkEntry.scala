@@ -461,6 +461,19 @@ object SparkEntry {
       Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, k = 10, offset = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Phrase-boosted ranking: BM25 + β·ln(1+phrase_tf) — exact-phrase docs
+    // outrank bag-of-words matches at equal BM25 (boost promotes, never
+    // excludes); the boost side rides the biword-fast-path relation
+    "ft_phrase_boost" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val ph = graft.index.Positional.biwordPhrase(
+        graft.index.Positional.biwordPostings(c), q2(0), q2(1))
+      Search.bm25PhraseBoost(t.postings, t.docStats, dfs, t.nDocs, t.avgDl,
+          ph, k = 10, beta = 0.5)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // Cursor (search-after) pagination: page 2 via a strict-after filter on
     // the page-1 cursor — the deep-paging scale path; provably identical to
     // the offset page under the deterministic total order (shared ranking)
@@ -1169,6 +1182,31 @@ object SparkEntry {
     },
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
       .replace("WHERE rank <= 20", "WHERE rank > 10 AND rank <= 20"),
+    "ft_phrase_boost" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val shifts = q2.zipWithIndex.map { case (t, i) =>
+        s"SELECT doc_id, pos - $i AS start FROM tp WHERE term = '$t'"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |${tokArrCte},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |m AS ($shifts),
+         |hits AS (SELECT doc_id, start FROM m GROUP BY doc_id, start HAVING count(*) = ${q2.size}),
+         |ph AS (SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM hits GROUP BY doc_id),
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id),
+         |b AS (SELECT sc.doc_id,
+         |        sc.score + 0.5 * ln(1.0 + coalesce(ph.phrase_tf, 0)) AS score
+         |      FROM scored sc LEFT JOIN ph USING (doc_id)
+         |      WHERE sc.n_terms = ${q2.size})
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r FROM b)
+         |WHERE rank <= 10""".stripMargin
+    },
     // cursor page 2 ≡ offset page 2 under the deterministic total order —
     // the twin STATES the equality the cursor plan must reproduce
     "ft_search_after" -> bm25TopKSql(q2, 20)

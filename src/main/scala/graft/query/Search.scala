@@ -96,6 +96,29 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Phrase-proximity boosted BM25: score′ = BM25 + β·ln(1 + phrase_tf) —
+    * the standard exact-phrase bonus (documents containing the query AS A
+    * PHRASE outrank bag-of-words matches at equal BM25; Metzler & Croft
+    * 2005's sequential-dependence idea reduced to its exact-ordered term).
+    * `phraseTf` is the (doc_id, phrase_tf) relation from
+    * [[graft.index.Positional.phraseMatches]] — or the biword probe for
+    * 2-term queries, which is the cheap path. LEFT join: docs matching only
+    * as bags keep their BM25 (ln(1+0) = 0), so the boost can only promote,
+    * never exclude. Scale shape: the boost join touches the CONJUNCTIVE
+    * candidate set against a phrase relation that is itself term-filtered —
+    * both sides tiny relative to the postings; one extra co-partitioned
+    * join, no new postings pass. */
+  def bm25PhraseBoost(postings: DataFrame, docStats: DataFrame,
+                      dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                      phraseTf: DataFrame, k: Int, beta: Double = 0.5): DataFrame = {
+    val boosted = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
+      .join(phraseTf, Seq("doc_id"), "left")
+      .withColumn("score", col("score") +
+        lit(beta) * log(lit(1.0) + coalesce(col("phrase_tf"), lit(0L)).cast("double")))
+    rankTopK(boosted, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Cursor ("search after") pagination: the next page = top-k of the
     * candidates STRICTLY AFTER the cursor (score, doc_id) in the
     * deterministic total order (score desc, doc_id asc). This is the deep-

@@ -430,6 +430,36 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase boost: β=0 ≡ pure BM25; scores decompose as bm25 + β·ln(1+phrase_tf)") {
+    import graft.index.Positional
+    val q = Seq("join", "spark")
+    val dfs = QueryFrontend.lookupDf(tables.termStats, q.toSet)
+    val ph = Positional.phraseMatches(Positional.tokenPositions(corpus), q)
+    val phMap = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 100000)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // β = 0: identical ranking and scores
+    val zero = Search.bm25PhraseBoost(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, ph, k = 10, beta = 0.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pure = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(zero == pure)
+    // β = 0.5: every returned score decomposes exactly
+    val boosted = Search.bm25PhraseBoost(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, ph, k = 50, beta = 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(boosted.nonEmpty)
+    boosted.foreach { case (id, s) =>
+      val want = base(id) + 0.5 * math.log(1.0 + phMap.getOrElse(id, 0L).toDouble)
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    // at least one phrase doc exists and got a strictly positive bonus
+    assert(boosted.exists { case (id, _) => phMap.contains(id) })
+  }
+
   test("boolean tree: scalar set-algebra recompute; NOT excludes without scoring") {
     import graft.query.BooleanQuery
     import graft.query.BooleanQuery._
