@@ -331,6 +331,56 @@ object IndexWriter {
     m
   }
 
+  /** Merge two INDEPENDENTLY BUILT committed indexes into a third without
+    * re-encoding posting bodies — the parallel-build-then-merge shape of a
+    * distributed index build: a global stats pass fixes (nDocs, avgDl)
+    * first, disjoint corpus partitions encode in parallel against those
+    * frozen stats (the same frozen-stats contract `upsertBuckets` uses),
+    * and the merge concatenates blobs per (term, shard) in ascending docId
+    * order — `PostingCodec.concat` is an O(bytes) copy with delta rebase,
+    * never a decode.
+    *
+    * Requirements, both enforced:
+    *  - both sides encoded under the SAME avgDl (`_meta.json` equality) —
+    *    the float32 block-max BM25 bounds baked into the blobs are upper
+    *    bounds only under the avgDl they were computed with, and a merge
+    *    must not silently invalidate WAND's pruning certificate;
+    *  - ascending docId ranges A-then-B within any shared (term, shard)
+    *    group (disjoint corpus partitions; concat's own require trips
+    *    otherwise).
+    *
+    * Scale note: only the BOUNDARY shard of each corpus partition can
+    * appear on both sides (shard = docId / docsPerShard, ranges disjoint),
+    * so all but O(#terms) groups are single-element pass-throughs; the
+    * groupByKey shuffle is dominated by the destination write that follows
+    * it either way. Merged meta: nDocs = nA + nB, avgDl = the shared
+    * frozen value. */
+  def mergeIndexes(spark: SparkSession, dirA: String, dirB: String,
+                   dstDir: String, snapshotId: Long,
+                   cfg: Config = Config()): TableIO.Manifest = {
+    import spark.implicits._
+    val ma = TableIO.readMeta(dirA).getOrElse(sys.error(s"no _meta.json at $dirA"))
+    val mb = TableIO.readMeta(dirB).getOrElse(sys.error(s"no _meta.json at $dirB"))
+    require(ma.avgDl == mb.avgDl,
+      "mergeIndexes requires both sides encoded under the SAME frozen avgDl " +
+        s"(block-max bounds are avgDl-specific): ${ma.avgDl} vs ${mb.avgDl}")
+    def readAll(d: String, side: Int) = spark.read.parquet(s"$d/data")
+      .select("term", "shard", "bucket", "numDocs", "maxTfNorm", "bytes")
+      .as[ShardPosting].map(sp => (sp, side))
+    val merged = readAll(dirA, 0).union(readAll(dirB, 1))
+      .groupByKey { case (sp, _) => (sp.term, sp.shard) }
+      .mapGroups { (key: (String, Int), it: Iterator[(ShardPosting, Int)]) =>
+        val runs = it.toArray.sortBy(_._2).map(_._1)
+        if (runs.length == 1) runs(0)
+        else ShardPosting(key._1, key._2, runs(0).bucket,
+          runs.map(_.numDocs).sum, runs.map(_.maxTfNorm).max,
+          PostingCodec.concat(runs.map(_.bytes).toSeq))
+      }
+    val m = write(merged, dstDir, snapshotId, cfg, resume = false)
+    TableIO.writeMeta(dstDir, TableIO.IndexMeta(ma.nDocs + mb.nDocs, ma.avgDl))
+    m
+  }
+
   /** Cold-read a committed aux artifact. Fails fast when `name` has no
     * lineage row in the current manifest (never written, or decommitted by
     * a postings mutation) — stale candidate sets must not serve queries. */

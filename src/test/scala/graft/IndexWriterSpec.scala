@@ -202,6 +202,60 @@ class IndexWriterSpec extends AnyFunSuite {
     assert(graft.io.TableIO.readCurrent(dir).get.snapshotId == 3L)
   }
 
+  test("mergeIndexes: two half-corpus indexes merge blob-wise ≡ from-scratch full index") {
+    import graft.query.{Bm25, QueryFrontend, Wand}
+    val mcfg = IndexWriter.Config(docsPerShard = 128, nBuckets = 16)
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001").cache()
+    val t = InvertedIndex.build(corpus)
+    // distributed-build contract: GLOBAL stats first, partitions encode
+    // against them. Split at half the corpus — NOT shard-aligned (250 %
+    // 128 != 0), so shard 1 exists on both sides and exercises the concat
+    // path while shards 0/2/3 pass through.
+    val half = t.nDocs / 2
+    val (dirA, dirB, dirM, dirF) = (tmpDir(), tmpDir(), tmpDir(), tmpDir())
+    def buildSide(dir: String, pred: org.apache.spark.sql.Column, n: Long): Unit = {
+      val p = t.postings.filter(pred)
+      val d = t.docStats.filter(pred)
+      IndexWriter.write(IndexWriter.shardPostings(p, d, t.avgDl, mcfg), dir, 1L, mcfg)
+      TableIO.writeMeta(dir, TableIO.IndexMeta(n, t.avgDl))
+    }
+    buildSide(dirA, col("doc_id") < half, half)
+    buildSide(dirB, col("doc_id") >= half, t.nDocs - half)
+    IndexWriter.mergeIndexes(spark, dirA, dirB, dirM, snapshotId = 2L, mcfg)
+    IndexWriter.write(
+      IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, mcfg), dirF, 1L, mcfg)
+    TableIO.writeMeta(dirF, TableIO.IndexMeta(t.nDocs, t.avgDl))
+    // merged meta carries the summed corpus size and the shared avgDl
+    assert(TableIO.readMeta(dirM).get == TableIO.IndexMeta(t.nDocs, t.avgDl))
+    // decoded postings identical per (term, shard) — block layout may
+    // differ (concat keeps each side's blocks), decoded content must not
+    def decoded(dir: String): Map[(String, Int), Seq[(Long, Int, Int)]] =
+      spark.read.parquet(s"$dir/data")
+        .select("term", "shard", "bytes").collect()
+        .map { r =>
+          val posts = new graft.index.PostingCodec.Decoded(r.getAs[Array[Byte]](2)).decodeAll()
+          (r.getString(0), r.getInt(1)) -> posts.map(p => (p.docId, p.tf, p.dl)).toSeq
+        }.toMap
+    val (dm, df2) = (decoded(dirM), decoded(dirF))
+    assert(dm.keySet == df2.keySet)
+    dm.foreach { case (k, v) => assert(v == df2(k), s"postings diverge at $k") }
+    // query equality: WAND top-10 rank+score identical through both indexes
+    val q = Seq("join", "spark")
+    val dfs = QueryFrontend.lookupDf(t.termStats, q.toSet)
+    def wandTop(dir: String) = {
+      val meta = TableIO.readMeta(dir).get
+      val idfs = dfs.map { case (k2, v) => k2 -> Bm25.idfS(v, meta.nDocs) }
+      Wand.topK(IndexWriter.readForTerms(spark, dir, q, mcfg), idfs, meta.avgDl, 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    assert(wandTop(dirM) == wandTop(dirF))
+    // avgDl mismatch is refused (stale block-max bounds must not serve)
+    TableIO.writeMeta(dirB, TableIO.IndexMeta(t.nDocs - half, t.avgDl + 1.0))
+    intercept[IllegalArgumentException] {
+      IndexWriter.mergeIndexes(spark, dirA, dirB, tmpDir(), 3L, mcfg)
+    }
+  }
+
   // ---- aux artifacts (champion lists, per-repo term stats) ---------------
 
   def buildIndexed(): (String, InvertedIndex.Tables) = {
