@@ -134,6 +134,24 @@ object TableIO {
     if (Files.exists(p)) Some(parse(Files.readString(p))) else None
   }
 
+  /** Expire old snapshot metadata (Iceberg `expire_snapshots` analog):
+    * keep the newest `keep` snapshot files — always including the one the
+    * current manifest points to — and delete older ones. Data files are
+    * NOT touched: mutations rewrite bucket dirs in place, so non-current
+    * snapshot manifests are metadata-only history whose data is already
+    * superseded; expiry bounds the metadata file count on a long-lived
+    * table (one JSON per commit otherwise accumulates forever). Returns
+    * the expired snapshot ids. */
+  def expireSnapshots(tableDir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least one snapshot")
+    val current = readCurrent(tableDir).map(_.snapshotId)
+    val all = listSnapshots(tableDir) // ascending
+    val keepSet = all.takeRight(keep).toSet ++ current
+    val expired = all.filterNot(keepSet)
+    expired.foreach(id => Files.deleteIfExists(snapshotPath(tableDir, id)))
+    expired
+  }
+
   /** Corpus-level scoring constants the index was encoded with — needed to
     * score queries in a later session (BM25 avgdl must match the block-max
     * metadata baked into the posting bytes). */

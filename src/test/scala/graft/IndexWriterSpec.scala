@@ -256,6 +256,23 @@ class IndexWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("expireSnapshots keeps the newest K and the current pointer; current survives keep=1") {
+    val dir = tmpDir()
+    (1L to 5L).foreach { id =>
+      TableIO.commit(dir, TableIO.Manifest(id, if (id == 1) None else Some(id - 1), Nil))
+    }
+    assert(TableIO.listSnapshots(dir) == Seq(1L, 2L, 3L, 4L, 5L))
+    val expired = TableIO.expireSnapshots(dir, keep = 2)
+    assert(expired == Seq(1L, 2L, 3L))
+    assert(TableIO.listSnapshots(dir) == Seq(4L, 5L))
+    // current manifest still reads, and its snapshot file survives keep=1
+    assert(TableIO.readCurrent(dir).get.snapshotId == 5L)
+    assert(TableIO.expireSnapshots(dir, keep = 1) == Seq(4L))
+    assert(TableIO.readSnapshot(dir, 5L).isDefined)
+    // idempotent on an already-expired table
+    assert(TableIO.expireSnapshots(dir, keep = 1).isEmpty)
+  }
+
   // ---- aux artifacts (champion lists, per-repo term stats) ---------------
 
   def buildIndexed(): (String, InvertedIndex.Tables) = {
