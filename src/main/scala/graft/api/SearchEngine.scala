@@ -3,7 +3,7 @@ package graft.api
 import graft.analyze.{Analyzer, Html}
 import graft.index.{IndexWriter, InvertedIndex}
 import graft.io.TableIO
-import graft.query.{QueryFrontend, Search}
+import graft.query.{BooleanQuery, QueryFrontend, Search}
 import graft.stats.Stats
 import graft.streaming.IncrementalIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -407,6 +407,88 @@ class SearchEngine(spark: SparkSession, initialCorpus: DataFrame,
     val resp = doSearch(query, site, offset, limit, lang)
     cache.put(key, (now, resp))
     resp
+  }
+
+  /** Cursor (search-after) deep paging — beyond the reference's offset
+    * pager: the page strictly AFTER the (relevance, docId) cursor of the
+    * previous page in the deterministic total order (score desc, docId
+    * asc), so page 10^4 costs what page 1 costs
+    * ([[graft.query.Search.bm25TopKAfter]]). The cursor is the last item
+    * of the previous page: its `relevance` and its docId (the numeric
+    * tail of `uri` = "doc/<id>"). Serves the pure-BM25 DataFrame path;
+    * prior-blended rankings keep paging by offset (a cursor there would
+    * need the blended score as its key). `count` carries the total match
+    * count, as in [[search]]. */
+  def searchAfter(query: String, afterScore: Double, afterDoc: Long,
+                  limit: Int = 20, lang: String = "en"): SearchResponse = {
+    require(indexed, "index not built")
+    val (corpus, t) = synchronized { (this.corpus, tables) }
+    val lex = lexicons.getOrElse(lang, Analyzer.emptyLexicon)
+    if (Analyzer.queryTerms(lang, query, lex).isEmpty)
+      return SearchResponse(result = false, 0, Nil, "Empty search query")
+    val plan = QueryFrontend.plan(t.termStats, lang, query, lex)
+    if (plan.missing.nonEmpty)
+      return SearchResponse(result = false, 0, Nil,
+        s"No data for words: ${plan.missing.mkString(", ")}, ")
+    if (plan.isEmpty) return SearchResponse(result = true, 0, Nil, null)
+    val kept = plan.terms.map(_.term)
+    val dfs = plan.terms.map(pt => pt.term -> pt.df).toMap
+    val total = Search.conjunctive(t.postings, kept).count()
+    val top = Search.bm25TopKAfter(t.postings, t.docStats, dfs, t.nDocs,
+      t.avgDl, limit, afterScore, afterDoc)
+    val items = Search.decorate(corpus, top, dfs.keySet).collect().map { r =>
+      SearchItem(r.getAs[String]("repo"), r.getAs[String]("repo"),
+        r.getAs[String]("path"), r.getAs[String]("title"),
+        r.getAs[String]("snippet"), r.getAs[Double]("score"))
+    }
+    SearchResponse(result = true, total, items.toSeq, null)
+  }
+
+  /** Boolean-tree search (AND/OR/NOT, [[graft.query.BooleanQuery]]) —
+    * beyond the reference's conjunctive-only search. Every Term leaf is
+    * analyzed through the SAME per-lang lexicon as the index; a 1→N leaf
+    * becomes an OR of its normal forms — including under NOT, where the
+    * expansion correctly WIDENS the exclusion. The tree filters, positive
+    * leaves score by BM25; `count` = full candidate-set size. */
+  def searchBoolean(tree: BooleanQuery.Node, limit: Int = 20,
+                    lang: String = "en"): SearchResponse = {
+    require(indexed, "index not built")
+    val (corpus, t) = synchronized { (this.corpus, tables) }
+    val lex = lexicons.getOrElse(lang, Analyzer.emptyLexicon)
+    def leaves(n: BooleanQuery.Node): Seq[String] = n match {
+      case BooleanQuery.Term(s) => Seq(s)
+      case BooleanQuery.And(qs) => qs.flatMap(leaves)
+      case BooleanQuery.Or(qs)  => qs.flatMap(leaves)
+      case BooleanQuery.Not(q)  => leaves(q)
+    }
+    if (leaves(tree).exists(s => Analyzer.queryTerms(lang, s, lex).isEmpty))
+      return SearchResponse(result = false, 0, Nil, "Empty search query")
+    def analyzed(n: BooleanQuery.Node): BooleanQuery.Node = n match {
+      case BooleanQuery.Term(s) =>
+        Analyzer.queryTerms(lang, s, lex).toSeq.sorted match {
+          case Seq(one) => BooleanQuery.Term(one)
+          case many     => BooleanQuery.Or(many.map(BooleanQuery.Term))
+        }
+      case BooleanQuery.And(qs) => BooleanQuery.And(qs.map(analyzed))
+      case BooleanQuery.Or(qs)  => BooleanQuery.Or(qs.map(analyzed))
+      case BooleanQuery.Not(q)  => BooleanQuery.Not(analyzed(q))
+    }
+    val q = analyzed(tree)
+    val pos = BooleanQuery.positiveTerms(q).toSeq.sorted
+    val dfs = QueryFrontend.lookupDf(t.termStats, pos.toSet)
+    val missing = pos.filterNot(dfs.contains)
+    if (missing.nonEmpty)
+      return SearchResponse(result = false, 0, Nil,
+        s"No data for words: ${missing.mkString(", ")}, ")
+    val total = BooleanQuery.matches(t.postings, q).count()
+    if (total == 0) return SearchResponse(result = true, 0, Nil, null)
+    val top = BooleanQuery.topK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, q, limit)
+    val items = Search.decorate(corpus, top, dfs.keySet).collect().map { r =>
+      SearchItem(r.getAs[String]("repo"), r.getAs[String]("repo"),
+        r.getAs[String]("path"), r.getAs[String]("title"),
+        r.getAs[String]("snippet"), r.getAs[Double]("score"))
+    }
+    SearchResponse(result = true, total, items.toSeq, null)
   }
 
   private def doSearch(query: String, site: Option[String],

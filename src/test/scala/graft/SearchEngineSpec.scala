@@ -52,6 +52,35 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(past.data.head.uri == all.data.last.uri)
   }
 
+  test("searchAfter: cursor page ≡ offset page; count stays the total") {
+    val p1 = engine.search("spark join", limit = 5)
+    assert(p1.result && p1.data.length == 5)
+    val cursor = p1.data.last
+    val docId = cursor.uri.stripPrefix("doc/").toLong
+    val p2 = engine.searchAfter("spark join", cursor.relevance, docId, limit = 5)
+    val off = engine.search("spark join", offset = 5, limit = 5)
+    assert(p2.result)
+    assert(p2.data.map(_.uri) == off.data.map(_.uri),
+      s"cursor ${p2.data.map(_.uri)} vs offset ${off.data.map(_.uri)}")
+    assert(p2.count == p1.count)
+    // error payloads mirror search()
+    assert(!engine.searchAfter("the a", 1.0, 0L).result)
+    assert(!engine.searchAfter("spark warpdrive", 1.0, 0L).result)
+  }
+
+  test("searchBoolean: NOT excludes through the facade; missing positive term errors") {
+    import graft.query.BooleanQuery._
+    val r = engine.searchBoolean(And(Seq(Term("spark"), Not(Term("dup")))), limit = 10)
+    assert(r.result && r.data.nonEmpty)
+    val dupUris = engine.search("dup", limit = 1000).data.map(_.uri).toSet
+    assert(dupUris.nonEmpty)
+    assert(r.data.forall(i => !dupUris.contains(i.uri)), "an excluded doc leaked through NOT")
+    // count is the full candidate-set size, not the page size
+    assert(r.count >= r.data.length)
+    val bad = engine.searchBoolean(And(Seq(Term("spark"), Term("warpdrive"))))
+    assert(!bad.result && bad.error.contains("warpdrive"))
+  }
+
   test("result cache: repeated query within TTL returns the same object") {
     val a = engine.search("hash", limit = 3)
     val b = engine.search("hash", limit = 3)
