@@ -433,6 +433,15 @@ object SparkEntry {
       Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Dirichlet query-likelihood top-k (Zhai & Lafferty) — the LM-smoothing
+    // alternative to BM25, disjunctive candidates with full-QL semantics
+    "ft_lm_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val cfs = graft.query.Lm.lookupCf(t.postings, q2.toSet)
+      val total = t.docStats.agg(sum("dl")).head.getLong(0)
+      graft.query.Lm.qlTopK(t.postings, t.docStats, cfs, total, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
     // F1: path-validity filter (reference validUrl: reject media/binary
     // extensions and fragment links, IndexingServiceImpl.java:239-243)
     "ft_valid_paths" -> ((s, dir) => {
@@ -1146,6 +1155,22 @@ object SparkEntry {
          |  FROM cand
          |) WHERE rank <= 10""".stripMargin,
     "ft_bm25_topk" -> bm25TopKSql(q2, 10),
+    // Dirichlet QL twin — SAME matched-only decomposition, same operation
+    // order: ln(1 + tf/(μ·(cf/|C|))) summed per doc, + Σln(μ·p_t) − |q|·ln(dl+μ)
+    "ft_lm_topk" ->
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${qCte(q2)},
+         |tot AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+         |qcf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post JOIN q USING (term) GROUP BY term),
+         |qc AS (SELECT sum(ln(2000.0 * (cf / c))) AS qconst, count(*)::DOUBLE AS nq FROM qcf, tot),
+         |sd AS (SELECT p.doc_id, sum(ln(1.0 + p.tf / (2000.0 * (f.cf / t.c)))) AS sdelta
+         |       FROM post p JOIN qcf f USING (term), tot t GROUP BY p.doc_id),
+         |scored AS (SELECT sd.doc_id, sd.sdelta + qc.qconst - qc.nq * ln(d.dl + 2000.0) AS score
+         |           FROM sd JOIN ds d USING (doc_id), qc)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r
+         |  FROM scored
+         |) WHERE rank <= 10""".stripMargin,
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
     "ft_bm25_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),

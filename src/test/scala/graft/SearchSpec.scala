@@ -61,6 +61,37 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("Dirichlet QL top-10 == scalar recompute (disjunctive, zero-tf via the constant)") {
+    import graft.query.Lm
+    val totalTokens = oracle.dl.values.sum
+    Seq("q_2term" -> Seq("join", "spark"), "q_rare_hot" -> Seq("dup", "spark"),
+        "q_hot" -> Seq("scan")).foreach { case (qid, terms) =>
+      // scalar side, from the oracle's exact tf/dl maps
+      val tfByDoc: Map[Long, Map[String, Long]] = tables.postings
+        .filter(col("term").isin(terms.map(x => x: Any): _*))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("tf")))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.map(x => x._2 -> x._3).toMap }
+      val cfs = terms.map(t => t -> tfByDoc.valuesIterator.map(_.getOrElse(t, 0L)).sum).toMap
+      val want = tfByDoc.toSeq
+        .map { case (d, tfs) => (d, Lm.scoreS(tfs, oracle.dl(d), cfs, totalTokens)) }
+        .sortBy { case (d, s) => (-s, d) }.take(10)
+      val got = Lm.qlTopK(tables.postings, tables.docStats, cfs, totalTokens, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == want.length, s"$qid size")
+      got.zip(want).zipWithIndex.foreach { case (((rk, id, sc), (wd, ws)), i) =>
+        assert(rk == i + 1, s"$qid rank at $i")
+        assert(id == wd, s"$qid docId at rank ${i + 1}: got $id want $wd")
+        assert(math.abs(sc - ws) < 1e-9, s"$qid score at rank ${i + 1}: $sc vs $ws")
+      }
+      // QL semantics: a doc matching ONE hot term can still rank — candidates
+      // are disjunctive (unlike bm25TopK's conjunction)
+      if (terms.size > 1) {
+        val partial = tfByDoc.filter(_._2.size < terms.size)
+        assert(partial.nonEmpty, s"$qid: fixture has no partial-match docs")
+      }
+    }
+  }
+
   test("Σtf parity scoring matches oracle ordering (int cast)") {
     val p = QueryFrontend.plan(tables.termStats, "en", "join spark")
     val got = Search.sumTfTopK(tables.postings, p.terms.map(_.term), 10)
