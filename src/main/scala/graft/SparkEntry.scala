@@ -798,6 +798,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 4).as("score_r"))
     }),
+    // Ranking-eval harness: nDCG@10 + MAP@10 of the batched BM25 ranking
+    // against Σtf-graded synthetic qrels — the text twin of ann_recall
+    "ft_eval_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val qs = batchQ.toDF("query_id", "term")
+      val ranking = Search.bm25TopKBatch(t.postings, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10).select("query_id", "rank", "doc_id")
+      val qrels = graft.query.Eval.sumTfQrels(t.postings, qs)
+      graft.query.Eval.rankingMetrics(ranking, qrels, k = 10)
+        .select(col("query_id"), round(col("ndcg"), 4).as("ndcg_r"),
+          round(col("ap"), 4).as("ap_r"))
+    }),
     // Reverse search / percolation: every stored query matched against the
     // corpus in ONE postings pass (the alerting primitive)
     "ft_percolate" -> ((s, dir) => {
@@ -1609,6 +1622,60 @@ object SparkEntry {
          |         s.doc_id, round(s.score, 4) AS score_r
          |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
          |) WHERE rank <= 10""".stripMargin
+    },
+    // nDCG@10 + MAP@10 twin: identical gain formula ((2^grade − 1)/ln(rank+1),
+    // base cancels in the ratio), identical ideal-tie order (grade desc,
+    // doc_id asc), AP denominator = |relevant| in the FULL qrels
+    "ft_eval_metrics" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY q.query_id, p.doc_id),
+         |ranking AS (SELECT query_id, rank, doc_id FROM (
+         |  SELECT s.query_id,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT AS rank,
+         |         s.doc_id
+         |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+         |) WHERE rank <= 10),
+         |qrels AS (
+         |  SELECT x.query_id, x.doc_id, least(x.stf, 3)::BIGINT AS grade FROM (
+         |    SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum(p.tf)::BIGINT AS stf
+         |    FROM post p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+         |  ) x JOIN qn USING (query_id) WHERE x.n_terms = qn.q_n),
+         |j AS (SELECT r.query_id, r.rank, coalesce(qr.grade, 0)::BIGINT AS grade
+         |      FROM ranking r LEFT JOIN qrels qr
+         |           ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+         |dcg AS (SELECT query_id, sum((power(2.0, grade) - 1.0) / ln(rank + 1.0)) AS dcg
+         |        FROM j GROUP BY query_id),
+         |ideal AS (SELECT query_id, sum((power(2.0, grade) - 1.0) / ln(irank + 1.0)) AS idcg
+         |          FROM (SELECT query_id, grade,
+         |                       row_number() OVER (PARTITION BY query_id
+         |                                          ORDER BY grade DESC, doc_id ASC)::BIGINT AS irank
+         |                FROM qrels) WHERE irank <= 10 GROUP BY query_id),
+         |ap1 AS (SELECT query_id, rank, grade,
+         |               sum(CASE WHEN grade >= 2 THEN 1 ELSE 0 END)
+         |                 OVER (PARTITION BY query_id ORDER BY rank
+         |                       ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM j),
+         |apq AS (SELECT query_id,
+         |               sum(CASE WHEN grade >= 2 THEN cum::DOUBLE / rank::DOUBLE
+         |                        ELSE 0.0 END) AS sump
+         |        FROM ap1 GROUP BY query_id),
+         |nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel
+         |         FROM qrels WHERE grade >= 2 GROUP BY query_id)
+         |SELECT d.query_id, round(d.dcg / i.idcg, 4) AS ndcg_r,
+         |       round(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN a.sump / n.n_rel
+         |                  ELSE 0.0 END, 4) AS ap_r
+         |FROM dcg d JOIN ideal i USING (query_id) JOIN apq a USING (query_id)
+         |     LEFT JOIN nrel n USING (query_id)""".stripMargin
     },
     "ltr_features" -> {
       val idf = "ln((((SELECT n FROM stats) - t.df + 0.5) / (t.df + 0.5)) + 1.0)"

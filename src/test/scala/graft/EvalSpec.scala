@@ -1,0 +1,55 @@
+package graft
+
+import graft.query.Eval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranking-eval harness: metrics pinned on a hand-crafted fixture where
+  * nDCG/MAP are known in closed form, plus qrels synthesis semantics on a
+  * tiny postings relation. */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("nDCG@k and MAP@k match closed-form values on a crafted fixture") {
+    import spark.implicits._
+    // q1: retrieved [1,2,3]; qrels 1→3, 3→2, 9→2 (9 NOT retrieved), 2 absent
+    // q2: retrieved [5,6]; qrels 6→1 only (below the rel threshold)
+    val ranking = Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+      (2L, 1L, 5L), (2L, 2L, 6L)
+    ).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq(
+      (1L, 1L, 3L), (1L, 3L, 2L), (1L, 9L, 2L),
+      (2L, 6L, 1L)
+    ).toDF("query_id", "doc_id", "grade")
+    val got = Eval.rankingMetrics(ranking, qrels, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val ln = (x: Double) => math.log(x)
+    // q1 closed form
+    val dcg1 = 7.0 / ln(2.0) + 0.0 + 3.0 / ln(4.0)
+    val idcg1 = 7.0 / ln(2.0) + 3.0 / ln(3.0) + 3.0 / ln(4.0)
+    val ap1 = (1.0 / 1.0 + 2.0 / 3.0) / 3.0 // rel hits at ranks 1,3; |relevant|=3
+    assert(math.abs(got(1L)._1 - dcg1 / idcg1) < 1e-12)
+    assert(math.abs(got(1L)._2 - ap1) < 1e-12)
+    // q2: single grade-1 doc at rank 2; no doc ≥ threshold → AP = 0
+    val ndcg2 = (1.0 / ln(3.0)) / (1.0 / ln(2.0))
+    assert(math.abs(got(2L)._1 - ndcg2) < 1e-12)
+    assert(got(2L)._2 == 0.0)
+  }
+
+  test("sumTfQrels: conjunctive only, Σtf capped at 3, one row per (query, doc)") {
+    import spark.implicits._
+    val postings = Seq(
+      (10L, "a", 1L), (10L, "b", 5L),  // doc 10 matches both a+b, Σtf=6 → cap 3
+      (11L, "a", 2L),                  // doc 11 misses b → excluded for q0
+      (12L, "a", 1L), (12L, "b", 1L)   // Σtf=2 → grade 2
+    ).toDF("doc_id", "term", "tf")
+    val queries = Seq((0L, "a"), (0L, "b"), (0L, "b"), (1L, "a")).toDF("query_id", "term")
+    val got = Eval.sumTfQrels(postings, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 10L) -> 3L, (0L, 12L) -> 2L,        // conjunctive, capped
+      (1L, 10L) -> 1L, (1L, 11L) -> 2L, (1L, 12L) -> 1L)) // single-term query
+  }
+}
