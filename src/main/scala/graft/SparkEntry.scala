@@ -1026,6 +1026,12 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       TextAnalysis.repetition(c)
     }),
+    // PMI collocations: statistically-bound adjacent pairs (phrase discovery)
+    "text_collocations" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.collocations(c, minCount = 5L, k = 50)
+        .select(col("a"), col("b"), col("c_ab"), round(col("pmi"), 4).as("pmi_r"))
+    }),
     // multimodal: metadata projection over the binary media table
     "mm_meta" -> ((s, dir) => {
       Multimodal.meta(Multimodal.mediaFromDocuments(s, dir))
@@ -1944,6 +1950,24 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '${TextAnalysis.ipRe}'))::BIGINT AS n_ip,
          |  len(regexp_extract_all(text, '${TextAnalysis.phoneRe}'))::BIGINT AS n_phone
          |FROM pii""".stripMargin,
+    // PMI twin — same counts, same IEEE op order:
+    // ln((c_ab/nb) / ((ca/nu)*(cb/nu))), totals as whole-corpus aggregates
+    "text_collocations" ->
+      s"""WITH ${tokArrCte},
+         |bi AS (SELECT split_part(gram, ' ', 1) AS a, split_part(gram, ' ', 2) AS b,
+         |              count(*)::BIGINT AS c_ab
+         |       FROM (SELECT unnest(list_transform(range(greatest(len(arr) - 1, 0)),
+         |                    i -> arr[i + 1] || ' ' || arr[i + 2])) AS gram FROM tokarr)
+         |       GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT t, count(*)::BIGINT AS c
+         |        FROM (SELECT unnest(arr) AS t FROM tokarr) GROUP BY t),
+         |tot AS (SELECT sum(len(arr))::DOUBLE AS nu,
+         |               sum(greatest(len(arr) - 1, 0))::DOUBLE AS nb FROM tokarr)
+         |SELECT a, b, c_ab, round(pmi, 4) AS pmi_r FROM (
+         |  SELECT bi.a, bi.b, bi.c_ab,
+         |         ln((bi.c_ab / t.nb) / ((ua.c / t.nu) * (ub.c / t.nu))) AS pmi
+         |  FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, tot t
+         |) ORDER BY pmi DESC, a ASC, b ASC LIMIT 50""".stripMargin,
     "text_repetition" ->
       s"""WITH ${tokArrCte},
          |g AS (SELECT doc_id, unnest(list_transform(range(greatest(len(arr) - 1, 0)),

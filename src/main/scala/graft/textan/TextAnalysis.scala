@@ -145,4 +145,43 @@ object TextAnalysis {
       .withColumn("keep",
         col("dup_word_frac_r") <= dupWordMax && col("top_bigram_frac_r") <= topBigramMax)
   }
+
+  /** PMI collocations (Church & Hanks 1990): adjacent word pairs whose
+    * co-occurrence beats the independence assumption —
+    * pmi = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) ) over the analyzed
+    * (stop-filtered) token stream. The standard phrase-discovery pass a
+    * pipeline runs before query segmentation or vocabulary building.
+    *
+    * Scale shape: one explode → (a, b) hash aggregate for bigram counts
+    * (map-side partials absorb Zipf-head pairs), one explode → unigram
+    * aggregate, and the two corpus totals as broadcast 1-row aggregates.
+    * `minCount` prunes the long tail BEFORE the unigram joins, so the join
+    * input is the (small) candidate set, not the bigram universe. Returns
+    * top-k by (pmi desc, a asc, b asc). */
+  def collocations(docs: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      Analyzer.termsCol(col("content"), Analyzer.naturalStop).as("arr"))
+    val idxs = when(size(col("arr")) >= 2, sequence(lit(0), size(col("arr")) - 2))
+      .otherwise(expr("array()").cast("array<int>"))
+    val bi = base.select(explode(transform(idxs, i => concat_ws(" ",
+        element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(split(col("gram"), " ").getItem(0).as("a"),
+        split(col("gram"), " ").getItem(1).as("b"), col("c_ab"))
+    val uni = base.select(explode(col("arr")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = base.agg(
+      sum(size(col("arr"))).cast("double").as("nu"),
+      sum(greatest(size(col("arr")) - 1, lit(0))).cast("double").as("nb"))
+    val pmi = log((col("c_ab") / col("nb")) /
+      ((col("ca") / col("nu")) * (col("cb") / col("nu"))))
+    val scored = bi
+      .join(uni.withColumnRenamed("t", "a").withColumnRenamed("c", "ca"), "a")
+      .join(uni.withColumnRenamed("t", "b").withColumnRenamed("c", "cb"), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", pmi)
+    scored.orderBy(desc("pmi"), asc("a"), asc("b")).limit(k)
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+  }
 }

@@ -115,4 +115,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 0.0, 0.0, true)))
     assert(got(3L) == ((0L, 0.0, 0.0, true)))
   }
+
+  test("collocations: PMI exact on a crafted corpus; minCount prunes; stopwords excluded") {
+    // "big data" appears 3×, tokens big/data never apart → strong PMI;
+    // "row count" 3× but 'row' also appears alone 3× → weaker PMI;
+    // "the" is a stopword and must never appear in any pair
+    val d = df(
+      (0L, "big data row count the row"),
+      (1L, "big data row count the row"),
+      (2L, "big data row count the row"))
+    val got = TextAnalysis.collocations(d, minCount = 3L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall { case (a, b, _, _) => a != "the" && b != "the" })
+    // per doc tokens: [big, data, row, count, row] → bigrams:
+    // big-data, data-row, row-count, count-row; ×3 docs each
+    val nu = 15.0; val nb = 12.0
+    def pmi(cab: Long, ca: Long, cb: Long) = math.log((cab / nb) / ((ca / nu) * (cb / nu)))
+    val exp = Map(
+      ("big", "data") -> pmi(3, 3, 3),
+      ("data", "row") -> pmi(3, 3, 6),
+      ("row", "count") -> pmi(3, 6, 3),
+      ("count", "row") -> pmi(3, 3, 6))
+    assert(got.length == exp.size)
+    got.foreach { case (a, b, cab, p) =>
+      assert(cab == 3L, s"($a,$b) count")
+      assert(math.abs(p - exp((a, b))) < 1e-12, s"($a,$b) pmi $p vs ${exp((a, b))}")
+    }
+    // ordering: big-data (rarest unigrams) must outrank the row pairs
+    assert((got.head._1, got.head._2) == (("big", "data")))
+  }
 }
