@@ -688,6 +688,13 @@ object SparkEntry {
       graft.index.Positional.proximityTopK(
         graft.index.Positional.tokenPositions(c), q2, slop = 2, k = 10)
     }),
+    // Unordered proximity (NEAR/2): any-order co-occurrence inside a
+    // width-(|q|+slop) window — the unordered complement of ft_proximity
+    "ft_near" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.index.Positional.nearTopK(
+        graft.index.Positional.tokenPositions(c), q2, slop = 2, k = 10)
+    }),
     // T2/T4 TRUE reference-domain parity: Russian analyzer branch (ё-fold +
     // Cyrillic class, Lemmatizator.java:1) + Russian 1→N lexicon over a
     // deterministically Russian-wrapped corpus variant
@@ -1379,6 +1386,7 @@ object SparkEntry {
     // indistinguishable from the positional intersection for k = 2
     "ft_biword" -> phraseSql(q2, 10),
     "ft_proximity" -> proximitySql(q2, 2, 10),
+    "ft_near" -> nearSql(q2, 2, 10),
     "ft_prefix" ->
       s"""WITH ${termsCte}, ${tstatsCte}
          |SELECT term, df FROM tstats WHERE term LIKE 'sp%'
@@ -2014,6 +2022,25 @@ object SparkEntry {
     * when pos ∈ [start + i, start + i + slop] — mirrors
     * Positional.proximityMatches (distinct per term INDEX, count-k, count
     * starts) */
+  /** unordered-NEAR twin: same start-witness construction without the
+    * per-term-index shift; window width w = |terms| + slop */
+  private def nearSql(terms: Seq[String], slop: Int, k: Int): String = {
+    val w = terms.size + slop
+    val starts = terms.map { t =>
+      s"SELECT doc_id, unnest(range(pos - $w + 1, pos + 1)) AS start, '$t' AS qt FROM tp WHERE term = '$t'"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${tokArrCte},
+       |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+       |m AS ($starts),
+       |md AS (SELECT DISTINCT doc_id, start, qt FROM m),
+       |hits AS (SELECT doc_id, start FROM md GROUP BY doc_id, start HAVING count(*) = ${terms.size}),
+       |ph AS (SELECT doc_id, count(*)::BIGINT AS near_tf FROM hits GROUP BY doc_id)
+       |SELECT rank, doc_id, near_tf FROM (
+       |  SELECT row_number() OVER (ORDER BY near_tf DESC, doc_id ASC) AS rank,
+       |         doc_id, near_tf
+       |  FROM ph) WHERE rank <= $k""".stripMargin
+  }
+
   private def proximitySql(terms: Seq[String], slop: Int, k: Int): String = {
     val shifts = terms.zipWithIndex.map { case (t, i) =>
       s"SELECT doc_id, unnest(range(pos - $i - $slop, pos - $i + 1)) AS start, $i AS ti FROM tp WHERE term = '$t'"

@@ -142,4 +142,40 @@ object Positional {
         row_number().over(Window.orderBy(desc("prox_tf"), asc("doc_id"))).cast("long"))
       .select("rank", "doc_id", "prox_tf")
   }
+
+  /** UNORDERED proximity (NEAR/slop, Lucene SpanNear unordered): every term
+    * occurs somewhere inside a width-w token window, w = |terms| + slop, in
+    * ANY order — slop = 0 means the terms are adjacent-up-to-permutation.
+    * Returns (doc_id, near_tf = number of matching window placements).
+    *
+    * Same bounded-explode relational shape as [[proximityMatches]] minus
+    * the per-term-index shift: each occurrence of ANY query term witnesses
+    * the w candidate window starts pos − w + 1 .. pos, distinct per term
+    * (one term repeating inside a window counts once), then the count-k
+    * conjunctive filter on (doc, start) and a per-doc count of surviving
+    * starts. One shuffle on (doc, start); no per-doc arrays. */
+  def nearMatches(tokenPos: DataFrame, terms: Seq[String], slop: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size && slop >= 0)
+    val k = terms.size
+    val w = k + slop
+    val starts = terms.map { t =>
+      tokenPos.filter(col("term") === t)
+        .select(col("doc_id"),
+          explode(sequence(col("pos") - w + 1, col("pos"))).as("start"),
+          lit(t).as("qt"))
+    }.reduce(_ unionByName _)
+    starts.distinct()
+      .groupBy("doc_id", "start").agg(count(lit(1)).as("n"))
+      .filter(col("n") === k)
+      .groupBy("doc_id").agg(count(lit(1)).as("near_tf"))
+  }
+
+  /** unordered-proximity top-k, same ranking contract as [[proximityTopK]] */
+  def nearTopK(tokenPos: DataFrame, terms: Seq[String], slop: Int, k: Int): DataFrame = {
+    val top = nearMatches(tokenPos, terms, slop)
+      .orderBy(desc("near_tf"), asc("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("near_tf"), asc("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "near_tf")
+  }
 }

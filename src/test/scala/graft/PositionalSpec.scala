@@ -106,6 +106,46 @@ class PositionalSpec extends AnyFunSuite {
     assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("unordered NEAR: reversed order matches; window width = |q| + slop") {
+    val tp = Positional.tokenPositions(docs)
+    // slop=0, w=2: adjacency up to permutation
+    val near0 = Positional.nearMatches(tp, Seq("spark", "join"), slop = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc0 [spark join spark join fast]: starts 0,1,2; doc1 [join spark]:
+    // REVERSED order matches (the semantic delta vs ordered proximity);
+    // doc2 analyzed [spark join]: start 0; doc3 has a gap: none at slop=0
+    assert(near0 == Map(0L -> 3L, 1L -> 1L, 2L -> 1L), s"got $near0")
+    // slop=1 (w=3) admits doc3's one-token gap
+    val near1 = Positional.nearMatches(tp, Seq("spark", "join"), slop = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(near1 == Set(0L, 1L, 2L, 3L), s"got $near1")
+  }
+
+  test("unordered NEAR matches a scalar window oracle on a generated corpus (property)") {
+    val corpus = graft.corpus.Corpus.generateDistributed(spark, 120, 4)
+      .select(col("doc_id"), col("repo"), col("lang"), col("content"))
+    val terms = Seq("tok0", "tok2")
+    val slop = 2
+    val w = terms.size + slop
+    def scalarNear(tokens: Seq[String]): Long = {
+      val pos = tokens.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2.toLong)).toMap
+      if (terms.exists(t => !pos.contains(t))) return 0L
+      val starts = for {
+        p0 <- pos(terms.head)
+        s <- (p0 - w + 1) to p0
+        if terms.forall(t => pos(t).exists(p => p >= s && p <= s + w - 1))
+      } yield s
+      starts.distinct.size.toLong
+    }
+    val rows = corpus.collect()
+    val want = rows.map { r =>
+      r.getLong(0) -> scalarNear(graft.analyze.Analyzer.analyze(r.getString(2), r.getString(3)))
+    }.filter(_._2 > 0).toMap
+    val got = Positional.nearMatches(Positional.tokenPositions(corpus), terms, slop)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("splits: deterministic, Column == scalar, proportions roughly 80/10/10") {
     val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
     val got = Splits.assign(ids).collect()
