@@ -636,6 +636,21 @@ object SparkEntry {
           concat(lit("new page "), col("doc_id").cast("string")).as("content"))
       graft.corpus.Crawl.recrawlDelta(old, kept.unionByName(added))
     }),
+    // Vocabulary drift between the corpus and its recrawl: per-term Δp +
+    // corpus-level Jensen-Shannon divergence (the recrawl QA monitor)
+    "text_vocab_drift" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val old = c.select("doc_id", "content")
+      val kept = old.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("content", when(col("doc_id") % 13 === 0,
+          concat(col("content"), lit(" updated"))).otherwise(col("content")))
+      val added = old.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + t.nDocs).as("doc_id"),
+          concat(lit("new page "), col("doc_id").cast("string")).as("content"))
+      TextAnalysis.vocabDrift(old, kept.unionByName(added), k = 20)
+        .select(col("term"), col("c_old"), col("c_new"),
+          round(col("dp"), 6).as("dp_r"), round(col("jsd"), 6).as("jsd_r"))
+    }),
     // F4: HTTP-status gate (code <= 299, IndexingServiceImpl.java:135-137)
     // over a synthesized deterministic status column
     "ft_http_filter" -> ((s, dir) => {
@@ -1823,6 +1838,41 @@ object SparkEntry {
         |            WHEN so = sn THEN 'unchanged'
         |            ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+
+    // vocab-drift twin: same recrawl-v2 construction as ft_recrawl_delta,
+    // same token pipeline per version, JSD with the same zero-handling CASEs
+    "text_vocab_drift" -> {
+      val toks = Analyzer.sqlTokens("content")
+      val pred = Analyzer.sqlStopPredicate("term", stops)
+      s"""WITH old AS (SELECT doc_id, text AS content FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |kept AS (SELECT doc_id,
+         |           CASE WHEN doc_id % 13 = 0 THEN content || ' updated' ELSE content END AS content
+         |         FROM old WHERE doc_id % 17 <> 0),
+         |added AS (SELECT doc_id + (SELECT n FROM nn) AS doc_id,
+         |                 'new page ' || doc_id AS content
+         |          FROM old WHERE doc_id % 23 = 0),
+         |newv AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+         |fa AS (SELECT term, count(*)::BIGINT AS c_old
+         |       FROM (SELECT unnest($toks) AS term FROM old) WHERE $pred GROUP BY term),
+         |fb AS (SELECT term, count(*)::BIGINT AS c_new
+         |       FROM (SELECT unnest($toks) AS term FROM newv) WHERE $pred GROUP BY term),
+         |na AS (SELECT sum(c_old)::DOUBLE AS v FROM fa),
+         |nbt AS (SELECT sum(c_new)::DOUBLE AS v FROM fb),
+         |u AS (SELECT coalesce(fa.term, fb.term) AS term,
+         |             coalesce(fa.c_old, 0)::BIGINT AS c_old,
+         |             coalesce(fb.c_new, 0)::BIGINT AS c_new
+         |      FROM fa FULL OUTER JOIN fb ON fa.term = fb.term),
+         |pq AS (SELECT term, c_old, c_new, c_old / na.v AS p, c_new / nbt.v AS q
+         |       FROM u, na, nbt),
+         |jsd AS (SELECT sum(0.5 *
+         |         (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END +
+         |          CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)) AS jsd
+         |        FROM pq)
+         |SELECT term, c_old, c_new, round(q - p, 6) AS dp_r,
+         |       round(jsd.jsd, 6) AS jsd_r
+         |FROM pq, jsd ORDER BY abs(q - p) DESC, term ASC LIMIT 20""".stripMargin
+    },
 
     // ===== training-data ops =====
     "dedup_exact" ->

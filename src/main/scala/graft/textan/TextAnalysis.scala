@@ -184,4 +184,41 @@ object TextAnalysis {
     scored.orderBy(desc("pmi"), asc("a"), asc("b")).limit(k)
       .select(col("a"), col("b"), col("c_ab"), col("pmi"))
   }
+
+  /** Vocabulary drift between two corpus versions — the recrawl QA monitor:
+    * per-term probability shift Δp = p_new − p_old over the analyzed token
+    * stream, plus the corpus-level Jensen-Shannon divergence (natural-log
+    * base) attached to every row. Top-k terms by |Δp| (ties term asc) is
+    * the "what changed" report; JSD is the alarm threshold a pipeline pages
+    * on when a recrawl or extractor change silently shifts the language
+    * distribution.
+    *
+    * Scale shape: one explode + term hash aggregate per version, a
+    * full-outer join on term (union vocabulary), totals and the JSD as
+    * broadcast 1-row aggregates. Zero-probability sides contribute only
+    * through the other distribution (the JSD zero-handling CASE), so the
+    * union join needs no densification. */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, k: Int = 20): DataFrame = {
+    def counts(d: DataFrame) =
+      d.select(explode(Analyzer.termsCol(col("content"), Analyzer.naturalStop)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+    val a = counts(oldDocs).withColumnRenamed("c", "c_old")
+    val b = counts(newDocs).withColumnRenamed("c", "c_new")
+    val na = a.agg(sum("c_old").cast("double").as("na"))
+    val nb = b.agg(sum("c_new").cast("double").as("nb"))
+    val u = a.join(b, Seq("t"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("p", col("c_old") / col("na"))
+      .withColumn("q", col("c_new") / col("nb"))
+    val m = (col("p") + col("q")) / lit(2.0)
+    val contrib = lit(0.5) *
+      (when(col("p") > 0, col("p") * log(col("p") / m)).otherwise(lit(0.0)) +
+       when(col("q") > 0, col("q") * log(col("q") / m)).otherwise(lit(0.0)))
+    val jsd = u.agg(sum(contrib).as("jsd"))
+    u.orderBy(abs(col("q") - col("p")).desc, col("t").asc).limit(k)
+      .crossJoin(broadcast(jsd))
+      .select(col("t").as("term"), col("c_old"), col("c_new"),
+        (col("q") - col("p")).as("dp"), col("jsd"))
+  }
 }

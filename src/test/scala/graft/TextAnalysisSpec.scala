@@ -144,4 +144,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     // ordering: big-data (rarest unigrams) must outrank the row pairs
     assert((got.head._1, got.head._2) == (("big", "data")))
   }
+
+  test("vocabDrift: Δp and JSD exact on a crafted pair; vanished/new terms covered") {
+    val oldD = df((0L, "cat cat dog"))
+    val newD = df((0L, "cat dog dog bird"))
+    val got = TextAnalysis.vocabDrift(oldD, newD, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // p: cat 2/3, dog 1/3, bird 0; q: cat 1/4, dog 1/2, bird 1/4
+    val p = Map("cat" -> 2.0 / 3, "dog" -> 1.0 / 3, "bird" -> 0.0)
+    val q = Map("cat" -> 0.25, "dog" -> 0.5, "bird" -> 0.25)
+    val jsd = Seq("cat", "dog", "bird").map { t =>
+      val m = (p(t) + q(t)) / 2.0
+      0.5 * ((if (p(t) > 0) p(t) * math.log(p(t) / m) else 0.0) +
+             (if (q(t) > 0) q(t) * math.log(q(t) / m) else 0.0))
+    }.sum
+    assert(got.keySet == Set("cat", "dog", "bird"))
+    assert(got("cat")._1 == 2L && got("cat")._2 == 1L)
+    assert(got("bird")._1 == 0L && got("bird")._2 == 1L, "new term must appear with c_old=0")
+    Seq("cat", "dog", "bird").foreach { t =>
+      assert(math.abs(got(t)._3 - (q(t) - p(t))) < 1e-12, s"$t dp")
+      assert(math.abs(got(t)._4 - jsd) < 1e-12, s"$t jsd")
+    }
+    // ranking by |Δp|: cat (5/12) first, bird (1/4), dog (1/6)
+    val ordered = TextAnalysis.vocabDrift(oldD, newD, k = 10)
+      .collect().map(_.getString(0)).toList
+    assert(ordered == List("cat", "bird", "dog"))
+    // a fully vanished term ends with c_new=0 and negative dp
+    val v = TextAnalysis.vocabDrift(df((0L, "zap zap")), df((0L, "pow")), k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(v("zap") == ((2L, 0L, -1.0)) && v("pow") == ((0L, 1L, 1.0)))
+  }
 }
