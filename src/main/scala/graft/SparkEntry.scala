@@ -415,6 +415,21 @@ object SparkEntry {
         .withColumn("repo", lit("ALL")).select("repo", "pages", "lemmas")
       per.select("repo", "pages", "lemmas").union(total)
     }),
+    // Corpus-scale diagnostics: exact dl quantiles per repo + ALL (the
+    // partition-sizing / skew report) and the Zipf slope (skew forecast)
+    "text_len_quantiles" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      graft.stats.Stats.lengthQuantiles(t.docStats, c)
+        .select(col("repo"), col("docs"), round(col("p50"), 4).as("p50_r"),
+          round(col("p90"), 4).as("p90_r"), round(col("p99"), 4).as("p99_r"),
+          col("max_dl"))
+    }),
+    "text_zipf_fit" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      graft.stats.Stats.zipfFit(t.postings, topN = 1000)
+        .select(col("n_terms"), round(col("slope"), 4).as("slope_r"),
+          round(col("intercept"), 4).as("intercept_r"), round(col("r2"), 4).as("r2_r"))
+    }),
     // J5/E4: k-way posting-list intersection (conjunction of all terms)
     "ft_intersect" -> ((s, dir) => {
       val (_, t) = index(s, dir); Search.conjunctive(t.postings, q3)
@@ -1181,6 +1196,34 @@ object SparkEntry {
       s"""WITH ${termsCte}, ${postCte}, ${qCte(q3)}
          |SELECT doc_id FROM post JOIN q USING (term)
          |GROUP BY doc_id HAVING count(*) = ${q3.size}""".stripMargin,
+    // exact-quantile twin: Spark `percentile` and DuckDB `quantile_cont`
+    // share the (n−1)·p linear-interpolation definition
+    "text_len_quantiles" ->
+      s"""WITH ${termsCte}, ${dsCte},
+         |dr AS (SELECT ds.doc_id, ds.dl, d.source AS repo
+         |       FROM ds JOIN documents d USING (doc_id)),
+         |per AS (SELECT repo, count(*)::BIGINT AS docs,
+         |               quantile_cont(dl, 0.5) AS p50, quantile_cont(dl, 0.9) AS p90,
+         |               quantile_cont(dl, 0.99) AS p99, max(dl) AS max_dl
+         |        FROM dr GROUP BY repo
+         |        UNION ALL
+         |        SELECT 'ALL', count(*)::BIGINT,
+         |               quantile_cont(dl, 0.5), quantile_cont(dl, 0.9),
+         |               quantile_cont(dl, 0.99), max(dl)
+         |        FROM dr)
+         |SELECT repo, docs, round(p50, 4) AS p50_r, round(p90, 4) AS p90_r,
+         |       round(p99, 4) AS p99_r, max_dl FROM per""".stripMargin,
+    "text_zipf_fit" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY term),
+         |xy AS (SELECT ln(rank::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM (
+         |  SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC)::BIGINT AS rank FROM cf
+         |) WHERE rank <= 1000)
+         |SELECT count(*)::BIGINT AS n_terms,
+         |       round(covar_pop(x, y) / var_pop(x), 4) AS slope_r,
+         |       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept_r,
+         |       round((covar_pop(x, y) * covar_pop(x, y)) / (var_pop(x) * var_pop(y)), 4) AS r2_r
+         |FROM xy""".stripMargin,
     "ft_sumtf_topk" ->
       s"""WITH ${termsCte}, ${postCte}, ${qCte(q2)},
          |scored AS (

@@ -131,4 +131,53 @@ object Stats {
     val dataDir = new java.io.File(s"$tableDir/data")
     dataDir.exists && TableIO.readCurrent(tableDir).isEmpty
   }
+
+  /** Exact document-length quantiles per repo + ALL — the partition-sizing
+    * and skew diagnostic: p99/max dl per source decides
+    * `spark.sql.files.maxPartitionBytes` and flags the one crawl whose
+    * pages are 100× the median before it melts an executor. Exact
+    * `percentile` (not approx): dl is one BIGINT per doc, so the exact
+    * sort-based aggregate is cheap relative to the index build that
+    * produced it, and the answer is deterministic across engines. */
+  def lengthQuantiles(docStats: DataFrame, corpus: DataFrame): DataFrame = {
+    val dl = docStats.join(corpus.select("doc_id", "repo"), "doc_id")
+    def qs(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile(dl, array(0.5D, 0.9D, 0.99D))").as("qarr"),
+        max("dl").as("max_dl"))
+      .select(col("repo"), col("docs"),
+        col("qarr").getItem(0).as("p50"),
+        col("qarr").getItem(1).as("p90"),
+        col("qarr").getItem(2).as("p99"),
+        col("max_dl"))
+    qs(dl.groupBy("repo"))
+      .unionByName(qs(dl.withColumn("repo", lit("ALL")).groupBy("repo")))
+  }
+
+  /** Zipf-law fit over the term-frequency distribution: least-squares slope
+    * of ln(cf) against ln(rank) for the top-N terms. The slope (≈ −1 for
+    * natural text) is the skew forecast — it says how hot the hottest
+    * posting lists stay as the corpus grows 100×, which is exactly the
+    * number the salting/champion-list thresholds are tuned against.
+    * One postings aggregate for cf, a top-N heap, then a 5-number
+    * least-squares aggregate (covar/var/avg) over N rows. */
+  def zipfFit(postings: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = postings.groupBy("term").agg(sum("tf").as("cf"))
+    // distributed TakeOrdered cut first; the row_number window then ranks
+    // only the surviving ≤ topN rows (never a full-vocabulary single task)
+    val ranked = cf.orderBy(desc("cf"), asc("term")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cf"), asc("term"))).cast("long"))
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("cf").cast("double")))
+    ranked.agg(count(lit(1)).as("n_terms"),
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
+        avg("x").as("mx"), avg("y").as("my"))
+      .select(col("n_terms"),
+        (col("cxy") / col("vx")).as("slope"),
+        (col("my") - (col("cxy") / col("vx")) * col("mx")).as("intercept"),
+        ((col("cxy") * col("cxy")) / (col("vx") * col("vy"))).as("r2"))
+  }
 }

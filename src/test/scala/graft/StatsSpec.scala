@@ -109,4 +109,43 @@ class StatsSpec extends AnyFunSuite {
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("lengthQuantiles: exact interpolated percentiles per repo + ALL") {
+    import spark.implicits._
+    val ds = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 100L))
+      .toDF("doc_id", "dl")
+    val corpus = Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "repo")
+    val got = Stats.lengthQuantiles(ds, corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toMap
+    // repo a, dl [1,2,3,4]: p50 at (n-1)*0.5 = 1.5 -> 2.5; p90 at 2.7 -> 3.7;
+    // p99 at 2.97 -> 3.97
+    val (ad, a50, a90, a99, amax) = got("a")
+    assert(ad == 4L && amax == 4L)
+    assert(math.abs(a50 - 2.5) < 1e-12 && math.abs(a90 - 3.7) < 1e-12 &&
+      math.abs(a99 - 3.97) < 1e-12)
+    // singleton repo: every quantile IS the value
+    assert(got("b") == ((1L, 100.0, 100.0, 100.0, 100L)))
+    // ALL spans both repos; max comes from the outlier
+    val (td, t50, _, _, tmax) = got("ALL")
+    assert(td == 5L && tmax == 100L && math.abs(t50 - 3.0) < 1e-12)
+  }
+
+  test("zipfFit: perfect power law recovers slope -1, r2 = 1") {
+    import spark.implicits._
+    // cf = 840 / rank exactly for ranks 1..8 -> ln cf = ln 840 - ln rank
+    val cfs = Seq(840L, 420L, 280L, 210L, 168L, 140L, 120L, 105L)
+    val postings = cfs.zipWithIndex
+      .map { case (c, i) => (i.toLong, s"t$i", c) }
+      .toDF("doc_id", "term", "tf")
+    val r = Stats.zipfFit(postings, topN = 1000).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(840.0)) < 1e-9, s"intercept ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, s"r2 ${r.getDouble(3)}")
+    // topN caps the fit window: with topN=4 only the head is fitted
+    val head = Stats.zipfFit(postings, topN = 4).collect().head
+    assert(head.getLong(0) == 4L && math.abs(head.getDouble(1) - (-1.0)) < 1e-9)
+  }
 }
