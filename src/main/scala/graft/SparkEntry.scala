@@ -430,6 +430,22 @@ object SparkEntry {
         .select(col("n_terms"), round(col("slope"), 4).as("slope_r"),
           round(col("intercept"), 4).as("intercept_r"), round(col("r2"), 4).as("r2_r"))
     }),
+    // Heaps-law fit: vocabulary growth V = K·N^β over log-spaced doc-id
+    // prefixes — the dictionary-memory forecast at 100 TB
+    "text_heaps_fit" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.stats.Stats.heapsFit(InvertedIndex.tokens(c), heapsThresholds)
+        .select(col("n_points"), round(col("slope"), 4).as("slope_r"),
+          round(col("intercept"), 4).as("intercept_r"), round(col("r2"), 4).as("r2_r"))
+    }),
+    // Grouped top-k ("top hits per facet"): best 2 docs per repo for q2
+    "ft_group_topk" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.groupedTopK(t.postings, t.docStats, c, dfs, t.nDocs, t.avgDl, m = 2)
+        .select(col("repo"), col("grp_rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // J5/E4: k-way posting-list intersection (conjunction of all terms)
     "ft_intersect" -> ((s, dir) => {
       val (_, t) = index(s, dir); Search.conjunctive(t.postings, q3)
@@ -1166,6 +1182,9 @@ object SparkEntry {
   /** fixed misspelled-query inputs for ft_suggest (dist 0/1/2 + no-match) */
   val suggestQ = Seq("sprk", "jion", "hash", "window")
 
+  /** log-spaced doc-id prefix thresholds for the Heaps fit (1 .. 4096) */
+  val heapsThresholds: Seq[Long] = (0 to 12).map(1L << _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1224,6 +1243,44 @@ object SparkEntry {
          |       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept_r,
          |       round((covar_pop(x, y) * covar_pop(x, y)) / (var_pop(x) * var_pop(y)), 4) AS r2_r
          |FROM xy""".stripMargin,
+    "text_heaps_fit" -> {
+      val thList = heapsThresholds.mkString(", ")
+      s"""WITH ${termsCte},
+         |th AS (SELECT unnest([$thList])::BIGINT AS t),
+         |pd AS (SELECT doc_id, count(*)::BIGINT AS cnt FROM terms GROUP BY doc_id),
+         |fd AS (SELECT term, min(doc_id) AS fd FROM terms GROUP BY term),
+         |ns AS (SELECT th.t, sum(CASE WHEN p.doc_id < th.t THEN p.cnt ELSE 0 END)::BIGINT AS n
+         |       FROM th, pd p GROUP BY th.t),
+         |vs AS (SELECT th.t, sum(CASE WHEN f.fd < th.t THEN 1 ELSE 0 END)::BIGINT AS v
+         |       FROM th, fd f GROUP BY th.t),
+         |xy AS (SELECT ln(n::DOUBLE) AS x, ln(v::DOUBLE) AS y
+         |       FROM ns JOIN vs USING (t) WHERE n > 0 AND v > 0)
+         |SELECT count(*)::BIGINT AS n_points,
+         |       round(covar_pop(x, y) / var_pop(x), 4) AS slope_r,
+         |       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept_r,
+         |       round((covar_pop(x, y) * covar_pop(x, y)) / (var_pop(x) * var_pop(y)), 4) AS r2_r
+         |FROM xy""".stripMargin
+    },
+    // grouped top-k twin: same conjunctive scored relation, per-repo
+    // row_number heap cut at m = 2
+    "ft_group_topk" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT repo, grp_rank, doc_id, score_r FROM (
+         |  SELECT d.source AS repo,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT AS grp_rank,
+         |         s.doc_id, round(s.score, 4) AS score_r
+         |  FROM scored s JOIN documents d USING (doc_id)
+         |  WHERE s.n_terms = ${q2.size}
+         |) WHERE grp_rank <= 2""".stripMargin
+    },
     "ft_sumtf_topk" ->
       s"""WITH ${termsCte}, ${postCte}, ${qCte(q2)},
          |scored AS (

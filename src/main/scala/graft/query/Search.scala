@@ -78,6 +78,24 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Grouped top-k ("top hits per facet", Elasticsearch top_hits): the best
+    * m docs PER REPO for a conjunctive BM25 query, ordered (repo asc,
+    * grp_rank asc). The per-group rank ≤ m filter compiles to a
+    * WindowGroupLimit heap — each group keeps an m-row heap instead of
+    * sorting its candidates, so one hot repo with 10^7 matches costs an
+    * m-row heap, not a 10^7-row sort. Candidate scoring is the SAME
+    * conjunctiveScores relation the flat top-k uses. */
+  def groupedTopK(postings: DataFrame, docStats: DataFrame, corpus: DataFrame,
+                  dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                  m: Int): DataFrame = {
+    val scored = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
+      .join(corpus.select("doc_id", "repo"), "doc_id")
+    scored.withColumn("grp_rank", row_number().over(
+        Window.partitionBy("repo").orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .filter(col("grp_rank") <= m)
+      .select(col("repo"), col("grp_rank"), col("doc_id"), col("score"))
+  }
+
   /** Disjunctive (OR-semantics) BM25 top-k — same aggregate without the
     * conjunction filter; the exhaustive twin of Wand.topKDisjunctive. */
   def bm25TopKDisjunctive(postings: DataFrame, docStats: DataFrame,

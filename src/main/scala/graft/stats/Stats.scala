@@ -171,13 +171,51 @@ object Stats {
         Window.orderBy(desc("cf"), asc("term"))).cast("long"))
       .withColumn("x", log(col("rank").cast("double")))
       .withColumn("y", log(col("cf").cast("double")))
-    ranked.agg(count(lit(1)).as("n_terms"),
+    lsFit(ranked, "n_terms")
+  }
+
+  /** shared least-squares-in-log-log aggregate: (n, slope, intercept, r²)
+    * over a frame carrying x/y columns — one 5-number aggregate pass */
+  private def lsFit(xy: DataFrame, nCol: String): DataFrame =
+    xy.agg(count(lit(1)).as(nCol),
         covar_pop(col("x"), col("y")).as("cxy"),
         var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
         avg("x").as("mx"), avg("y").as("my"))
-      .select(col("n_terms"),
+      .select(col(nCol),
         (col("cxy") / col("vx")).as("slope"),
         (col("my") - (col("cxy") / col("vx")) * col("mx")).as("intercept"),
         ((col("cxy") * col("cxy")) / (col("vx") * col("vy"))).as("r2"))
+
+  /** Heaps-law fit — vocabulary growth V(N) = K·N^β measured over
+    * log-spaced doc-id prefixes: for each threshold t, N(t) = tokens in
+    * docs with doc_id < t and V(t) = distinct terms whose FIRST doc_id < t
+    * (min(doc_id) per term — no cumulative distinct-count pass). β (≈0.4–
+    * 0.6 for natural text) forecasts lexicon size at 100 TB: the
+    * dictionary/df-sketch memory budget is K·N^β, and this operator
+    * measures K and β instead of guessing them.
+    *
+    * Scale shape: one per-doc token count, one min-doc aggregate per term,
+    * then each side crossed with the (tiny, broadcast) threshold list into
+    * a conditional aggregate grouped by threshold — NO global window over
+    * docs or terms, so the prefix construction is shuffle-bounded by
+    * |thresholds| groups. Thresholds past the corpus end duplicate the
+    * saturation point; points with N = 0 or V = 0 are dropped (ln
+    * undefined). */
+  def heapsFit(tokens: DataFrame,
+               thresholds: Seq[Long] = (0 to 16).map(1L << _)): DataFrame = {
+    val spark2 = tokens.sparkSession
+    import spark2.implicits._
+    val th = thresholds.toDF("t")
+    val perDoc = tokens.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val firstDoc = tokens.groupBy("term").agg(min("doc_id").as("fd"))
+    val ns = perDoc.crossJoin(broadcast(th)).groupBy("t")
+      .agg(sum(when(col("doc_id") < col("t"), col("cnt")).otherwise(lit(0L))).as("n"))
+    val vs = firstDoc.crossJoin(broadcast(th)).groupBy("t")
+      .agg(sum(when(col("fd") < col("t"), lit(1L)).otherwise(lit(0L))).as("v"))
+    val pts = ns.join(vs, "t")
+      .filter(col("n") > 0 && col("v") > 0)
+      .withColumn("x", log(col("n").cast("double")))
+      .withColumn("y", log(col("v").cast("double")))
+    lsFit(pts, "n_points")
   }
 }

@@ -92,6 +92,34 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedTopK: best m per repo == oracle regroup; WindowGroupLimit plan") {
+    val q = "join spark"
+    val p = QueryFrontend.plan(tables.termStats, "en", q)
+    val dfs = p.terms.map(t => t.term -> t.df).toMap
+    val repoOf = corpus.select("doc_id", "repo").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // oracle: all conjunctive candidates with scores, regrouped per repo
+    val all = oracle.topK("en", q, Int.MaxValue)
+    val want = all.groupBy(o => repoOf(o.docId)).view.mapValues(
+      _.sortBy(o => (-o.bm25, o.docId)).take(2)).toMap
+    val res = Search.groupedTopK(tables.postings, tables.docStats, corpus,
+      dfs, tables.nDocs, tables.avgDl, m = 2)
+    val got = res.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (repo, os) =>
+      val g = got(repo).sortBy(_._2)
+      assert(g.length == os.length, s"$repo size")
+      g.zip(os).zipWithIndex.foreach { case (((_, rk, id, sc), o), i) =>
+        assert(rk == i + 1 && id == o.docId, s"$repo rank ${i + 1}: got $id want ${o.docId}")
+        assert(math.abs(sc - o.bm25) < 1e-9)
+      }
+    }
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("Σtf parity scoring matches oracle ordering (int cast)") {
     val p = QueryFrontend.plan(tables.termStats, "en", "join spark")
     val got = Search.sumTfTopK(tables.postings, p.terms.map(_.term), 10)

@@ -148,4 +148,30 @@ class StatsSpec extends AnyFunSuite {
     val head = Stats.zipfFit(postings, topN = 4).collect().head
     assert(head.getLong(0) == 4L && math.abs(head.getDouble(1) - (-1.0)) < 1e-9)
   }
+
+  test("heapsFit: prefix (N, V) points and regression match a scalar recompute") {
+    import spark.implicits._
+    val tokens = Seq(
+      (0L, "a", "x"), (0L, "a", "y"), (1L, "a", "x"),
+      (2L, "b", "y"), (2L, "b", "z"),
+      (3L, "c", "w")
+    ).toDF("doc_id", "repo", "term")
+    val r = Stats.heapsFit(tokens, thresholds = Seq(1L, 2L, 4L)).collect().head
+    // prefixes doc_id < 1/2/4: N = [2, 3, 6]; V = [2, 2, 4]
+    // (x,y first in doc 0; z in doc 2; w in doc 3)
+    val pts = Seq((2.0, 2.0), (3.0, 2.0), (6.0, 4.0))
+      .map { case (n, v) => (math.log(n), math.log(v)) }
+    val mx = pts.map(_._1).sum / 3; val my = pts.map(_._2).sum / 3
+    val cxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum / 3
+    val vx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum / 3
+    val vy = pts.map { case (_, y) => (y - my) * (y - my) }.sum / 3
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - cxy / vx) < 1e-9, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - (my - (cxy / vx) * mx)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - (cxy * cxy) / (vx * vy)) < 1e-9)
+    // a threshold past the corpus end duplicates the saturation point but
+    // stays well-defined (no zero-variance crash on saturated vocabularies)
+    val sat = Stats.heapsFit(tokens, thresholds = Seq(1L, 2L, 4L, 8L, 16L)).collect().head
+    assert(sat.getLong(0) == 5L && !sat.getDouble(1).isNaN)
+  }
 }
