@@ -438,6 +438,17 @@ object SparkEntry {
         .select(col("n_points"), round(col("slope"), 4).as("slope_r"),
           round(col("intercept"), 4).as("intercept_r"), round(col("r2"), 4).as("r2_r"))
     }),
+    // Recency-decayed BM25: score × 0.5^(age/halfLife) over a deterministic
+    // synthetic age column (doc_id % 365 days; production = crawl ts)
+    "ft_recency_topk" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val ages = c.select(col("doc_id"), (col("doc_id") % 365).as("age_days"))
+      Search.recencyTopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl,
+          ages, halfLifeDays = 30.0, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // Grouped top-k ("top hits per facet"): best 2 docs per repo for q2
     "ft_group_topk" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -956,6 +967,14 @@ object SparkEntry {
       Dedup.minhashLshPairs(c, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
     }),
+    // Incremental dedup: pairs touching the "new batch" (doc_id even) via
+    // batch-band probe of the full band index — O(batch) candidates
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.minhashIncrementalPairs(c, col("doc_id") % 2 === 0,
+          numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
+    }),
     // Duplicate CLUSTERS: connected components (min-label propagation) over
     // the LSH near-dup pairs — turns pairwise evidence into the keep-one-
     // per-cluster dedup decision; DuckDB twin is a recursive-CTE closure
@@ -986,6 +1005,19 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Ann.bruteForceTopK(emb, Ann.fixedQueries(s, emb, 5), 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    }),
+    // Filtered vector search: exact top-k among SAME-label vectors — the
+    // filter is the join key (co-partition), never a post-filter on an
+    // unfiltered top-k (the classic recall bug)
+    "ann_filtered_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), x => x.cast("double")).as("qv"),
+          col("label").as("qlabel"))
+      Ann.filteredTopK(emb, qs, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
@@ -1260,6 +1292,25 @@ object SparkEntry {
          |       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept_r,
          |       round((covar_pop(x, y) * covar_pop(x, y)) / (var_pop(x) * var_pop(y)), 4) AS r2_r
          |FROM xy""".stripMargin
+    },
+    // recency twin: same conjunctive scored relation × power(0.5, age/HL)
+    "ft_recency_topk" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id
+         |),
+         |dec AS (SELECT doc_id,
+         |               score * power(0.5, (doc_id % 365) / 30.0) AS score
+         |        FROM scored WHERE n_terms = ${q2.size})
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r
+         |  FROM dec
+         |) WHERE rank <= 10""".stripMargin
     },
     // grouped top-k twin: same conjunctive scored relation, per-repo
     // row_number heap cut at m = 2
@@ -2001,6 +2052,15 @@ object SparkEntry {
          |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
          |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    // incremental twin: the FULL LSH pipeline restricted to pairs touching
+    // the batch — the restriction IS the incremental contract, so the hash
+    // gate proves probe-side candidates lose nothing
+    "dedup_minhash_incr" ->
+      s"""WITH ${lshCtes}
+         |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+         |  AND (a_id % 2 = 0 OR b_id % 2 = 0)""".stripMargin,
     "dedup_clusters" ->
       // transitive closure of the symmetrized LSH pair graph; cluster_id =
       // min doc_id in the component (bit-exact integer semantics, same as
@@ -2032,6 +2092,17 @@ object SparkEntry {
          |    ON x.label = y.label AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
     "ann_topk" -> annBfSql,
+    // filtered-ANN twin: the label equi-predicate joins query to corpus
+    "ann_filtered_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id, ${cosSql("q.qv", "e.embedding")} AS cos
+         |           FROM embeddings e JOIN q ON e.label = q.qlabel)
+         |SELECT query_id, rank, vec_id, cos_r FROM (
+         |  SELECT query_id, vec_id, round(cos, 4) AS cos_r,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "ann_sq8_topk" -> annSq8Sql,
     // deliberately the SAME twin: the persisted artifact must be
     // indistinguishable from the in-memory encode

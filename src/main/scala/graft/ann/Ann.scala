@@ -235,4 +235,29 @@ object Ann {
     emb.filter(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"),
         transform(col("embedding"), x => x.cast("double")).as("qv"))
+
+  /** FILTERED vector search (the "metadata-filtered ANN" every production
+    * vector store offers): exact cosine top-k among vectors whose `label`
+    * equals the query's `qlabel`. The filter is expressed as an EQUI-JOIN
+    * key, not a post-filter — candidates co-partition by label, the scorer
+    * touches only same-label rows, and a selective label turns the scan
+    * into a partition-pruned read when the embedding table is
+    * label-partitioned on disk. Post-filtering an unfiltered top-k is the
+    * classic recall bug this operator exists to avoid (k survivors of a
+    * filter ≠ top-k of the filtered set); this scores the filtered set
+    * directly, so recall is exact by construction.
+    * queries: (query_id, qv: array<double>, qlabel). */
+  def filteredTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Dedup.normCol(col("v")))
+    val scored = e.join(broadcast(queries.withColumn("qnrm", Dedup.normCol(col("qv")))),
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        Dedup.cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
 }

@@ -78,6 +78,24 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Recency-decayed ranking (Elasticsearch function_score exp-decay):
+    * score′ = BM25 · 0.5^(age/halfLife) — fresh documents outrank stale
+    * ones at equal lexical relevance, with a tunable half-life. `ages` is a
+    * (doc_id, age_days) relation (in production, derived from the crawl
+    * timestamp); it joins AFTER the candidate aggregate, so the decay join
+    * touches candidates, never postings. Multiplicative decay preserves
+    * zero-candidates semantics (missing conjunctive terms still exclude). */
+  def recencyTopK(postings: DataFrame, docStats: DataFrame,
+                  dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                  ages: DataFrame, halfLifeDays: Double, k: Int): DataFrame = {
+    val scored = conjunctiveScores(postings, docStats, dfs, nDocs, avgDl)
+      .join(ages, "doc_id")
+      .withColumn("score",
+        col("score") * pow(lit(0.5), col("age_days") / lit(halfLifeDays)))
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Grouped top-k ("top hits per facet", Elasticsearch top_hits): the best
     * m docs PER REPO for a conjunctive BM25 query, ordered (repo asc,
     * grp_rank asc). The per-group rank ≤ m filter compiles to a

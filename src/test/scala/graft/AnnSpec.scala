@@ -145,4 +145,46 @@ class AnnSpec extends AnyFunSuite {
       assert(got(qid) == ((hits, hits / 5.0)), s"query $qid")
     }
   }
+
+  test("filteredTopK: exact top-k of the SAME-LABEL subset; != post-filtered unfiltered top-k") {
+    import org.apache.spark.sql.functions._
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"),
+        col("label").as("qlabel"))
+    val got = Ann.filteredTopK(emb, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // scalar ground truth: cosine over the label-restricted set only
+    val rows = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQ = got.groupBy(_._1)
+    rows.filter(_._1 < 5).foreach { case (qid, qv, qlabel) =>
+      val want = rows.filter(_._3 == qlabel)
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val g = byQ(qid).sortBy(_._2)
+      assert(g.length == want.length, s"q$qid size")
+      g.zip(want).foreach { case ((_, _, id, c), (wid, wc)) =>
+        assert(id == wid, s"q$qid: got $id want $wid")
+        assert(math.abs(c - wc) < 1e-9)
+      }
+      // every returned vec shares the query's label (the filter is exact)
+      val labelOf = rows.map(r => r._1 -> r._3).toMap
+      assert(g.forall { case (_, _, id, _) => labelOf(id) == qlabel })
+    }
+    // the recall bug this operator avoids: post-filtering the UNFILTERED
+    // top-5 must lose results for at least one query on this fixture
+    val unfiltered = Ann.bruteForceTopK(emb, qs.drop("qlabel"), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    val qlabelOf = rows.filter(_._1 < 5).map(r => r._1 -> r._3).toMap
+    val lossy = (0L until 5L).exists { q =>
+      unfiltered(q).map(_._2).count(id => labelOf(id) == qlabelOf(q)) < byQ(q).length }
+    assert(lossy, "fixture should demonstrate the post-filter recall loss")
+  }
 }

@@ -59,6 +59,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incremental minhash ≡ full LSH restricted to pairs touching the batch") {
+    import org.apache.spark.sql.functions.col
+    // full run over the union: ground truth
+    val full = Dedup.minhashLshPairs(docs, numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // batch = docs 1 and 2 (both near-dups of 0); old tier = 0, 3, 4
+    val isNew = col("doc_id") === 1L || col("doc_id") === 2L
+    val incr = Dedup.minhashIncrementalPairs(docs, isNew,
+        numHashes = 8, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val wantKeys = full.keySet.filter { case (a, b) =>
+      Set(1L, 2L).contains(a) || Set(1L, 2L).contains(b) }
+    assert(incr.keySet == wantKeys, s"got ${incr.keySet} want $wantKeys")
+    wantKeys.foreach(k => assert(incr(k) == full(k), s"jaccard mismatch at $k"))
+    // cross-tier pair (old 0, new 1) MUST be present: the batch probe sees
+    // the old tier's bands
+    assert(incr.contains((0L, 1L)))
+    // an old-only pair never appears, even if it is a true near-dup pair
+    assert(incr.keySet.forall { case (a, b) =>
+      Set(1L, 2L).contains(a) || Set(1L, 2L).contains(b) })
+  }
+
   test("simhash: identical docs equal; hamming to near-dup small; pure-scala twin agrees") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))

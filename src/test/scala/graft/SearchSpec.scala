@@ -92,6 +92,28 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("recencyTopK: multiplicative half-life decay == scalar recompute; reorders vs pure BM25") {
+    val q = "join spark"
+    val p = QueryFrontend.plan(tables.termStats, "en", q)
+    val dfs = p.terms.map(t => t.term -> t.df).toMap
+    val ages = corpus.select(col("doc_id"), (col("doc_id") % 365).as("age_days"))
+    val all = oracle.topK("en", q, Int.MaxValue)
+    val want = all.map(o => (o.docId, o.bm25 * math.pow(0.5, (o.docId % 365).toDouble / 30.0)))
+      .sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = Search.recencyTopK(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, ages, halfLifeDays = 30.0, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case (((rk, id, sc), (wd, ws)), i) =>
+      assert(rk == i + 1 && id == wd, s"rank ${i + 1}: got $id want $wd")
+      assert(math.abs(sc - ws) < 1e-9)
+    }
+    // the decay genuinely reorders: a 30-day half-life over 0..364-day ages
+    // cannot leave the pure-BM25 order intact on this fixture
+    val pure = all.sortBy(o => (-o.bm25, o.docId)).take(10).map(_.docId)
+    assert(got.map(_._2).toSeq != pure, "decay should reorder the top-10")
+  }
+
   test("groupedTopK: best m per repo == oracle regroup; WindowGroupLimit plan") {
     val q = "join spark"
     val p = QueryFrontend.plan(tables.termStats, "en", q)
