@@ -415,6 +415,11 @@ object SparkEntry {
         .withColumn("repo", lit("ALL")).select("repo", "pages", "lemmas")
       per.select("repo", "pages", "lemmas").union(total)
     }),
+    // Hierarchical facet counts: ROLLUP (repo, lang) in ONE aggregate
+    "ft_rollup_facets" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.stats.Stats.facetRollup(c)
+    }),
     // Corpus-scale diagnostics: exact dl quantiles per repo + ALL (the
     // partition-sizing / skew report) and the Zipf slope (skew forecast)
     "text_len_quantiles" -> ((s, dir) => {
@@ -862,6 +867,17 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 4).as("score_r"))
     }),
+    // Hard-negative mining: top-5 DISJUNCTIVELY-ranked docs per query that
+    // are NOT in the (conjunctive) qrels — the ranker's own best mistakes
+    "ltr_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val qs = batchQ.toDF("query_id", "term")
+      val ranking = Search.bm25TopKBatch(t.postings, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 20, conjunctive = false)
+      val qrels = graft.query.Eval.sumTfQrels(t.postings, qs)
+      graft.pipeline.Features.hardNegatives(ranking, qrels, n = 5)
+    }),
     // Ranking-eval harness: nDCG@10 + MAP@10 of the batched BM25 ranking
     // against Σtf-graded synthetic qrels — the text twin of ann_recall
     "ft_eval_metrics" -> ((s, dir) => {
@@ -909,6 +925,14 @@ object SparkEntry {
     // deterministic hash train/val/test split (stable under data growth)
     "split_assign" -> ((s, dir) => {
       graft.pipeline.Splits.assign(Corpus.fromDocuments(s, dir))
+    }),
+    // importance sampling: keep probability ∝ alnum quality ratio, as a
+    // pure function of (doc_id, weight) — map-only, growth-stable
+    "split_importance" -> ((s, dir) => {
+      val c = Corpus.fromDocuments(s, dir)
+      val w = TextAnalysis.quality(c).select(col("doc_id"), col("alnum_ratio_r"))
+      graft.pipeline.Splits.importanceSample(c.join(w, "doc_id"), col("alnum_ratio_r"))
+        .select("doc_id", "bucket", "thr")
     }),
     // stratified per-stratum quota sampling (training-data mixing): at most
     // 40 docs per lang, selected by the cross-engine hash order — a pure
@@ -1247,6 +1271,10 @@ object SparkEntry {
       s"""WITH ${termsCte}, ${postCte}, ${qCte(q3)}
          |SELECT doc_id FROM post JOIN q USING (term)
          |GROUP BY doc_id HAVING count(*) = ${q3.size}""".stripMargin,
+    "ft_rollup_facets" ->
+      """SELECT coalesce(source, 'ALL') AS repo, coalesce(lang, 'ALL') AS lang,
+        |       count(*)::BIGINT AS pages
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
     // exact-quantile twin: Spark `percentile` and DuckDB `quantile_cont`
     // share the (n−1)·p linear-interpolation definition
     "text_len_quantiles" ->
@@ -1803,6 +1831,38 @@ object SparkEntry {
          |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
          |) WHERE rank <= 10""".stripMargin
     },
+    // hard-negative twin: disjunctive batch ranking, anti-join conjunctive
+    // qrels, per-query top-5 survivors by rank
+    "ltr_hard_negatives" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY q.query_id, p.doc_id),
+         |ranking AS (SELECT query_id, rank, doc_id FROM (
+         |  SELECT query_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         |         doc_id
+         |  FROM scored) WHERE rank <= 20),
+         |qrels AS (
+         |  SELECT x.query_id, x.doc_id FROM (
+         |    SELECT q.query_id, p.doc_id, count(*) AS n_terms
+         |    FROM post p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+         |  ) x JOIN qn USING (query_id) WHERE x.n_terms = qn.q_n)
+         |SELECT query_id, neg_rank, doc_id, rank FROM (
+         |  SELECT r.query_id, r.doc_id, r.rank,
+         |         row_number() OVER (PARTITION BY r.query_id
+         |                            ORDER BY r.rank ASC)::BIGINT AS neg_rank
+         |  FROM ranking r ANTI JOIN qrels USING (query_id, doc_id)
+         |) WHERE neg_rank <= 5""".stripMargin
+    },
     // nDCG@10 + MAP@10 twin: identical gain formula ((2^grade − 1)/ln(rank+1),
     // base cancels in the ratio), identical ideal-tie order (grade desc,
     // doc_id asc), AP denominator = |relevant| in the FULL qrels
@@ -1917,6 +1977,20 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
          |      FROM documents)""".stripMargin,
+    // importance-sampling twin: same permille hash, same rounded weight
+    "split_importance" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  round(CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+         |    ELSE 0.0 END, 4) AS alnum_ratio_r
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
+         |      FROM documents)
+         |SELECT b.doc_id, b.bucket::BIGINT AS bucket,
+         |       floor(1000.0 * w.alnum_ratio_r)::BIGINT AS thr
+         |FROM b JOIN w USING (doc_id)
+         |WHERE b.bucket < floor(1000.0 * w.alnum_ratio_r)""".stripMargin,
     "pipeline_curate" ->
       s"""WITH q AS (SELECT doc_id, text,
          |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,

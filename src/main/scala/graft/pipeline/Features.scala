@@ -75,4 +75,22 @@ object Features {
         col("f_max_tf"), col("f_dl"), col("f_idf"), col("f_bm25"),
         col("f_prior"))
   }
+
+  /** HARD-NEGATIVE mining for LTR/retrieval training: the top-n docs the
+    * ranker scored highest per query that are NOT in the qrels — the
+    * negatives that actually move a model, because they are the mistakes
+    * the current ranker makes (vs random negatives, which any model
+    * separates trivially). Pure relational: a (query_id, doc_id) anti-join
+    * against qrels, then a per-query WindowGroupLimit heap keeps the n
+    * highest-ranked survivors. Both inputs are per-query top-k relations —
+    * a million-query mining run shuffles k-row groups, never the corpus. */
+  def hardNegatives(ranking: DataFrame, qrels: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ranking
+      .join(qrels.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("rank"))).cast("long"))
+      .filter(col("neg_rank") <= n)
+      .select(col("query_id"), col("neg_rank"), col("doc_id"), col("rank"))
+  }
 }

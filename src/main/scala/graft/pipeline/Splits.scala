@@ -52,4 +52,17 @@ object Splits {
       .filter(col("samp_rank") <= quota)
       .drop("_h")
   }
+
+  /** Deterministic IMPORTANCE sampling — keep probability proportional to a
+    * per-doc quality weight w ∈ [0, 1]: doc kept iff bucket < ⌊1000·w⌋,
+    * with the same permille hash as [[assign]]. The training-data mixing
+    * move ("upsample high-quality, downsample boilerplate") as a pure
+    * function of (id, weight): rerunning, repartitioning, or growing the
+    * corpus never flips an existing doc's fate unless its own weight
+    * changed. Map-only — no shuffle, no state; w = 0 drops always,
+    * w = 1 keeps always (bucket < 1000 by construction). */
+  def importanceSample(docs: DataFrame, weight: Column): DataFrame =
+    docs.withColumn("bucket", bucketCol(col("doc_id")))
+      .withColumn("thr", floor(lit(1000.0) * weight).cast("long"))
+      .filter(col("bucket") < col("thr"))
 }

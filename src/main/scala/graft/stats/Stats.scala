@@ -132,6 +132,16 @@ object Stats {
     dataDir.exists && TableIO.readCurrent(tableDir).isEmpty
   }
 
+  /** Hierarchical facet counts via ROLLUP grouping sets: (repo, lang),
+    * (repo), and the grand total in ONE aggregate — Catalyst's Expand
+    * produces all three grouping levels from a single scan (vs three
+    * scans + a union), and the partial aggregation absorbs each level
+    * map-side. Rolled-up dimensions surface as 'ALL'. */
+  def facetRollup(corpus: DataFrame): DataFrame =
+    corpus.rollup("repo", "lang").agg(count(lit(1)).as("pages"))
+      .select(coalesce(col("repo"), lit("ALL")).as("repo"),
+        coalesce(col("lang"), lit("ALL")).as("lang"), col("pages"))
+
   /** Exact document-length quantiles per repo + ALL — the partition-sizing
     * and skew diagnostic: p99/max dl per source decides
     * `spark.sql.files.maxPartitionBytes` and flags the one crawl whose

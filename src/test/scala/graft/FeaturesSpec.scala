@@ -105,4 +105,20 @@ class FeaturesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
   }
+
+  test("hardNegatives: anti-join qrels, per-query top-n by rank") {
+    import spark.implicits._
+    import graft.pipeline.Features
+    val ranking = Seq(
+      (0L, 1L, 10L), (0L, 2L, 11L), (0L, 3L, 12L), (0L, 4L, 13L),
+      (1L, 1L, 20L), (1L, 2L, 21L)
+    ).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((0L, 10L, 2L), (0L, 12L, 1L), (1L, 20L, 3L), (1L, 21L, 3L))
+      .toDF("query_id", "doc_id", "grade")
+    val got = Features.hardNegatives(ranking, qrels, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // q0: relevant {10, 12} -> negatives in rank order: 11 (rank 2), 13 (rank 4)
+    // q1: everything relevant -> no negatives at all
+    assert(got.toSet == Set((0L, 1L, 11L, 2L), (0L, 2L, 13L, 4L)), s"got ${got.toSet}")
+  }
 }

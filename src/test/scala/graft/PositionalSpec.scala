@@ -167,6 +167,23 @@ class PositionalSpec extends AnyFunSuite {
     got.foreach { case (id, _, s) => assert(grown(id) == s) }
   }
 
+  test("importanceSample: keep iff bucket < 1000·w — pure function of (id, weight)") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 3 == 0) 0.0 else if (i % 3 == 1) 1.0 else 0.5))
+      .toDF("doc_id", "w")
+    val kept = Splits.importanceSample(docs, col("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("bucket"))).toMap
+    (0L until 200L).foreach { i =>
+      val w = if (i % 3 == 0) 0.0 else if (i % 3 == 1) 1.0 else 0.5
+      val want = Splits.bucketS(i) < math.floor(1000.0 * w).toLong
+      assert(kept.contains(i) == want, s"doc $i (w=$w, bucket=${Splits.bucketS(i)})")
+    }
+    // w=0 always drops; w=1 always keeps
+    assert((0L until 200L by 3).forall(i => !kept.contains(i)))
+    assert((1L until 200L by 3).forall(i => kept.contains(i)))
+  }
+
   test("stratifiedSample: scalar recompute, growth monotone, WindowGroupLimit plan") {
     import graft.textan.TextHash
     def mk(n: Long) = (0L until n).map(id => (id, s"s${id % 7}")).toDF("doc_id", "strata")

@@ -174,4 +174,16 @@ class StatsSpec extends AnyFunSuite {
     val sat = Stats.heapsFit(tokens, thresholds = Seq(1L, 2L, 4L, 8L, 16L)).collect().head
     assert(sat.getLong(0) == 5L && !sat.getDouble(1).isNaN)
   }
+
+  test("facetRollup: one aggregate yields (repo,lang), (repo), and grand total") {
+    import spark.implicits._
+    val c = Seq((0L, "a", "en"), (1L, "a", "ru"), (2L, "a", "en"), (3L, "b", "en"))
+      .toDF("doc_id", "repo", "lang")
+    val got = Stats.facetRollup(c).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "en") -> 2L, ("a", "ru") -> 1L, ("b", "en") -> 1L,
+      ("a", "ALL") -> 3L, ("b", "ALL") -> 1L,
+      ("ALL", "ALL") -> 4L))
+  }
 }
