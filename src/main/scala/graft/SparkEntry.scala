@@ -1008,6 +1008,17 @@ object SparkEntry {
         threshold = 0.8).select("a_id", "b_id")
       Dedup.clusters(pairs)
     }),
+    // Canonical selection: keep each cluster's highest-quality member
+    // (alnum ratio, ties doc_id asc) — not blindly the min id
+    "dedup_canonical" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val pairs = Dedup.minhashLshPairs(c, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.8).select("a_id", "b_id")
+      val q = TextAnalysis.quality(c).select(col("doc_id"), col("alnum_ratio_r").as("q"))
+      Dedup.canonical(Dedup.clusters(pairs), q)
+        .select(col("cluster_id"), col("canonical_id"),
+          round(col("q"), 4).as("q_r"), col("members"))
+    }),
     // 31-bit SimHash per doc
     "dedup_simhash" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -2151,6 +2162,32 @@ object SparkEntry {
          |  UNION
          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u""".stripMargin,
+    // canonical twin: the clusters closure + quality argmax per cluster
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE ${lshCtes},
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8),
+         |und AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |qual AS (SELECT doc_id,
+         |  round(CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+         |    ELSE 0.0 END, 4) AS q
+         |  FROM documents),
+         |mem AS (SELECT cluster_id, count(*)::BIGINT AS members FROM cl GROUP BY cluster_id)
+         |SELECT cluster_id, canonical_id, q_r, members FROM (
+         |  SELECT cl.cluster_id, cl.doc_id AS canonical_id, round(qual.q, 4) AS q_r,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY qual.q DESC, cl.doc_id ASC) AS pick
+         |  FROM cl JOIN qual USING (doc_id)
+         |) JOIN mem USING (cluster_id) WHERE pick = 1""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql)

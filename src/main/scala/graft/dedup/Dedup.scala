@@ -166,6 +166,24 @@ object Dedup {
     finishAudit(out, eager, sh)
   }
 
+  /** CANONICAL selection: from each duplicate cluster keep the
+    * highest-QUALITY member, not the min-id one — the real pipeline keeps
+    * the cleanest copy (boilerplate-free mirror, best extraction) and maps
+    * the rest to it. `clustered`: (doc_id, cluster_id) from [[clusters]];
+    * `quality`: (doc_id, q). Per-cluster argmax (q desc, doc_id asc) via a
+    * WindowGroupLimit 1-row heap; `members` counts the cluster so the
+    * "docs removed by dedup" audit is `Σ (members − 1)`. */
+  def canonical(clustered: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clustered.join(quality, "doc_id")
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(desc("q"), asc("doc_id"))))
+      .filter(col("pick") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"), col("q"))
+      .join(clustered.groupBy("cluster_id").agg(count(lit(1)).as("members")),
+        "cluster_id")
+  }
+
   // ---------- SimHash --------------------------------------------------
   /** number of SimHash bits: 62 (two 31-bit mixed hashes of the term hash).
     * At 100 TB the band buckets must stay sparse: with 62 bits and 4 bands

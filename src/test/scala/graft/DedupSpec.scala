@@ -81,6 +81,22 @@ class DedupSpec extends AnyFunSuite {
       Set(1L, 2L).contains(a) || Set(1L, 2L).contains(b) })
   }
 
+  test("canonical: highest-quality member wins, NOT min id; members counted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (9L, 0.1))
+      .toDF("doc_id", "q")
+    val got = Dedup.canonical(clustered, quality).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // cluster 1: quality tie 2 vs 3 at 0.9 -> doc_id asc picks 2 (min id 1 LOSES)
+    assert(got(1L) == ((2L, 0.9, 3L)), s"got ${got(1L)}")
+    assert(got(7L) == ((7L, 0.5, 2L)))
+    // dedup audit: docs removed = Σ(members - 1)
+    assert(got.values.map(_._3 - 1).sum == 3L)
+  }
+
   test("simhash: identical docs equal; hamming to near-dup small; pure-scala twin agrees") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))
