@@ -980,6 +980,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(c, n = 3, threshold = 0.8, maxShingleDf = 1000L)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
     }),
+    // Containment (subset-duplication): inter / min(|A|,|B|) >= 0.9 — the
+    // quoted-whole-inside case Jaccard misses on size-skewed pairs
+    "dedup_containment" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.containmentPairs(c, n = 3, threshold = 0.9, maxShingleDf = 1000L)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 4).as("cont_r"))
+    }),
     // MinHash signatures (8 hash functions, codegen'd min-aggregates)
     "dedup_minhash_sig" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -1192,6 +1199,13 @@ object SparkEntry {
     // burst detection: hour buckets vs trailing-6 baseline, BIGINT test
     "events_bursts" -> ((s, dir) =>
       graft.streaming.Events.bursts(graft.streaming.Events.read(s, dir))),
+    // retention cohorts: first-activity-day matrix, BIGINT day arithmetic
+    "events_retention" -> ((s, dir) =>
+      graft.streaming.Events.retention(graft.streaming.Events.read(s, dir))),
+    // strict-order funnel view -> click -> purchase (min-timestamp chain)
+    "events_funnel" -> ((s, dir) =>
+      graft.streaming.Events.funnel(graft.streaming.Events.read(s, dir),
+        Seq("view", "click", "purchase"))),
     // champion lists: per-term top-m impact-ordered candidates (index-build
     // artifact), approximate disjunctive BM25 over champions only — the
     // hard-cost-ceiling query tier (IIR §7.1.3)
@@ -1749,6 +1763,24 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us FROM events),
+        |fst AS (SELECT user_id, min(day_us) AS cohort_us FROM act GROUP BY user_id)
+        |SELECT f.cohort_us, (a.day_us - f.cohort_us) // 86400000000 AS k,
+        |       count(*)::BIGINT AS users
+        |FROM act a JOIN fst f USING (user_id)
+        |WHERE (a.day_us - f.cohort_us) // 86400000000 <= 7
+        |GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id)
+        |SELECT 1::BIGINT AS step, 'view' AS event_type, (SELECT count(*) FROM s1)::BIGINT AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
     "events_bursts" ->
       """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS cnt
         |           FROM events GROUP BY 1, 2),
@@ -2114,6 +2146,18 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    // containment twin: same candidate chain, score inter / least sizes
+    "dedup_containment" ->
+      s"""WITH ${shinglesCte},
+         |keptsh AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),
+         |shk AS (SELECT doc_id, shingle FROM shd JOIN keptsh USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |          FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, round(i::DOUBLE / least(sa.sz, sb.sz), 4) AS cont_r
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE i::DOUBLE / least(sa.sz, sb.sz) >= 0.9""".stripMargin,
     "dedup_ngram" ->
       s"""WITH ${shinglesCte},
          |keptsh AS (SELECT shingle FROM shd GROUP BY shingle HAVING count(*) <= 1000),

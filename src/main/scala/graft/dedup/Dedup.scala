@@ -66,6 +66,35 @@ object Dedup {
     finishAudit(out, eager, sh)
   }
 
+  /** CONTAINMENT pairs — the subset-duplication Jaccard misses: a short
+    * doc quoted whole inside a long one has |A∩B|/|A| ≈ 1 but a tiny
+    * Jaccard (the union is the long doc). Score = inter / min(|A|, |B|),
+    * the symmetric max-containment. Candidates come from the inverted
+    * shingle join (NOT minhash banding, which estimates Jaccard and would
+    * systematically miss size-skewed pairs); the same `maxShingleDf`
+    * hot-shingle prune bounds the join under Zipf skew. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.9,
+                       maxShingleDf: Long = 1000L, eager: Boolean = true): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+        .filter(col("sdf") <= maxShingleDf).select("shingle"),
+      "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = kept.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, "shingle").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sza"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "szb"), "b_id")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sza"), col("szb")))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+    finishAudit(out, eager, sh)
+  }
+
   // ---------- MinHash + LSH -------------------------------------------
   /** MinHash signature: numHashes min-aggregates over mixed shingle hashes
     * — one hash-aggregate pass, fully codegen'd (no UDF, no arrays until

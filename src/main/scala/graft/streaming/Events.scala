@@ -192,4 +192,51 @@ object Events {
           out.iterator
         })
   }
+
+  /** Retention cohorts — the product-analytics staple: users grouped by
+    * FIRST-activity day, counted on each subsequent day k they return
+    * (0 ≤ k ≤ maxDays). Day arithmetic stays in epoch-microsecond BIGINTs
+    * (day diff = exact multiple of 86,400,000,000), so the cohort matrix is
+    * hash-exact across engines and timezone representations. Scale shape:
+    * one distinct (user, day) pass, one min per user, one co-partitioned
+    * user join — the output is |cohorts| × maxDays rows regardless of
+    * event volume. */
+  def retention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val act = withTsLtz(events)
+      .select(col("user_id"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("day_us").as("cohort_us"))
+    act.join(first, "user_id")
+      .withColumn("k",
+        ((col("day_us") - col("cohort_us")) / lit(86400000000L)).cast("long"))
+      .filter(col("k") <= maxDays)
+      .groupBy("cohort_us", "k")
+      .agg(count(lit(1)).as("users")) // act is distinct per (user, day)
+  }
+
+  /** Ordered funnel — users completing step i strictly AFTER their step
+    * i−1 completion (min-timestamp semantics, the standard strict-order
+    * funnel). Each stage is one event-type-filtered join + min-aggregate
+    * co-partitioned on user_id; no window over the raw event stream, no
+    * per-user arrays. Returns (step, event_type, users) — one row per
+    * stage. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val e = withTsLtz(events)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    var cur = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    val stages = scala.collection.mutable.ArrayBuffer((1, steps.head, cur))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      cur = e.filter(col("event_type") === st).join(cur, "user_id")
+        .filter(col("us") > col("t"))
+        .groupBy("user_id").agg(min("us").as("t"))
+      stages += ((i + 2, st, cur))
+    }
+    stages.map { case (i, st, df) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i.toLong).as("step"), lit(st).as("event_type"), col("users"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -45,6 +45,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containment catches subset-duplication that Jaccard misses") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val host = quote + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val d = Seq(
+      (0L, "r", "en", quote),
+      (1L, "r", "en", host),
+      (2L, "r", "en", "unrelated words entirely different content here now")
+    ).toDF("doc_id", "repo", "lang", "content")
+    // doc 0 has 3 shingles, ALL present in doc 1 -> containment 1.0,
+    // but jaccard = 3 / |union| is far below any near-dup threshold
+    val cont = Dedup.containmentPairs(d, threshold = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.get((0L, 1L)).contains(1.0), s"got $cont")
+    assert(!cont.keys.exists { case (a, b) => a == 2L || b == 2L })
+    val jac = Dedup.ngramJaccardPairs(d, threshold = 0.8).collect()
+    assert(!jac.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "jaccard at 0.8 must MISS the quoted-subset pair containment catches")
+  }
+
   test("minhash signature identical for identical docs, differs for unrelated") {
     val sig = Dedup.minhashSignatures(docs, numHashes = 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap

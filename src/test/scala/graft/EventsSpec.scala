@@ -207,4 +207,46 @@ class EventsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got == want.toMap)
   }
+
+  test("retention: cohort matrix exact on a crafted fixture (BIGINT day arithmetic)") {
+    import spark.implicits._
+    val day = 86400000000L
+    def ts(d: Long, off: Long = 0L) = new java.sql.Timestamp((d * day + off) / 1000)
+    // u1: days 0,1,3; u2: day 0 only; u3: days 1,2 (two activities on day 1)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(3)),
+      (2L, ts(0, 3600L * 1000000)),
+      (3L, ts(1)), (3L, ts(1, 7200L * 1000000)), (3L, ts(2))
+    ).toDF("user_id", "ts")
+    val got = Events.retention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val c0 = 0L // epoch day 0 in micros
+    val c1 = day
+    assert(got == Map(
+      (c0, 0L) -> 2L, (c0, 1L) -> 1L, (c0, 3L) -> 1L,
+      (c1, 0L) -> 1L, (c1, 1L) -> 1L), s"got $got")
+  }
+
+  test("funnel: strict order enforced; out-of-order completions do not count") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val M = 1000000L
+    val ev = Seq(
+      // u1 completes the full funnel in order
+      (1L, "view", ts(1 * M)), (1L, "click", ts(2 * M)), (1L, "purchase", ts(3 * M)),
+      // u2: purchase BEFORE view -> reaches click but NOT purchase
+      (2L, "purchase", ts(4 * M)), (2L, "view", ts(5 * M)), (2L, "click", ts(6 * M)),
+      // u3: click only -> never enters the funnel
+      (3L, "click", ts(7 * M)),
+      // u4: view then click at the SAME us -> strict > excludes the click
+      (4L, "view", ts(8 * M)), (4L, "click", ts(8 * M))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (("view", 3L)),     // u1, u2, u4
+      2L -> (("click", 2L)),    // u1, u2 (u4 blocked by strict order)
+      3L -> (("purchase", 1L))  // u1 only
+    ), s"got $got")
+  }
 }
