@@ -443,6 +443,23 @@ object SparkEntry {
         .select(col("n_points"), round(col("slope"), 4).as("slope_r"),
           round(col("intercept"), 4).as("intercept_r"), round(col("r2"), 4).as("r2_r"))
     }),
+    // Pre-retrieval cost estimate per query (admission control): Σdf scan
+    // cost + min-df candidate bound; missing term ⇒ 0 candidates
+    "ft_query_cost" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      QueryFrontend.planCost(t.termStats, costQ.toDF("query_id", "term"))
+    }),
+    // Score explain (Lucene explain as a relation): per-term BM25 breakdown
+    // for the query's top-3 docs
+    "ft_explain" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.explain(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, k = 3)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("term"),
+          col("tf"), col("df"), col("dl"), round(col("idf"), 4).as("idf_r"),
+          round(col("tfnorm"), 4).as("tfnorm_r"), round(col("contrib"), 4).as("contrib_r"))
+    }),
     // Recency-decayed BM25: score × 0.5^(age/halfLife) over a deterministic
     // synthetic age column (doc_id % 365 days; production = crawl ts)
     "ft_recency_topk" -> ((s, dir) => {
@@ -1266,6 +1283,9 @@ object SparkEntry {
   /** log-spaced doc-id prefix thresholds for the Heaps fit (1 .. 4096) */
   val heapsThresholds: Seq[Long] = (0 to 12).map(1L << _)
 
+  /** cost-estimator query log: batchQ + a query with a missing term */
+  val costQ: Seq[(Long, String)] = batchQ ++ Seq((3L, "spark"), (3L, "warpdrive"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1345,6 +1365,42 @@ object SparkEntry {
          |       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 4) AS intercept_r,
          |       round((covar_pop(x, y) * covar_pop(x, y)) / (var_pop(x) * var_pop(y)), 4) AS r2_r
          |FROM xy""".stripMargin
+    },
+    // cost twin: dictionary-only join, no postings touch
+    "ft_query_cost" -> {
+      val qVals = costQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${tstatsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |j AS (SELECT q.query_id, t.df FROM q LEFT JOIN tstats t USING (term))
+         |SELECT query_id, count(*)::BIGINT AS n_terms, count(df)::BIGINT AS matched,
+         |       coalesce(sum(df), 0)::BIGINT AS sum_df,
+         |       (CASE WHEN count(df) < count(*) THEN 0
+         |             ELSE coalesce(min(df), 0) END)::BIGINT AS est_candidates
+         |FROM j GROUP BY query_id""".stripMargin
+    },
+    // explain twin: top-3 ranking + per-term factor breakdown from the
+    // SAME formula fragments (Bm25.sqlIdf/sqlTfNorm compose Bm25.sql)
+    "ft_explain" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val idf = Bm25.sqlIdf("t.df", "s.n")
+      val tfn = Bm25.sqlTfNorm("p.tf", "d.dl", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id
+         |),
+         |topk AS (SELECT rank::BIGINT AS rank, doc_id FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+         |  FROM scored WHERE n_terms = ${q2.size}
+         |) WHERE rank <= 3)
+         |SELECT k.rank, p.doc_id, p.term, p.tf, t.df, d.dl,
+         |       round($idf, 4) AS idf_r, round($tfn, 4) AS tfnorm_r,
+         |       round($score, 4) AS contrib_r
+         |FROM post p JOIN topk k USING (doc_id) JOIN q USING (term)
+         |     JOIN tstats t USING (term) JOIN ds d ON p.doc_id = d.doc_id, stats s""".stripMargin
     },
     // recency twin: same conjunctive scored relation × power(0.5, age/HL)
     "ft_recency_topk" -> {

@@ -36,7 +36,12 @@ object Bm25 {
   def scoreS(tf: Long, df: Long, dl: Long, nDocs: Long, avgDl: Double): Double =
     idfS(df, nDocs) * tfNormS(tf, dl, avgDl)
 
-  /** DuckDB SQL expression for the same score (column names fixed). */
+  /** DuckDB SQL fragments for the same score (column names fixed); `sql`
+    * is their product, so explain-style breakdowns stay formula-aligned. */
+  def sqlIdf(df: String, n: String): String =
+    s"ln((($n - $df + 0.5) / ($df + 0.5)) + 1.0)"
+  def sqlTfNorm(tf: String, dl: String, avgdl: String): String =
+    s"(($tf * ${k1 + 1.0}) / ($tf + $k1 * (${1.0 - b} + $b * $dl / $avgdl)))"
   def sql(tf: String, df: String, dl: String, n: String, avgdl: String): String =
-    s"ln((($n - $df + 0.5) / ($df + 0.5)) + 1.0) * (($tf * ${k1 + 1.0}) / ($tf + $k1 * (${1.0 - b} + $b * $dl / $avgdl)))"
+    s"${sqlIdf(df, n)} * ${sqlTfNorm(tf, dl, avgdl)}"
 }

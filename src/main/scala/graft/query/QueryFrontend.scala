@@ -270,4 +270,25 @@ object QueryFrontend {
     val (kept, dropped) = pruneCommon(infos, pruneCoef)
     Plan(kept.sortBy(t => (t.df, t.term)), missing, dropped.sortBy(_.term))
   }
+
+  /** Pre-retrieval COST ESTIMATE for a whole query log — the admission-
+    * control / scheduling signal a multi-tenant cluster gates on before
+    * running anything: postings rows a conjunctive evaluation must scan
+    * (Σ df) and the candidate-set upper bound (min df — the driving list).
+    * One broadcast join of the log against the dictionary, one aggregate;
+    * the postings themselves are never touched. `matched` < `n_terms`
+    * flags queries the missing-term short-circuit will reject for free. */
+  def planCost(termStats: DataFrame, queries: DataFrame): DataFrame = {
+    val q = queries.select("query_id", "term").distinct()
+    q.join(termStats.select("term", "df"), Seq("term"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_terms"),
+        count(col("df")).as("matched"),
+        coalesce(sum("df"), lit(0L)).as("sum_df"),
+        coalesce(min("df"), lit(0L)).as("min_df"))
+      .select(col("query_id"), col("n_terms"), col("matched"), col("sum_df"),
+        // a missing term empties the conjunction — candidates are 0, not min df
+        when(col("matched") < col("n_terms"), lit(0L))
+          .otherwise(col("min_df")).as("est_candidates"))
+  }
 }

@@ -78,6 +78,33 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Score EXPLAIN (Lucene's `explain` API as a relation): the per-term
+    * BM25 breakdown — tf, df, dl, idf, tf-norm, contribution — for the
+    * top-k documents of a query. The debugging surface every relevance
+    * engineer asks for first ("why does THIS doc rank?"); because it is a
+    * relation, a whole regression suite's worth of explains is one plan.
+    * Cost: the top-k ranking itself + one postings probe broadcast-joined
+    * to the k winners (never a second full scoring pass). */
+  def explain(postings: DataFrame, docStats: DataFrame,
+              dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+              k: Int): DataFrame = {
+    val terms = dfs.keys.toSeq.sorted
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val top = bm25TopK(postings, docStats, dfs, nDocs, avgDl, k)
+      .select(col("rank"), col("doc_id"))
+    postings
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(broadcast(top), "doc_id")
+      .join(docStats, "doc_id")
+      .select(col("rank"), col("doc_id"), col("term"), col("tf"),
+        dfCol.as("df"), col("dl"),
+        Bm25.idf(dfCol, nDocs).as("idf"),
+        Bm25.tfNorm(col("tf"), col("dl"), avgDl).as("tfnorm"),
+        Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl).as("contrib"))
+  }
+
   /** Recency-decayed ranking (Elasticsearch function_score exp-decay):
     * score′ = BM25 · 0.5^(age/halfLife) — fresh documents outrank stale
     * ones at equal lexical relevance, with a tunable half-life. `ages` is a

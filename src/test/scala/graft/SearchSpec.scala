@@ -92,6 +92,40 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("planCost: dictionary-only estimate; missing term zeroes the candidate bound") {
+    import spark.implicits._
+    val qlog = Seq((0L, "join"), (0L, "spark"),
+      (1L, "spark"), (1L, "warpdrive"), (2L, "dup")).toDF("query_id", "term")
+    val got = QueryFrontend.planCost(tables.termStats, qlog).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val dfm = tables.termStats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got(0L) == ((2L, 2L, dfm("join") + dfm("spark"), math.min(dfm("join"), dfm("spark")))))
+    // missing term: matched < n_terms and the conjunctive bound is ZERO
+    assert(got(1L) == ((2L, 1L, dfm("spark"), 0L)))
+    assert(got(2L) == ((1L, 1L, dfm("dup"), dfm("dup"))))
+  }
+
+  test("explain: factors multiply to the contribution; contributions sum to the doc score") {
+    val p = QueryFrontend.plan(tables.termStats, "en", "join spark")
+    val dfs = p.terms.map(t => t.term -> t.df).toMap
+    val rows = Search.explain(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    assert(rows.nonEmpty && rows.map(_._2).distinct.length == 3)
+    rows.foreach { case (_, _, term, _, df, _, idf, tfn, contrib) =>
+      assert(df == dfs(term))
+      assert(math.abs(idf * tfn - contrib) < 1e-12, s"$term factors")
+    }
+    // per-doc contributions reproduce the ranking's scores
+    val want = oracle.topK("en", "join spark", 3)
+    rows.groupBy(_._2).foreach { case (docId, ts) =>
+      val o = want.find(_.docId == docId).get
+      assert(math.abs(ts.map(_._9).sum - o.bm25) < 1e-9, s"doc $docId sum")
+      assert(ts.map(_._3).toSet == dfs.keySet, s"doc $docId must explain EVERY query term")
+    }
+  }
+
   test("recencyTopK: multiplicative half-life decay == scalar recompute; reorders vs pure BM25") {
     val q = "join spark"
     val p = QueryFrontend.plan(tables.termStats, "en", q)
