@@ -729,6 +729,12 @@ object SparkEntry {
       val snip = graft.query.Snippets.makeSnippetUdf(q2.toSet)
       c.select(col("doc_id"), snip(col("content"), lit("en")).as("snippet"))
     }),
+    // Multi-fragment snippet: the 2 best sentences, document order, "…"-joined
+    "ft_snippet_multi" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val snip = graft.query.Snippets.makeSnippetMultiUdf(q2.toSet, m = 2)
+      c.select(col("doc_id"), snip(col("content"), lit("en")).as("snippet"))
+    }),
     // Per-site collapse: best result per repo from a top-100 pool, re-ranked
     "ft_collapse_repo" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -1650,6 +1656,7 @@ object SparkEntry {
          |  FROM coll) WHERE rank <= 10""".stripMargin
     },
     "ft_snippet" -> snippetSql,
+    "ft_snippet_multi" -> snippetMultiSql,
     "ft_positions" ->
       s"""WITH ${tokArrCte},
          |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr)
@@ -2674,6 +2681,37 @@ object SparkEntry {
        |snip AS (SELECT doc_id, array_to_string(list_transform(sw,
        |  w -> CASE WHEN ${snipMatchSql("w")} THEN '<b>' || w || '</b>' ELSE w END), ' ') AS snippet
        |  FROM win)
+       |SELECT d.doc_id, coalesce(s.snippet, '') AS snippet
+       |FROM documents d LEFT JOIN snip s ON d.doc_id = s.doc_id""".stripMargin
+
+  /** multi-fragment twin: rn ≤ 2 keeps idx; per-(doc, idx) window +
+    * highlight; fragments re-joined in DOCUMENT order */
+  private def snippetMultiSql: String =
+    s"""WITH sraw AS (SELECT doc_id, regexp_split_to_array(text, '[.!?]\\s*') AS arr FROM documents),
+       |sent0 AS (SELECT doc_id, unnest(arr) AS sentence, unnest(range(len(arr))) AS idx FROM sraw),
+       |scnt AS (SELECT doc_id, idx, sentence,
+       |  len(list_filter(regexp_split_to_array(sentence, '[«»“”[:punct:]\\s]+'),
+       |      w -> w <> '' AND ${snipMatchSql("w")})) AS cnt
+       |  FROM sent0 WHERE sentence <> ''),
+       |best AS (SELECT doc_id, idx, sentence FROM (
+       |  SELECT doc_id, idx, sentence,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, idx ASC) AS rn
+       |  FROM scnt) WHERE rn <= 2),
+       |wrds AS (SELECT doc_id, idx,
+       |  list_filter(regexp_split_to_array(sentence, '\\s+'), w -> w <> '') AS ws FROM best),
+       |win AS (SELECT doc_id, idx, ws,
+       |  CASE WHEN len(ws) < ${Snippets.snippetWords + 1} THEN ws
+       |       ELSE ws[CAST(st + 1 AS INTEGER):CAST(st + ${Snippets.snippetWords} AS INTEGER)] END AS sw
+       |  FROM (SELECT doc_id, idx, ws,
+       |          CASE WHEN len(hl) > 0 THEN greatest(0, hl[1] - ${Snippets.snippetWords / 2}) ELSE 0 END AS st
+       |        FROM (SELECT doc_id, idx, ws,
+       |                list_filter(range(len(ws)), i -> ${snipMatchSql("ws[CAST(i + 1 AS INTEGER)]")}) AS hl
+       |              FROM wrds))),
+       |snipf AS (SELECT doc_id, idx, array_to_string(list_transform(sw,
+       |  w -> CASE WHEN ${snipMatchSql("w")} THEN '<b>' || w || '</b>' ELSE w END), ' ') AS frag
+       |  FROM win),
+       |snip AS (SELECT doc_id, array_to_string(list(frag ORDER BY idx), ' … ') AS snippet
+       |  FROM snipf GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(s.snippet, '') AS snippet
        |FROM documents d LEFT JOIN snip s ON d.doc_id = s.doc_id""".stripMargin
 

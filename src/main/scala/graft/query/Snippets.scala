@@ -60,4 +60,30 @@ object Snippets {
       if (text == null) "" else makeSnippet(text, terms, lang))
     (text, lang) => f(text, lang)
   }
+
+  /** MULTI-FRAGMENT snippet (the "…"-joined highlights every modern SERP
+    * shows): the m best-matching sentences by (match count desc, index
+    * asc), re-ordered to DOCUMENT order for display, each trimmed and
+    * highlighted like the single-fragment path. m = 1 degenerates to
+    * [[makeSnippet]] exactly. */
+  def makeSnippetMulti(text: String, terms: Set[String], lang: String,
+                       m: Int = 2): String = {
+    val sentences = text.split("[.!?]\\s*").toSeq.filter(_.nonEmpty)
+    if (sentences.isEmpty) return ""
+    val scored = sentences.zipWithIndex.map { case (s, i) =>
+      val cnt = s.split("[«»“”\\p{Punct}\\s]+").count(w => w.nonEmpty && matches(w, terms, lang))
+      (cnt, i, s)
+    }
+    scored.sortBy { case (cnt, i, _) => (-cnt, i) }.take(m)
+      .sortBy(_._2)
+      .map { case (_, _, s) => highlight(trimAroundFirstHit(s, terms, lang), terms, lang) }
+      .mkString(" … ")
+  }
+
+  /** UDF form of [[makeSnippetMulti]] — final-k-rows only, like the rest */
+  def makeSnippetMultiUdf(terms: Set[String], m: Int = 2): (Column, Column) => Column = {
+    val f = udf((text: String, lang: String) =>
+      if (text == null) "" else makeSnippetMulti(text, terms, lang, m))
+    (text, lang) => f(text, lang)
+  }
 }

@@ -51,4 +51,22 @@ class SnippetsSpec extends AnyFunSuite {
     assert(!snip.contains("Intro"))
     assert(Snippets.makeSnippet("", terms, "en") == "")
   }
+
+  test("makeSnippetMulti: two best fragments in DOCUMENT order; m=1 == single") {
+    // best sentence (2 hits) comes AFTER the runner-up (1 hit) in the text:
+    // display order must still be document order, not score order
+    val text = "a join appears early. no match here at all. spark join wins late."
+    val multi = Snippets.makeSnippetMulti(text, terms, "en", m = 2)
+    val frags = multi.split(" … ")
+    assert(frags.length == 2, s"got $multi")
+    assert(frags(0).contains("<b>join</b>") && frags(0).contains("early"))
+    assert(frags(1).contains("<b>spark</b>") && frags(1).contains("late"))
+    assert(!multi.contains("no match"))
+    // m = 1 degenerates to the single-fragment path exactly
+    assert(Snippets.makeSnippetMulti(text, terms, "en", m = 1) ==
+      Snippets.makeSnippet(text, terms, "en"))
+    // single-sentence doc yields one fragment; empty text safe
+    assert(!Snippets.makeSnippetMulti("spark join only", terms, "en").contains("…"))
+    assert(Snippets.makeSnippetMulti("", terms, "en") == "")
+  }
 }
