@@ -1249,6 +1249,19 @@ object SparkEntry {
       graft.index.Champions.topK(ch, dfs, t.nDocs, t.avgDl, 10)
         .select(col("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // tiered retrieval: champion tier-1 candidates rescored exactly, served
+    // when the outside-docs certificate holds, exhaustive fallback otherwise
+    // — EXACT either way: shares ft_bm25_or_topk's oracle, so the hash gate
+    // is the equality proof (IIR §7.2.1 made exact)
+    "ft_tiered" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val ch = graft.index.Champions.build(t.postings, t.docStats, t.avgDl, m = 40)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      graft.index.Champions.tieredTopK(ch, t.postings, t.docStats, dfs,
+        t.nDocs, t.avgDl, m = 40, k = 10)._1
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // term facets: top-3 terms per repo by per-repo df (WindowGroupLimit)
     "ft_facets" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -1480,6 +1493,10 @@ object SparkEntry {
          |) WHERE rank <= 10""".stripMargin,
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
     "ft_bm25_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
+    // tiered retrieval SHARES the exhaustive disjunctive twin: the hash
+    // equality IS the proof that the tier-1 certificate + fallback return
+    // the exact global top-k
+    "ft_tiered" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_prf" -> prfSql(q2, k = 10, r = 5, e = 3, wOrig = 2),

@@ -86,4 +86,59 @@ object Champions {
         row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Tiered retrieval with an EXACTNESS certificate (IIR §7.2.1 tiered
+    * indexes, made exact rather than best-effort): tier 1 takes the ≤ |q|·m
+    * candidate docs named by the query terms' champion lists and rescores
+    * them EXACTLY against the postings (a champion row for term t says
+    * nothing about the doc's OTHER query terms, so approximate champion-only
+    * scores cannot be certified). The certificate bounds every doc OUTSIDE
+    * the candidate set per term: a FULL champion list's weakest (m-th) entry
+    * dominates every non-champion tf-norm of that term by construction of
+    * the top-m cut; a SHORT list (< m entries) means every doc containing
+    * the term is already a candidate, so outsiders contribute 0. If the
+    * k-th tier-1 score strictly exceeds Σ_t idf_t · bound_t, the tier-1
+    * top-k IS the global disjunctive top-k (strict '>' so an outsider tying
+    * the bound can never displace by docId tie-break); otherwise the query
+    * falls back to the exhaustive disjunctive tier. Either branch returns
+    * the exact top-k — `ft_tiered` shares `ft_bm25_or_topk`'s oracle SQL,
+    * so the driver's hash gate is the end-to-end equality proof.
+    *
+    * Scale shape: tier 1 reads the champion relation (m/avgDf of the
+    * postings) and one term-pruned postings probe semi-joined to a
+    * broadcast ≤ |q|·m-doc candidate set; the certificate costs |q| driver
+    * doubles + the k rows already being returned. The fallback keeps
+    * adversarial queries (all-hot terms, deep ties near the bound) exact at
+    * exhaustive cost instead of silently wrong — the per-query tier
+    * decision a web frontend makes when it runs the fancy list first.
+    *
+    * Returns (exact top-k, servedFromTier1). */
+  def tieredTopK(champions: DataFrame, postings: DataFrame, docStats: DataFrame,
+                 dfs: Map[String, Long], nDocs: Long, avgDl: Double, m: Int,
+                 k: Int): (DataFrame, Boolean) = {
+    val terms = dfs.keys.toSeq.sorted
+    val champQ = champions.filter(col("term").isin(terms.map(x => x: Any): _*))
+    // per-term (list length, weakest champion tf-norm): |q| rows
+    val lims = champQ
+      .withColumn("_tfn", Bm25.tfNorm(col("tf"), col("dl"), avgDl))
+      .groupBy("term").agg(count(lit(1)).as("cnt"), min(col("_tfn")).as("mintfn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val outsideBound = terms.map { t =>
+      lims.get(t) match {
+        case Some((cnt, mintfn)) if cnt >= m => Bm25.idfS(dfs(t), nDocs) * mintfn
+        case _ => 0.0 // short/absent list: every doc with t is a candidate
+      }
+    }.sum
+    val cands = champQ.select("doc_id").distinct()
+    val tier1 = graft.query.Search.bm25TopKDisjunctive(
+      postings.join(broadcast(cands), Seq("doc_id"), "left_semi"),
+      docStats, dfs, nDocs, avgDl, k)
+    val rows = tier1.collect()
+    val certified = rows.length >= k && rows.last.getDouble(2) > outsideBound
+    if (certified)
+      (tier1.sparkSession.createDataFrame(
+        tier1.sparkSession.sparkContext.parallelize(rows.toIndexedSeq, 1), tier1.schema), true)
+    else
+      (graft.query.Search.bm25TopKDisjunctive(postings, docStats, dfs, nDocs, avgDl, k), false)
+  }
 }

@@ -743,6 +743,43 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("tiered retrieval: exact vs exhaustive at any m; certificate fires only when sound") {
+    import graft.index.Champions
+    val q = Seq("join", "spark")
+    val dfs = QueryFrontend.lookupDf(tables.termStats, q.toSet)
+    val want = Search.bm25TopKDisjunctive(tables.postings, tables.docStats, dfs,
+        tables.nDocs, tables.avgDl, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def check(got: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, (wrk, wid, wsc)) =>
+        assert(g.getInt(0) == wrk && g.getLong(1) == wid)
+        assert(math.abs(g.getDouble(2) - wsc) < 1e-9)
+      }
+    }
+    // m covering every posting: every df < m, so every list is "short" —
+    // outside bound 0, certificate fires, tier 1 IS the exhaustive ranking
+    val mBig = tables.nDocs.toInt + 1
+    val full = Champions.build(tables.postings, tables.docStats, tables.avgDl, mBig)
+    val (gotF, certF) = Champions.tieredTopK(full, tables.postings, tables.docStats,
+      dfs, tables.nDocs, tables.avgDl, mBig, k = 10)
+    assert(certF, "certificate must fire when champion lists cover the postings")
+    check(gotF.collect())
+    // m = 1: the bound is each term's BEST tf-norm — an upper bound on the
+    // top-1 score itself, so the 10th score can never exceed it: fallback,
+    // and the result is still exactly the exhaustive ranking
+    val ch1 = Champions.build(tables.postings, tables.docStats, tables.avgDl, m = 1)
+    val (got1, cert1) = Champions.tieredTopK(ch1, tables.postings, tables.docStats,
+      dfs, tables.nDocs, tables.avgDl, m = 1, k = 10)
+    assert(!cert1, "m=1 bound dominates the k-th score; must fall back")
+    check(got1.collect())
+    // mid m: whichever branch fires, the contract is exactness
+    val ch5 = Champions.build(tables.postings, tables.docStats, tables.avgDl, m = 5)
+    val (got5, _) = Champions.tieredTopK(ch5, tables.postings, tables.docStats,
+      dfs, tables.nDocs, tables.avgDl, m = 5, k = 10)
+    check(got5.collect())
+  }
+
   test("suggestBatch ≡ brute-force levenshtein top-1 per qterm; in-dict term suggests itself") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
