@@ -33,11 +33,35 @@ object SparkEntry {
   /** its lexicon-expanded term set — what both engines actually score */
   def qLexTerms: Seq[String] =
     Analyzer.analyze("en", qLexInput, DefaultLexicon.lexicon).distinct.sorted
+  /** synonym-group query: position 1 matches {join, merge}, position 2
+    * {spark} — SynonymQuery semantics over the documents vocabulary */
+  val synGroups: Seq[(String, Seq[String])] =
+    Seq("join" -> Seq("join", "merge"), "spark" -> Seq("spark"))
+  /** mixture-resampling targets (permille of the ORIGINAL corpus size):
+    * en is over-represented (downsampled), zh under (kept whole),
+    * de mid (partially downsampled); es/fr absent (dropped) */
+  val mixTargets: Map[String, Int] = Map("en" -> 300, "zh" -> 200, "de" -> 100)
   /** fixed query log for the batched scorer (query_id, term) */
   val batchQ: Seq[(Long, String)] = Seq(
     (0L, "join"), (0L, "spark"),
     (1L, "dup"), (1L, "hash"), (1L, "spark"),
     (2L, "hash"))
+
+  /** deterministic synthetic URL table (url_id, url) over the corpus: a
+    * clean URL plus a tracking/case/slash/fragment-noised variant per doc —
+    * both must canonicalize to the same string (twin built verbatim in the
+    * dedup_url_canon oracle) */
+  private def syntheticUrls(c: DataFrame): DataFrame = {
+    val clean = c.select((col("doc_id") * 2).as("url_id"),
+      concat(lit("https://"), col("repo"), lit(".example.com/"), col("path")).as("url"))
+    val noisy = c.select((col("doc_id") * 2 + 1).as("url_id"),
+      concat(lit("HTTPS://"), upper(col("repo")), lit(".example.com/"), col("path"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 5).cast("string")))
+          .when(col("doc_id") % 3 === 1, lit("#section"))
+          .otherwise(lit("/"))).as("url"))
+    clean.unionByName(noisy)
+  }
 
   // ---- DuckDB SQL building blocks --------------------------------------
   private def termsCte: String = {
@@ -608,6 +632,15 @@ object SparkEntry {
       Search.bm25TopKDisjunctive(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // synonym-group BM25 (SynonymQuery semantics): "join" expands to
+    // {join, merge} as ONE pseudo-term (Σtf, union df), conjunctive with
+    // the {spark} group
+    "ft_synonym" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      Search.synonymTopK(t.postings, t.docStats, synGroups, t.nDocs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     "ft_wand_or_topk" -> ((s, dir) => {
       val (_, t) = index(s, dir)
       val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
@@ -957,6 +990,12 @@ object SparkEntry {
       graft.pipeline.Splits.importanceSample(c.join(w, "doc_id"), col("alnum_ratio_r"))
         .select("doc_id", "bucket", "thr")
     }),
+    // domain-mixture resampling: deterministic downsample toward target
+    // language shares (keep iff bucket·n_dom < tw·N, pure BIGINT)
+    "split_mixture" -> ((s, dir) => {
+      graft.pipeline.Mixture.resample(
+        Corpus.fromDocuments(s, dir), "lang", mixTargets)
+    }),
     // stratified per-stratum quota sampling (training-data mixing): at most
     // 40 docs per lang, selected by the cross-engine hash order — a pure
     // function of ids, so the subset is stable under growth and engines
@@ -996,6 +1035,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => {
       val (c, _) = index(s, dir)
       Dedup.exact(c)
+    }),
+    // canonical-URL dedup: deterministic synthetic URL variants per doc
+    // (clean vs tracking/case/slash/fragment-noised) must collapse to one
+    // canonical form — the crawl-frontier one-fetch-per-page normalizer
+    "dedup_url_canon" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.corpus.Crawl.urlDedup(syntheticUrls(c))
     }),
     // n-gram (3-shingle) Jaccard near-dup pairs
     "dedup_ngram" -> ((s, dir) => {
@@ -1159,6 +1205,20 @@ object SparkEntry {
     "text_token_counts" -> ((s, dir) => {
       val (c, _) = index(s, dir)
       TextAnalysis.tokenCounts(c)
+    }),
+    // per-doc unigram surprisal: mean −ln p(token) under the corpus's own
+    // unigram LM — the model-free CCNet-style quality/perplexity signal
+    "text_surprisal" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      TextAnalysis.surprisal(t.postings, t.docStats)
+        .select(col("doc_id"), col("dl"), round(col("h"), 4).as("h_r"))
+    }),
+    // overlapping token-window chunking (context-window prep): window 24,
+    // stride 16 — same overlap ratio as a 512/384 production config scaled
+    // to the short synthetic docs
+    "text_chunks" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.chunk(c, window = 24, stride = 16)
     }),
     // order-sensitive rolling document fingerprint
     "text_fingerprint" -> ((s, dir) => {
@@ -1497,6 +1557,26 @@ object SparkEntry {
     // equality IS the proof that the tier-1 certificate + fallback return
     // the exact global top-k
     "ft_tiered" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
+    // synonym-group twin: same pseudo-term decomposition — Σtf per
+    // (doc, group), union df per group, conjunctive over groups
+    "ft_synonym" -> {
+      val synRows = synGroups
+        .flatMap { case (g, ms) => ms.map(m => s"('$m', '$g')") }.mkString(", ")
+      val score = Bm25.sql("g.gtf", "f.gdf", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${statsCte},
+         |syn AS (SELECT * FROM (VALUES $synRows) v(term, grp)),
+         |gtf AS (SELECT p.doc_id, s.grp, sum(p.tf)::BIGINT AS gtf
+         |        FROM post p JOIN syn s USING (term) GROUP BY p.doc_id, s.grp),
+         |gdf AS (SELECT grp, count(*)::BIGINT AS gdf FROM gtf GROUP BY grp),
+         |sc AS (SELECT g.doc_id, count(*) AS n_grps, sum($score) AS score
+         |       FROM gtf g JOIN gdf f USING (grp) JOIN ds d USING (doc_id), stats s
+         |       GROUP BY g.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r
+         |  FROM sc WHERE n_grps = ${synGroups.size}
+         |) WHERE rank <= 10""".stripMargin
+    },
     "ft_wand_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_prf" -> prfSql(q2, k = 10, r = 5, e = 3, wOrig = 2),
@@ -2131,6 +2211,21 @@ object SparkEntry {
          |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    // mixture twin: same permille hash, same pure-BIGINT keep rule
+    // bucket·n_dom < tw·N; absent domains coalesce to weight 0
+    "split_mixture" -> {
+      val twRows = mixTargets.toSeq.sorted
+        .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
+      s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+         |tot AS (SELECT count(*)::BIGINT AS t FROM documents),
+         |tw AS (SELECT * FROM (VALUES $twRows) v(lang, w)),
+         |b AS (SELECT doc_id, lang,
+         |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
+         |      FROM documents)
+         |SELECT b.doc_id, b.lang, b.bucket::BIGINT AS bucket
+         |FROM b JOIN cnt USING (lang) LEFT JOIN tw USING (lang), tot
+         |WHERE b.bucket * cnt.n < coalesce(tw.w, 0)::BIGINT * tot.t""".stripMargin
+    },
     "split_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) AS h
@@ -2226,6 +2321,36 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    // canonical-URL twin: the SAME synthetic variants and the SAME
+    // RE2-safe regex chain, step for step (fragment → mid tracking →
+    // trailing tracking → host lowering → trailing slash)
+    "dedup_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id * 2 AS url_id,
+        |         'https://' || source || '.example.com/doc/' || doc_id AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1,
+        |         'HTTPS://' || upper(source) || '.example.com/doc/' || doc_id ||
+        |         CASE WHEN doc_id % 3 = 0
+        |                THEN '?utm_source=feed&utm_campaign=c' || (doc_id % 5)::VARCHAR
+        |              WHEN doc_id % 3 = 1 THEN '#section'
+        |              ELSE '/' END
+        |  FROM documents),
+        |s1 AS (SELECT url_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+        |s2 AS (SELECT url_id,
+        |         regexp_replace(u, '(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*&', '', 'g') AS u
+        |       FROM s1),
+        |s3 AS (SELECT url_id,
+        |         regexp_replace(u, '[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*$', '', 'g') AS u
+        |       FROM s2),
+        |s4 AS (SELECT url_id,
+        |         lower(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)', 1)) ||
+        |         regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '', 'g') AS u
+        |       FROM s3),
+        |c AS (SELECT url_id, regexp_replace(u, '/$', '', 'g') AS canon FROM s4)
+        |SELECT canon, count(*)::BIGINT AS members, min(url_id) AS keeper
+        |FROM c GROUP BY canon""".stripMargin,
     // containment twin: same candidate chain, score inter / least sizes
     "dedup_containment" ->
       s"""WITH ${shinglesCte},
@@ -2395,6 +2520,31 @@ object SparkEntry {
          |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS ws_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
          |FROM documents""".stripMargin,
+    // surprisal twin: same decomposition and operation order —
+    // Σ −tf·ln(cf/C) per doc, divided by dl at the end
+    "text_surprisal" ->
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte},
+         |tot AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+         |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY term),
+         |hs AS (SELECT p.doc_id, sum(-(p.tf) * ln(f.cf / t.c)) AS hsum
+         |       FROM post p JOIN cf f USING (term), tot t GROUP BY p.doc_id)
+         |SELECT h.doc_id, d.dl, round(h.hsum / d.dl, 4) AS h_r
+         |FROM hs h JOIN ds d USING (doc_id)""".stripMargin,
+    // chunking twin: same start generation (0 by stride while < len), same
+    // BERT-striding emit rule (s = 0 or previous chunk short of the end),
+    // same slice bounds — RAW tokens, no stop filter
+    "text_chunks" -> {
+      val (w, st) = (24, 16)
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(${Analyzer.sqlTokens("text")}, t -> t <> '') AS arr FROM documents),
+         |stt AS (SELECT doc_id, arr, len(arr) AS l,
+         |        unnest(range(0, greatest(len(arr), 1), $st)) AS s FROM tk),
+         |ch AS (SELECT doc_id, s, arr, l FROM stt WHERE s = 0 OR s - $st + $w < l)
+         |SELECT doc_id, (s // $st)::BIGINT AS chunk_id, s::BIGINT AS pos,
+         |       len(list_slice(arr, s + 1, least(s + $w, l)))::BIGINT AS n_tokens,
+         |       array_to_string(list_slice(arr, s + 1, least(s + $w, l)), ' ') AS text
+         |FROM ch""".stripMargin
+    },
     "text_fingerprint" ->
       s"""WITH b AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws FROM documents),

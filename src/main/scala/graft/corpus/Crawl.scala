@@ -106,4 +106,36 @@ object Crawl {
       .unionByName(
         ids.select(col("doc_id").as("src"), ((col("doc_id") * 3 + 7) % nDocs).as("dst")))
   }
+
+  /** URL canonicalization — the crawl-frontier normalizer that keeps one
+    * fetch per logical page: strip the fragment (server never sees it),
+    * drop tracking parameters (utm_*, gclid, fbclid) repairing the ?/&
+    * separators, lowercase the scheme+host (case-insensitive per RFC 3986)
+    * while PRESERVING path case (case-sensitive), and trim a trailing
+    * slash. Pure codegen'd Column chain — the same RE2-safe regex sequence
+    * (no lookaround) is mirrored verbatim in the DuckDB twin, so both
+    * engines produce character-identical canonical strings. Order matters:
+    * fragment first (a tracking param before '#' must still match `[^&#]*`
+    * bounded by the already-removed fragment), tracking second (mid-query
+    * `utm_x=1&` collapses leaving the '?' intact; a trailing `[?&]utm_x=…`
+    * takes its separator with it), host-lowering third, slash last. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noMid = regexp_replace(noFrag, "(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*&", "")
+    val noTrail = regexp_replace(noMid, "[?&](utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*$", "")
+    val hostLow = concat(
+      lower(regexp_extract(noTrail, "^([A-Za-z]+://[^/?#]*)", 1)),
+      regexp_replace(noTrail, "^[A-Za-z]+://[^/?#]*", ""))
+    regexp_replace(hostLow, "/$", "")
+  }
+
+  /** Canonical-URL dedup: group fetched URLs by their canonical form —
+    * (canon, members, keeper) with the keeper = min url_id (first fetch
+    * wins). ONE map-only canonicalization pass + one hash aggregate on the
+    * canonical string; at frontier scale the aggregate's map-side partials
+    * absorb the hot canonical targets (link farms pointing at one page). */
+  def urlDedup(urls: DataFrame): DataFrame =
+    urls.select(col("url_id"), canonicalUrl(col("url")).as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("members"), min("url_id").as("keeper"))
 }

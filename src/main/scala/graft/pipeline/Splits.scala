@@ -66,3 +66,38 @@ object Splits {
       .withColumn("thr", floor(lit(1000.0) * weight).cast("long"))
       .filter(col("bucket") < col("thr"))
 }
+
+/** Domain-mixture resampling: reshape a corpus toward TARGET domain
+  * proportions (the Pile/ROOTS-style mixing step — "the web crawl is 44%
+  * English but the training mix wants 30%") by deterministic downsampling.
+  * `targets` gives each domain its target permille of the ORIGINAL corpus
+  * size; a domain keeps min(n_dom, tw·N/1000) docs, so over-represented
+  * domains shrink to target and under-represented ones keep everything
+  * (downsample-only — upsampling is duplication, a separate policy).
+  * Domains absent from `targets` drop entirely.
+  *
+  * The keep rule is the pure-BIGINT cross-multiplication of
+  * P(keep) = min(1, (tw/1000)/(n_dom/N)):  keep  iff  bucket·n_dom < tw·N
+  * with the same cross-engine permille hash as [[Splits.assign]] — no
+  * float division anywhere, so engines agree bit-exactly and a doc's fate
+  * is a pure function of (id, its domain's count, N): stable across runs,
+  * partitionings and engines.
+  *
+  * Scale shape: one count aggregate per domain (|domains| rows, broadcast
+  * back), one 1-row total, then a map-only filter — the corpus is scanned
+  * once and never shuffled. */
+object Mixture {
+  def resample(docs: DataFrame, domCol: String, targets: Map[String, Int]): DataFrame = {
+    require(targets.values.forall(w => w >= 0 && w <= 1000))
+    val tw = targets.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      when(col(domCol) === d, lit(w.toLong)).otherwise(acc)
+    }
+    val counts = docs.groupBy(domCol).agg(count(lit(1)).as("_n"))
+    val tot = docs.agg(count(lit(1)).as("_tot"))
+    docs.join(broadcast(counts), domCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", Splits.bucketCol(col("doc_id")))
+      .filter(col("bucket") * col("_n") < tw * col("_tot"))
+      .select(col("doc_id"), col(domCol), col("bucket"))
+  }
+}

@@ -159,6 +159,44 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Synonym-group BM25 top-k (Lucene SynonymQuery semantics, made exact):
+    * each query position is a GROUP of interchangeable surface terms — the
+    * thesaurus move ("join" also matches "merge") that a 1→N lexicon can't
+    * express because the index keeps both forms distinct. A group scores as
+    * ONE pseudo-term: tf(doc, g) = Σ tf over members (a doc saying "merge"
+    * three times matches g exactly like one saying "join" three times), and
+    * df(g) = the number of docs containing ANY member — the true union df,
+    * computed for free from the per-(doc, group) aggregate (Lucene
+    * approximates it with max member df; the union is the principled IDF
+    * and is what the DuckDB twin pins). Conjunctive over groups: every
+    * group must match, mirroring `bm25TopK`'s n_terms gate. Member sets
+    * must be disjoint (a term can't expand two positions).
+    *
+    * Scale shape: one member-IN-pruned postings pass → (doc, group)
+    * aggregate (map-side partials absorb hot members); df(g) is a
+    * |groups|-row broadcast; everything after the first aggregate is
+    * candidate-sized. Adding synonyms widens the IN list, never adds a
+    * pass. */
+  def synonymTopK(postings: DataFrame, docStats: DataFrame,
+                  groups: Seq[(String, Seq[String])], nDocs: Long,
+                  avgDl: Double, k: Int): DataFrame = {
+    val members = groups.flatMap(_._2)
+    require(members.distinct.size == members.size, "synonym groups must be disjoint")
+    val grpCol = groups.foldLeft(lit(null).cast("string")) { case (acc, (g, ms)) =>
+      when(col("term").isin(ms.map(x => x: Any): _*), lit(g)).otherwise(acc)
+    }
+    val gtf = postings.filter(col("term").isin(members.map(x => x: Any): _*))
+      .withColumn("grp", grpCol)
+      .groupBy("doc_id", "grp").agg(sum("tf").as("gtf"))
+    val gdf = gtf.groupBy("grp").agg(count(lit(1)).as("gdf"))
+    val scored = gtf.join(broadcast(gdf), "grp").join(docStats, "doc_id")
+      .withColumn("gscore", Bm25.score(col("gtf"), col("gdf"), col("dl"), nDocs, avgDl))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grps"), sum("gscore").as("score"))
+      .filter(col("n_grps") === groups.size)
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Phrase-proximity boosted BM25: score′ = BM25 + β·ln(1 + phrase_tf) —
     * the standard exact-phrase bonus (documents containing the query AS A
     * PHRASE outrank bag-of-words matches at equal BM25; Metzler & Croft

@@ -221,4 +221,57 @@ object TextAnalysis {
       .select(col("t").as("term"), col("c_old"), col("c_new"),
         (col("q") - col("p")).as("dp"), col("jsd"))
   }
+
+  /** Per-document unigram surprisal: mean negative log-likelihood of the
+    * doc's tokens under the CORPUS unigram language model,
+    * H(d) = −Σ_t tf_{t,d}·ln(cf_t/C) / dl_d — the model-free stand-in for
+    * the perplexity filter CCNet-style training pipelines run (Wenzek 2020,
+    * public literature). Boilerplate and template docs score LOW (their
+    * tokens are corpus-frequent); rare-token gibberish scores HIGH; both
+    * tails are curation candidates, and the score needs no trained model —
+    * the corpus is its own LM.
+    *
+    * Scale shape: the collection frequencies are one postings aggregate
+    * (vocabulary-sized, co-partitioned with the postings on term so the
+    * join reuses the exchange), the corpus total is a broadcast 1-row
+    * aggregate, and the per-doc sum is one hash aggregate over the
+    * postings — no per-doc arrays, no second tokenization. */
+  def surprisal(postings: DataFrame, docStats: DataFrame): DataFrame = {
+    val cf = postings.groupBy("term").agg(sum("tf").as("cf"))
+    val tot = docStats.agg(sum("dl").cast("double").as("c"))
+    postings.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(-col("tf") * log(col("cf") / col("c"))).as("hsum"))
+      .join(docStats, "doc_id")
+      .select(col("doc_id"), col("dl"), (col("hsum") / col("dl")).as("h"))
+  }
+
+  /** Overlapping token-window chunking — the context-window prep step of a
+    * training/RAG pipeline ("split every doc into ≤`window`-token pieces
+    * with `window − stride` tokens of overlap"). Chunk starts advance by
+    * `stride`; a start is emitted iff it is 0 or the PREVIOUS chunk did not
+    * already reach the document's end (start − stride + window < len), so
+    * the last chunk is the only short one and no chunk is fully contained
+    * in its predecessor (the BERT striding rule). Raw tokens, NOT
+    * stop-filtered — chunks feed a model, not an index. An empty doc
+    * yields one empty chunk (the doc stays representable downstream).
+    *
+    * Scale shape: map-only — tokenize, generate ≤ len/stride starts per
+    * doc, slice; output rows ≈ corpus tokens / stride with zero shuffles,
+    * and chunk_id is derived from the start offset so ids need no window
+    * function. */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    docs.select(col("doc_id"), Analyzer.tokensCol(col("content")).as("_arr"))
+      .withColumn("_len", size(col("_arr")))
+      .withColumn("start", explode(filter(
+        sequence(lit(0), greatest(col("_len") - 1, lit(0)), lit(stride)),
+        s => (s === 0) || (s - stride + window < col("_len")))))
+      .withColumn("_chunk", slice(col("_arr"), col("start") + 1, lit(window)))
+      .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("pos"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        array_join(col("_chunk"), " ").as("text"))
+  }
 }

@@ -93,4 +93,46 @@ class CrawlSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 0L, 9L -> 0L, 5L -> 1L, 6L -> 2L))
   }
+
+  test("canonicalUrl: fragment, tracking params, host case, trailing slash") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // host+scheme lowered, path case preserved
+      ("HTTPS://Site.Example.COM/Path/Page", "https://site.example.com/Path/Page"),
+      // fragment stripped
+      ("https://a.com/p#sec2", "https://a.com/p"),
+      // lone tracking param takes its '?' with it
+      ("https://a.com/p?utm_source=x", "https://a.com/p"),
+      // mid tracking param collapses, '?' kept for the survivor
+      ("https://a.com/p?utm_a=1&id=2", "https://a.com/p?id=2"),
+      // trailing tracking param takes its '&'
+      ("https://a.com/p?id=2&utm_b=3", "https://a.com/p?id=2"),
+      // several tracking params, gclid/fbclid included
+      ("https://a.com/p?utm_a=1&gclid=g&fbclid=f", "https://a.com/p"),
+      // tracking param before a fragment
+      ("https://a.com/p?utm_a=1#x", "https://a.com/p"),
+      // trailing slash trimmed; non-tracking params untouched
+      ("http://a.com/", "http://a.com"),
+      ("https://a.com/p?x=1&y=2", "https://a.com/p?x=1&y=2"))
+    val got = cases.zipWithIndex
+      .map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("url_id", "url")
+      .select(col("url_id"), Crawl.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"canon($u)")
+    }
+  }
+
+  test("urlDedup: clean and noised variants collapse; keeper is the first fetch") {
+    val urls = Seq(
+      (0L, "https://a.com/page"),
+      (1L, "HTTPS://A.COM/page?utm_source=x#frag"),
+      (2L, "https://a.com/page/"),
+      (3L, "https://a.com/other")).toDF("url_id", "url")
+    val got = Crawl.urlDedup(urls).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("https://a.com/other", 1L, 3L),
+      ("https://a.com/page", 3L, 0L)))
+  }
 }

@@ -184,6 +184,30 @@ class PositionalSpec extends AnyFunSuite {
     assert((1L until 200L by 3).forall(i => kept.contains(i)))
   }
 
+  test("mixtureResample: BIGINT keep rule matches scalar; shares land at target") {
+    import spark.implicits._
+    import graft.pipeline.Mixture
+    // 300 docs in dom a, 100 in b, 50 in c; targets: a=200‰, b=300‰, c absent
+    val docs = (0L until 450L).map(i =>
+      (i, if (i < 300) "a" else if (i < 400) "b" else "c")).toDF("doc_id", "dom")
+    val targets = Map("a" -> 200, "b" -> 300)
+    val kept = Mixture.resample(docs, "dom", targets).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = Map("a" -> 300L, "b" -> 100L, "c" -> 50L)
+    (0L until 450L).foreach { i =>
+      val dom = if (i < 300) "a" else if (i < 400) "b" else "c"
+      val want = Splits.bucketS(i) * n(dom) < targets.getOrElse(dom, 0).toLong * 450L
+      assert(kept.contains(i) == want, s"doc $i dom $dom bucket ${Splits.bucketS(i)}")
+    }
+    // absent domain drops entirely; under-represented domain keeps all
+    assert(!kept.values.exists(_ == "c"))
+    // b: tw·N = 300·450 = 135000 > 1000·n_b = 100000 → every b doc kept
+    assert(kept.values.count(_ == "b") == 100)
+    // a downsampled toward 200‰·450 = 90 docs (hash noise within ~20%)
+    val aKept = kept.values.count(_ == "a")
+    assert(aKept > 70 && aKept < 110, s"a kept $aKept")
+  }
+
   test("stratifiedSample: scalar recompute, growth monotone, WindowGroupLimit plan") {
     import graft.textan.TextHash
     def mk(n: Long) = (0L until n).map(id => (id, s"s${id % 7}")).toDF("doc_id", "strata")

@@ -743,6 +743,42 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("synonymTopK: scalar pseudo-term recompute; singleton groups ≡ conjunctive bm25TopK") {
+    val groups = Seq("join" -> Seq("join", "merge"), "spark" -> Seq("spark"))
+    val post = tables.postings.select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dl = tables.docStats.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gtf = post.flatMap { case (t, d, tf) =>
+        groups.find(_._2.contains(t)).map { case (g, _) => ((d, g), tf) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val gdf = gtf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val perDoc = gtf.groupBy(_._1._1).filter(_._2.size == groups.size)
+      .view.mapValues(_.map { case ((d, g), tf) =>
+        Bm25.scoreS(tf, gdf(g), dl(d), tables.nDocs, tables.avgDl) }.sum).toMap
+    val want = perDoc.toSeq.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = Search.synonymTopK(tables.postings, tables.docStats, groups,
+      tables.nDocs, tables.avgDl, 10).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
+    // a doc findable only through the synonym member must surface: every
+    // returned doc matches both groups even if "join" itself is absent
+    assert(gtf.exists { case ((_, g), _) => g == "join" })
+    // singleton groups degenerate to plain conjunctive BM25 exactly
+    val dfs = QueryFrontend.lookupDf(tables.termStats, Set("join", "spark"))
+    val single = Seq("join" -> Seq("join"), "spark" -> Seq("spark"))
+    val gotS = Search.synonymTopK(tables.postings, tables.docStats, single,
+      tables.nDocs, tables.avgDl, 10).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val wantS = Search.bm25TopK(tables.postings, tables.docStats, dfs,
+      tables.nDocs, tables.avgDl, 10).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(gotS.map(_._1).toSeq == wantS.map(_._1).toSeq)
+    gotS.zip(wantS).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
+    // overlapping member sets are a contract violation
+    intercept[IllegalArgumentException] {
+      Search.synonymTopK(tables.postings, tables.docStats,
+        Seq("a" -> Seq("join"), "b" -> Seq("join")), tables.nDocs, tables.avgDl, 1)
+    }
+  }
+
   test("tiered retrieval: exact vs exhaustive at any m; certificate fires only when sound") {
     import graft.index.Champions
     val q = Seq("join", "spark")

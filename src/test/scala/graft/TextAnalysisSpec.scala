@@ -175,4 +175,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(v("zap") == ((2L, 0L, -1.0)) && v("pow") == ((0L, 1L, 1.0)))
   }
+
+  test("surprisal: closed-form unigram cross-entropy on a two-doc corpus") {
+    import spark.implicits._
+    // doc 1 = "a a b", doc 2 = "c": cf(a)=2, cf(b)=1, cf(c)=1, C=4
+    val postings = Seq(("a", 1L, 2L), ("b", 1L, 1L), ("c", 2L, 1L))
+      .toDF("term", "doc_id", "tf")
+    val docStats = Seq((1L, 3L), (2L, 1L)).toDF("doc_id", "dl")
+    val got = TextAnalysis.surprisal(postings, docStats).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val h1 = -(2.0 * math.log(2.0 / 4.0) + 1.0 * math.log(1.0 / 4.0)) / 3.0
+    val h2 = -math.log(1.0 / 4.0)
+    assert(math.abs(got(1L) - h1) < 1e-12)
+    assert(math.abs(got(2L) - h2) < 1e-12)
+    // repetitive (frequent-token) doc scores BELOW the rare-token doc
+    assert(got(1L) < got(2L))
+  }
+
+  test("chunk: BERT-striding starts, short last chunk, full coverage, empty doc") {
+    // 5 tokens, window 3, stride 2: starts 0 and 2 (start 4 is dropped —
+    // the chunk at 2 already reached the end)
+    val d = df((0L, "t0 t1 t2 t3 t4"), (1L, ""), (2L, "x1 x2 x3"))
+    val got = TextAnalysis.chunk(d, window = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val d0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.toSeq == Seq((0L, 0L, 0L, 3L, "t0 t1 t2"), (0L, 1L, 2L, 3L, "t2 t3 t4")))
+    // empty doc: one empty chunk keeps the doc representable
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 0L, 0L, "")))
+    // exact-window doc: a single chunk, no redundant tail
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L, "x1 x2 x3")))
+    // coverage property: every token position of doc 0 appears in a chunk
+    val covered = d0.flatMap { case (_, _, pos, n, _) => pos until (pos + n) }.toSet
+    assert(covered == (0L until 5L).toSet)
+  }
 }
