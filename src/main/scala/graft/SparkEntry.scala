@@ -37,6 +37,9 @@ object SparkEntry {
     * {spark} — SynonymQuery semantics over the documents vocabulary */
   val synGroups: Seq[(String, Seq[String])] =
     Seq("join" -> Seq("join", "merge"), "spark" -> Seq("spark"))
+  /** Count-Min point-query terms: the fixed query vocabulary plus one
+    * absent term (its estimate is pure collision mass) */
+  val cmsTerms = Seq("dup", "hash", "join", "spark", "warpdrive")
   /** mixture-resampling targets (permille of the ORIGINAL corpus size):
     * en is over-represented (downsampled), zh under (kept whole),
     * de mid (partially downsampled); es/fr absent (dropped) */
@@ -1219,6 +1222,28 @@ object SparkEntry {
     "text_chunks" -> ((s, dir) => {
       val (c, _) = index(s, dir)
       TextAnalysis.chunk(c, window = 24, stride = 16)
+    }),
+    // bigram surprisal: mean −ln p(w_i | w_{i−1}) under the corpus bigram
+    // MLE — the word-ORDER quality signal unigram surprisal cannot see
+    "text_bigram_lm" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.bigramSurprisal(c)
+        .select(col("doc_id"), col("n_bigrams"), round(col("h2"), 4).as("h2_r"))
+    }),
+    // C4-style duplicated-segment stats over non-overlapping 3-token
+    // windows (the line-dedup analog for punctuation-free text)
+    "dedup_segments" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.segmentDupStats(TextAnalysis.chunk(c, window = 3, stride = 3), minCount = 2)
+        .select(col("doc_id"), col("n_segs"), col("n_dup"),
+          round(col("dup_frac"), 4).as("dup_frac_r"))
+    }),
+    // Count-Min sketch (4×64) of collection frequencies; point estimates
+    // for the fixed terms — the hash gate proves the sketch bit-identical
+    "ft_cms_cf" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val cms = graft.stats.Sketches.cmsBuild(t.postings, "term", "tf", width = 64)
+      graft.stats.Sketches.cmsEstimate(s, cms, cmsTerms, width = 64)
     }),
     // order-sensitive rolling document fingerprint
     "text_fingerprint" -> ((s, dir) => {
@@ -2530,6 +2555,62 @@ object SparkEntry {
          |       FROM post p JOIN cf f USING (term), tot t GROUP BY p.doc_id)
          |SELECT h.doc_id, d.dl, round(h.hsum / d.dl, 4) AS h_r
          |FROM hs h JOIN ds d USING (doc_id)""".stripMargin,
+    // bigram-surprisal twin: same decomposition — instance-level
+    // −ln(c_ab/c_a) summed per doc, head totals from the gram aggregate
+    "text_bigram_lm" ->
+      s"""WITH ${tokArrCte},
+         |bigr AS (SELECT doc_id, unnest(list_transform(range(greatest(len(arr) - 1, 0)),
+         |         i -> arr[i + 1] || ' ' || arr[i + 2])) AS gram FROM tokarr),
+         |cab AS (SELECT gram, count(*)::BIGINT AS c_ab FROM bigr GROUP BY gram),
+         |ha AS (SELECT split_part(gram, ' ', 1) AS a, sum(c_ab)::BIGINT AS c_a
+         |       FROM cab GROUP BY 1),
+         |hs AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         |              sum(-ln(c.c_ab / h.c_a)) AS hsum
+         |       FROM bigr b JOIN cab c USING (gram)
+         |            JOIN ha h ON split_part(b.gram, ' ', 1) = h.a
+         |       GROUP BY b.doc_id)
+         |SELECT doc_id, n_bigrams, round(hsum / n_bigrams, 4) AS h2_r FROM hs""".stripMargin,
+    // duplicated-segment twin: the text_chunks chain at window=stride=3,
+    // segments keyed by sha256, same ≥2 duplication rule
+    "dedup_segments" -> {
+      val (w, st) = (3, 3)
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(${Analyzer.sqlTokens("text")}, t -> t <> '') AS arr FROM documents),
+         |stt AS (SELECT doc_id, arr, len(arr) AS l,
+         |        unnest(range(0, greatest(len(arr), 1), $st)) AS s FROM tk),
+         |ch AS (SELECT doc_id,
+         |         sha256(array_to_string(list_slice(arr, s + 1, least(s + $w, l)), ' ')) AS seg
+         |       FROM stt WHERE s = 0 OR s - $st + $w < l),
+         |cn AS (SELECT seg, count(*)::BIGINT AS n FROM ch GROUP BY seg),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_segs,
+         |               sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+         |        FROM ch JOIN cn USING (seg) GROUP BY doc_id)
+         |SELECT doc_id, n_segs, n_dup,
+         |       round(n_dup::DOUBLE / n_segs, 4) AS dup_frac_r FROM agg""".stripMargin
+    },
+    // Count-Min twin: the bit-identical 4×64 sketch (same mixer family,
+    // same cells), min over probed cells, absent cells read 0
+    "ft_cms_cf" -> {
+      val w = 64
+      val shards = (0 until 4).map(i =>
+        s"SELECT $i AS i, (${TextHash.mixSql(i, "th")}) % $w AS cell, tf FROM ph")
+        .mkString("\n  UNION ALL ")
+      val probeCell = s"CASE d.i ${(0 until 4).map(i =>
+        s"WHEN $i THEN (${TextHash.mixSql(i, "th")}) % $w").mkString(" ")} END"
+      val qVals = cmsTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH ${termsCte}, ${postCte},
+         |ph AS (SELECT ${tokenHashSqlInner("term")} AS th, tf FROM post),
+         |cms AS (SELECT i, cell, sum(tf)::BIGINT AS total FROM (
+         |  $shards
+         |) GROUP BY i, cell),
+         |qt AS (SELECT term, ${tokenHashSqlInner("term")} AS th
+         |       FROM (VALUES $qVals) v(term)),
+         |qc AS (SELECT term, d.i AS i, $probeCell AS cell
+         |       FROM qt CROSS JOIN (VALUES (0), (1), (2), (3)) d(i))
+         |SELECT q.term, min(coalesce(c.total, 0))::BIGINT AS est
+         |FROM qc q LEFT JOIN cms c ON q.i = c.i AND q.cell = c.cell
+         |GROUP BY q.term""".stripMargin
+    },
     // chunking twin: same start generation (0 by stride while < len), same
     // BERT-striding emit rule (s = 0 or previous chunk short of the end),
     // same slice bounds — RAW tokens, no stop filter

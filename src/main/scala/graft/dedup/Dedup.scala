@@ -25,6 +25,29 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
+  /** SEGMENT-level duplication stats — the C4 move (Raffel 2020 §2.2:
+    * lines occurring more than once in the corpus are boilerplate; docs
+    * dominated by them are template pages) generalized to punctuation-free
+    * text: `segs` is any (doc_id, text) segmentation — here the
+    * non-overlapping token windows of TextAnalysis.chunk(stride = window),
+    * the line analog. A segment is "duplicated" when its exact text occurs
+    * ≥ `minCount` times corpus-wide; the per-doc output
+    * (doc_id, n_segs, n_dup, dup_frac) is what a curation gate thresholds.
+    *
+    * Scale shape: segments group on their sha256 — a 32-byte shuffle key
+    * regardless of segment length, hot boilerplate absorbed map-side — and
+    * the count joins back on the same key (co-partitioned, exchange
+    * reused). Nothing document-sized crosses the wire twice. */
+  def segmentDupStats(segs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val h = segs.select(col("doc_id"), sha2(col("text"), 256).as("seg"))
+    val counts = h.groupBy("seg").agg(count(lit(1)).as("n"))
+    h.join(counts, "seg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("n") >= minCount, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_segs"))
+  }
+
   // ---------- shingling ----------------------------------------------
   /** Distinct n-gram (word shingle) set per doc, from analyzed tokens.
     * Shingle string = tokens joined by single spaces. */

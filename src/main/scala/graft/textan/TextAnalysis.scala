@@ -247,6 +247,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), (col("hsum") / col("dl")).as("h"))
   }
 
+  /** Per-document BIGRAM surprisal: mean −ln p(w_i | w_{i−1}) under the
+    * corpus's own bigram MLE, p(b|a) = c(a b) / c(a ·) — the second-order
+    * companion of [[surprisal]]: a doc of individually common words in
+    * UNUSUAL order (shuffled/templated spam, word-salad SEO text) scores
+    * high here while its unigram surprisal stays low. MLE never hits a zero
+    * because every scored bigram is in the corpus that defines the model.
+    * Docs with fewer than two analyzed tokens have no bigrams and are
+    * absent from the output.
+    *
+    * Scale shape: one bigram explode; c(a b) is one hash aggregate; the
+    * head totals c(a ·) derive from THAT aggregate (vocabulary²-bounded,
+    * not instance-bounded); instances join both on their gram key —
+    * Zipf-head grams absorbed map-side. No per-doc arrays survive the
+    * explode. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      Analyzer.termsCol(col("content"), Analyzer.naturalStop).as("arr"))
+    val idxs = when(size(col("arr")) >= 2, sequence(lit(0), size(col("arr")) - 2))
+      .otherwise(expr("array()").cast("array<int>"))
+    val inst = base.select(col("doc_id"), explode(transform(idxs, i => concat_ws(" ",
+      element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))).as("gram"))
+    val cAb = inst.groupBy("gram").agg(count(lit(1)).as("c_ab"))
+    val heads = cAb.select(split(col("gram"), " ").getItem(0).as("a"), col("c_ab"))
+      .groupBy("a").agg(sum("c_ab").as("c_a"))
+    inst.join(cAb, "gram")
+      .withColumn("a", split(col("gram"), " ").getItem(0))
+      .join(heads, "a")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(-log(col("c_ab") / col("c_a"))).as("hsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("hsum") / col("n_bigrams")).as("h2"))
+  }
+
   /** Overlapping token-window chunking — the context-window prep step of a
     * training/RAG pipeline ("split every doc into ≤`window`-token pieces
     * with `window − stride` tokens of overlap"). Chunk starts advance by

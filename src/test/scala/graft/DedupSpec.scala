@@ -259,4 +259,16 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 201 && got.values.forall(_ == 0L))
   }
+
+  test("segmentDupStats: corpus-duplicated segments flagged, per-doc fractions exact") {
+    import spark.implicits._
+    val segs = Seq((1L, "aaa"), (1L, "bbb"), (2L, "aaa"), (2L, "ccc"), (3L, "ddd"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDupStats(segs, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+    // minCount=3: nothing is duplicated enough
+    val none = Dedup.segmentDupStats(segs, minCount = 3).collect()
+    assert(none.forall(_.getLong(2) == 0L))
+  }
 }

@@ -186,4 +186,25 @@ class StatsSpec extends AnyFunSuite {
       ("a", "ALL") -> 3L, ("b", "ALL") -> 1L,
       ("ALL", "ALL") -> 4L))
   }
+
+  test("CMS: engine estimates ≡ scalar sketch twin; always an overestimate") {
+    import spark.implicits._
+    import graft.stats.Sketches
+    val counts = Map("alpha" -> 100L, "beta" -> 40L, "gamma" -> 7L,
+      "delta" -> 3L, "epsilon" -> 1L)
+    val items = counts.toSeq.toDF("term", "tf")
+    val terms = counts.keys.toSeq.sorted :+ "missing"
+    for (width <- Seq(2, 8, 64)) {
+      val cms = Sketches.cmsBuild(items, "term", "tf", width)
+      val got = Sketches.cmsEstimate(spark, cms, terms, width).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      terms.foreach { t =>
+        assert(got(t) == Sketches.cmsEstimateS(counts, t, width),
+          s"width=$width term=$t")
+        assert(got(t) >= counts.getOrElse(t, 0L), s"CMS must overestimate: $t")
+      }
+    }
+    // sketch size is bounded by depth·width regardless of vocabulary
+    assert(Sketches.cmsBuild(items, "term", "tf", 8).count() <= 4L * 8)
+  }
 }

@@ -208,4 +208,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     val covered = d0.flatMap { case (_, _, pos, n, _) => pos until (pos + n) }.toSet
     assert(covered == (0L until 5L).toSet)
   }
+
+  test("bigramSurprisal: closed-form MLE on a crafted corpus; <2-token docs absent") {
+    val d = df((1L, "x y z"), (2L, "x y"), (3L, "y w"), (4L, "x"))
+    // c(x y)=2, c(y z)=1, c(y w)=1; heads: c(x ·)=2, c(y ·)=2
+    val got = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // doc 4 has no bigrams
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - (-(math.log(2.0 / 2.0) + math.log(1.0 / 2.0)) / 2.0)) < 1e-12)
+    assert(math.abs(got(2L)._2 - 0.0) < 1e-12)          // x y is x's only bigram shape... c_ab=2, c_a=2
+    assert(math.abs(got(3L)._2 - math.log(2.0)) < 1e-12) // y w: 1 of y's 2
+    // word-order signal: the doc with the unusual continuation scores higher
+    assert(got(3L)._2 > got(2L)._2)
+  }
 }
