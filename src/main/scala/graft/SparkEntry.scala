@@ -1307,6 +1307,25 @@ object SparkEntry {
     // burst detection: hour buckets vs trailing-6 baseline, BIGINT test
     "events_bursts" -> ((s, dir) =>
       graft.streaming.Events.bursts(graft.streaming.Events.read(s, dir))),
+    // AS-OF join: each click enriched with the latest prior purchase (the
+    // "dimension state as of the event" lookup); union+window plan gated
+    // against DuckDB's NATIVE ASOF JOIN — an independent algorithm
+    "events_asof" -> ((s, dir) => {
+      val ev = graft.streaming.Events.read(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("version"))
+      graft.streaming.Events.asofJoin(clicks, dim, "user_id", "ts", "version")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("asof_version"), lit(-1L)).as("version"))
+    }),
+    // winnowing (MOSS): local fingerprints + shared-fp candidate pairs —
+    // the ≥(w+k−1)-token shared-run guarantee MinHash resemblance lacks
+    "dedup_winnow" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.winnowPairs(Dedup.winnowFingerprints(c, k = 3, w = 4), minShared = 2)
+    }),
     // retention cohorts: first-activity-day matrix, BIGINT day arithmetic
     "events_retention" -> ((s, dir) =>
       graft.streaming.Events.retention(graft.streaming.Events.read(s, dir))),
@@ -1948,6 +1967,36 @@ object SparkEntry {
         |count(*)::BIGINT AS n_events,
         |sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // as-of twin: DuckDB's NATIVE ASOF JOIN (inclusive l.ts >= r.ts) — a
+    // genuinely different algorithm from the engine's union+window plan
+    "events_asof" ->
+      """WITH cl AS (SELECT event_id, user_id, ts FROM events
+        |            WHERE event_type = 'click'),
+        |dim AS (SELECT user_id, ts, max(event_id)::BIGINT AS version
+        |        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, coalesce(r.version, -1)::BIGINT AS version
+        |FROM cl l ASOF LEFT JOIN dim r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // winnowing twin: positional 3-shingle hashes, 4-hash window minima
+    // (full windows only), distinct fingerprints, pruned self-join
+    "dedup_winnow" ->
+      s"""WITH ${tokArrCte},
+         |shp AS (SELECT doc_id, i AS pos, arr[i + 1] || ' ' || arr[i + 2] || ' ' || arr[i + 3] AS sh
+         |        FROM (SELECT doc_id, arr, unnest(range(greatest(len(arr) - 2, 0))) AS i
+         |              FROM tokarr)),
+         |shh AS (SELECT doc_id, pos, ${tokenHashSqlInner("sh")} AS h FROM shp),
+         |wmin AS (SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+         |  FROM shh),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE cnt = 4),
+         |kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+         |fk AS (SELECT doc_id, fp FROM fps JOIN kept USING (fp))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared
+         |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""".stripMargin,
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS day_us FROM events),
         |fst AS (SELECT user_id, min(day_us) AS cohort_us FROM act GROUP BY user_id)

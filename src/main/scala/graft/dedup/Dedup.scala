@@ -48,6 +48,56 @@ object Dedup {
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_segs"))
   }
 
+  // ---------- winnowing ------------------------------------------------
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local fingerprinting algorithm, public literature): hash every k-token
+    * shingle IN POSITION ORDER, slide a w-hash window, keep each window's
+    * MINIMUM hash. The kept set is tiny (expected 2/(w+1) of the hashes)
+    * yet carries the guarantee MinHash cannot give: any shared token run of
+    * length ≥ w + k − 1 forces a shared fingerprint — local plagiarism /
+    * quotation detection, not whole-doc resemblance. Output: distinct
+    * (doc_id, fp) fingerprint hashes.
+    *
+    * Scale shape: positional shingles explode map-only; the window min is
+    * ONE window function partitioned by doc (each doc's hashes sort inside
+    * its partition — no cross-doc data movement); full windows only
+    * (count-over-frame = w), matching the twin exactly. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Analyzer.termsCol(col("content"), Analyzer.naturalStop)
+    val idxs = when(size(col("arr")) >= k, sequence(lit(0), size(col("arr")) - k))
+      .otherwise(expr("array()").cast("array<int>"))
+    val sh = docs.select(col("doc_id"), toks.as("arr"))
+      .select(col("doc_id"), posexplode(
+        transform(idxs,
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("arr"), i + j + 1)): _*))))
+      .select(col("doc_id"), col("pos"),
+        graft.textan.TextHash.tokenHashCol(col("col")).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sh.withColumn("_fp", min("h").over(frame))
+      .withColumn("_full", count(lit(1)).over(frame))
+      .filter(col("_full") === w)
+      .select(col("doc_id"), col("_fp").as("fp"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints: an
+    * equi-join on fp (the same inverted-candidate shape as the shingle and
+    * band joins) with the same hot-key prune — a fingerprint shared by
+    * > maxFpDf docs is boilerplate and would quadratically explode the
+    * self-join. Output (a_id, b_id, shared ≥ minShared). */
+  def winnowPairs(fps: DataFrame, minShared: Long = 2L,
+                  maxFpDf: Long = 1000L): DataFrame = {
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFpDf).select("fp")
+    val f = fps.join(kept, "fp")
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---------- shingling ----------------------------------------------
   /** Distinct n-gram (word shingle) set per doc, from analyzed tokens.
     * Shingle string = tokens joined by single spaces. */

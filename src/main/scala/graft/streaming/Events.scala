@@ -239,4 +239,35 @@ object Events {
         .select(lit(i.toLong).as("step"), lit(st).as("event_type"), col("users"))
     }.reduce(_ unionByName _)
   }
+
+  /** AS-OF join — enrich each left row with the right row of the same key
+    * whose timestamp is the GREATEST one ≤ the left row's (inclusive, the
+    * "state as of the event" lookup every event pipeline needs against a
+    * slowly-changing dimension). Spark has no ASOF operator; the naive
+    * range join explodes to O(events × versions) per key. This is the
+    * scale-correct union+window form: tag right rows, union, ONE window
+    * partitioned by key ordered by (ts, right-first), running
+    * last(value, ignoreNulls) — O(n log n) sort inside each key partition,
+    * one shuffle total, no row multiplication. Right rows must be unique
+    * per (key, ts) (pre-aggregate them); at equal timestamps the right row
+    * sorts first, making the match inclusive exactly like DuckDB's
+    * `ASOF LEFT JOIN ... ON l.ts >= r.ts`, which is the independent-
+    * algorithm oracle that gates this (events_asof).
+    *
+    * Output: the left rows + `asof_<rightVal>` (null when no right row
+    * precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightVal: String): DataFrame = {
+    val out = s"asof_$rightVal"
+    val r = right.select(col(key), col(ts), lit(1).as("_isr"),
+      col(rightVal).as("_rv"))
+    val l = left.withColumn("_isr", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(ts).asc, col("_isr").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.withColumn(out, last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_isr") === 0)
+      .drop("_isr", "_rv")
+  }
 }

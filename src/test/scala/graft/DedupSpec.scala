@@ -271,4 +271,44 @@ class DedupSpec extends AnyFunSuite {
     val none = Dedup.segmentDupStats(segs, minCount = 3).collect()
     assert(none.forall(_.getLong(2) == 0L))
   }
+
+  test("winnowing: window minima ≡ scalar; shared-run guarantee; candidate pairs") {
+    import spark.implicits._
+    import graft.analyze.Analyzer
+    import graft.textan.TextHash
+    val (k, w) = (3, 4)
+    def scalarFps(text: String): Set[Long] = {
+      val toks = Analyzer.rawTokens(text).filterNot(Analyzer.naturalStop)
+      val hs = toks.sliding(k).filter(_.size == k)
+        .map(s => TextHash.tokenHash(s.mkString(" "))).toVector
+      hs.sliding(w).filter(_.size == w).map(_.min).toSet
+    }
+    // shared run of w + k − 1 = 6 tokens ⇒ guaranteed shared fingerprint
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $run seven eight"),
+      (2L, s"nine ten $run eleven"),
+      (3L, "completely different words here entirely unrelated content"),
+      (4L, "tiny doc")) // < k+w−1 tokens: no full window, no fingerprints
+      .toDF("doc_id", "content")
+    val got = Dedup.winnowFingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = Map(1L -> s"one two three $run seven eight",
+      2L -> s"nine ten $run eleven",
+      3L -> "completely different words here entirely unrelated content")
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == scalarFps(t), s"doc $id")
+    }
+    assert(!got.contains(4L))
+    // the winnowing guarantee: docs 1 and 2 share ≥ 1 fingerprint
+    assert((got(1L) intersect got(2L)).nonEmpty)
+    assert((got(1L) intersect got.getOrElse(3L, Set.empty)).isEmpty)
+    // pairs surface exactly the sharing pair at minShared = 1
+    val pairs = Dedup.winnowPairs(Dedup.winnowFingerprints(docs, k, w),
+        minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == (got(1L) intersect got(2L)).size.toLong)
+  }
 }

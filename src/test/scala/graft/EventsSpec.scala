@@ -249,4 +249,22 @@ class EventsSpec extends AnyFunSuite {
       3L -> (("purchase", 1L))  // u1 only
     ), s"got $got")
   }
+
+  test("asofJoin: inclusive boundary, latest-wins, pre-first null, key isolation") {
+    import spark.implicits._
+    import graft.streaming.Events
+    val left = Seq((1L, 10L, 50L), (2L, 10L, 100L), (3L, 10L, 200L), (4L, 20L, 150L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 100L, 7L), (10L, 180L, 8L), (30L, 1L, 9L))
+      .toDF("user_id", "ts", "version")
+    val got = Events.asofJoin(left, right, "user_id", "ts", "version").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("asof_version"))) None
+         else Some(r.getLong(r.fieldIndex("asof_version"))))).toMap
+    assert(got(1L).isEmpty)        // before the first version
+    assert(got(2L).contains(7L))   // equal ts is INCLUSIVE
+    assert(got(3L).contains(8L))   // latest ≤ wins
+    assert(got(4L).isEmpty)        // user 20 has no versions; user 30 unseen
+    assert(got.size == 4)          // right-only keys produce no rows
+  }
 }
