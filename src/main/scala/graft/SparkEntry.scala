@@ -1223,6 +1223,12 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       TextAnalysis.chunk(c, window = 24, stride = 16)
     }),
+    // BPE vocabulary induction: 3 merge steps over the corpus word counts —
+    // the tokenizer-training operator; every merge decision hash-gated
+    "text_bpe_merges" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.textan.Bpe.merges(c, steps = 3)
+    }),
     // bigram surprisal: mean −ln p(w_i | w_{i−1}) under the corpus bigram
     // MLE — the word-ORDER quality signal unigram surprisal cannot see
     "text_bigram_lm" -> ((s, dir) => {
@@ -2604,6 +2610,36 @@ object SparkEntry {
          |       FROM post p JOIN cf f USING (term), tot t GROUP BY p.doc_id)
          |SELECT h.doc_id, d.dl, round(h.hsum / d.dl, 4) AS h_r
          |FROM hs h JOIN ds d USING (doc_id)""".stripMargin,
+    // BPE twin: the 3 merge steps unrolled — same sentinel-padded double-
+    // space representation, same literal replace, same (cnt desc, a, b)
+    // arg-max; the gate proves every merge decision identical
+    "text_bpe_merges" -> {
+      val steps = 3
+      def pm(i: Int, prev: String) =
+        s"""pr$i AS (SELECT n, arr, unnest(range(greatest(len(arr) - 1, 0))) AS i
+           |         FROM (SELECT n, regexp_split_to_array(trim(s), '  ') AS arr FROM $prev)),
+           |p$i AS (SELECT arr[i + 1] AS a, arr[i + 2] AS b, sum(n)::BIGINT AS cnt
+           |        FROM pr$i GROUP BY 1, 2),
+           |m$i AS (SELECT $i::BIGINT AS step, a, b, cnt FROM p$i
+           |        ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def wn(i: Int, prev: String) =
+        s"""w$i AS (SELECT n, replace(s,
+           |  ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+           |  ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s FROM $prev)""".stripMargin
+      val chain = (1 to steps).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        if (i < steps) s"${pm(i, prev)},\n${wn(i, prev)}" else pm(i, prev)
+      }.mkString(",\n")
+      val unions = (1 to steps)
+        .map(i => s"SELECT step, a, b, cnt FROM m$i").mkString("\nUNION ALL ")
+      s"""WITH tkk AS (SELECT unnest(list_filter(${Analyzer.sqlTokens("text")},
+         |  t -> t <> '')) AS w FROM documents),
+         |wc AS (SELECT w, count(*)::BIGINT AS n FROM tkk GROUP BY w),
+         |w0 AS (SELECT n, ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS s
+         |       FROM wc),
+         |$chain
+         |$unions""".stripMargin
+    },
     // bigram-surprisal twin: same decomposition — instance-level
     // −ln(c_ab/c_a) summed per doc, head totals from the gram aggregate
     "text_bigram_lm" ->

@@ -222,4 +222,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     // word-order signal: the doc with the unusual continuation scores higher
     assert(got(3L)._2 > got(2L)._2)
   }
+
+  test("BPE merges: known arg-max sequence on a crafted corpus ≡ scalar twin") {
+    import graft.textan.Bpe
+    // words: aaab ×2, ab ×1 → step1 (a,a,4), step2 (a,b,3), step3 (aa,ab,2)
+    val d = df((1L, "aaab aaab ab"))
+    val got = Bpe.merges(d, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+    assert(got.toSeq == Bpe.mergesS(Map("aaab" -> 2L, "ab" -> 1L), 3))
+    // overlap rule: 'aaaa' merges (a,a) to TWO non-overlapping 'aa's
+    val g2 = Bpe.merges(df((1L, "aaaa aaaa ab")), steps = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(g2.toSeq == Bpe.mergesS(Map("aaaa" -> 2L, "ab" -> 1L), 2))
+    assert(g2.head == ((1L, "a", "a", 6L))) // 3 adjacent pairs × 2 words
+    assert(g2(1) == ((2L, "aa", "aa", 2L))) // the two non-overlapping halves
+    // exhaustion: single-char vocabulary stops early
+    assert(Bpe.merges(df((1L, "x y z")), steps = 5).count() == 0L)
+  }
 }
