@@ -832,6 +832,13 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       QueryFrontend.prefixTerms(t.termStats, "sp")
     }),
+    // edge-n-gram autocomplete: precomputed top-3 completions per prefix
+    // (cf desc, term asc), three keystroke lookups
+    "ft_autocomplete" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      QueryFrontend.autocompleteLookup(
+        QueryFrontend.autocompleteBuild(t.postings), Seq("sp", "jo", "qu"))
+    }),
     // Fuzzy term match (edit distance <= 1) via SymSpell deletion-
     // neighborhood equi-join + levenshtein verify on candidates only
     "ft_fuzzy" -> ((s, dir) => {
@@ -1820,6 +1827,21 @@ object SparkEntry {
       s"""WITH ${termsCte}, ${tstatsCte}
          |SELECT term, df FROM tstats WHERE term LIKE 'sp%'
          |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+    // autocomplete twin: same edge-n-gram explode (len 2..5), same per-
+    // prefix (cf desc, term) top-3, same keystroke lookups
+    "ft_autocomplete" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post GROUP BY term),
+         |pre AS (SELECT term, cf, term[1:l] AS prefix
+         |        FROM (SELECT term, cf,
+         |                unnest(range(2, least(length(term), 5) + 1)) AS l
+         |              FROM cf WHERE length(term) >= 2)),
+         |r AS (SELECT prefix,
+         |        row_number() OVER (PARTITION BY prefix
+         |                           ORDER BY cf DESC, term ASC)::BIGINT AS rank,
+         |        term, cf FROM pre)
+         |SELECT prefix, rank, term, cf FROM r
+         |WHERE rank <= 3 AND prefix IN ('sp', 'jo', 'qu')""".stripMargin,
     "ft_fuzzy" -> fuzzySql("sprk", 1),
     // brute-force LIKE over the whole vocabulary: equality with the
     // k-gram-index path proves candidate completeness AND that the

@@ -743,6 +743,31 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("autocomplete: scalar recompute of per-prefix top-m; WindowGroupLimit plan") {
+    val m = 3
+    val idx = QueryFrontend.autocompleteBuild(tables.postings, minLen = 2, maxLen = 5, m = m)
+    val got = idx.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cf = tables.postings.select("term", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = cf.toSeq.flatMap { case (t, c) =>
+      (2 to math.min(t.length, 5)).map(l => (t.substring(0, l), t, c)) }
+      .groupBy(_._1).flatMap { case (p, rows) =>
+        rows.sortBy { case (_, t, c) => (-c, t) }.take(m).zipWithIndex
+          .map { case ((_, t, c), i) => (p, (i + 1).toLong, t, c) }
+      }.toSet
+    assert(got.toSet == want)
+    // every keystroke lookup returns ≤ m rows, rank-consecutive
+    val look = QueryFrontend.autocompleteLookup(idx, Seq("sp", "jo")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    look.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("synonymTopK: scalar pseudo-term recompute; singleton groups ≡ conjunctive bm25TopK") {
     val groups = Seq("join" -> Seq("join", "merge"), "spark" -> Seq("spark"))
     val post = tables.postings.select("term", "doc_id", "tf").collect()
