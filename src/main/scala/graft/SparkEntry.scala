@@ -1122,6 +1122,14 @@ object SparkEntry {
       Dedup.embeddingPairs(emb, threshold = 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
     }),
+    // exact all-pairs cosine ≥ 0.85 via prefix filtering (Bayardo 2007)
+    // over a deterministic doc sample; the oracle is the BRUTE-FORCE
+    // all-pairs join — hash equality proves the filter loses nothing
+    "dedup_apss" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      Dedup.apssPairs(t.postings.filter(col("doc_id") % 5 === 0), 0.85)
+        .select(col("doc_a"), col("doc_b"), round(col("sim"), 4).as("sim_r"))
+    }),
     // brute-force cosine top-5 for 5 fixed query vectors (= ANN oracle)
     "ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -2553,6 +2561,20 @@ object SparkEntry {
          |  FROM embeddings x JOIN embeddings y
          |    ON x.label = y.label AND x.vec_id < y.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
+    // APSS twin: brute-force all-pairs cosine over the same doc sample —
+    // no prefix filter here, so equality proves candidate completeness
+    "dedup_apss" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |p AS (SELECT * FROM post WHERE doc_id % 5 = 0),
+         |nrm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM p GROUP BY doc_id),
+         |w AS (SELECT p.doc_id, p.term, p.tf / n.nrm AS w
+         |      FROM p JOIN nrm n USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 sum(a.w * b.w) AS sim
+         |          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(sim, 4) AS sim_r
+         |FROM pairs WHERE sim >= 0.85""".stripMargin,
     "ann_topk" -> annBfSql,
     // filtered-ANN twin: the label equi-predicate joins query to corpus
     "ann_filtered_topk" ->

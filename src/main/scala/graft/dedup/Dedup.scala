@@ -442,6 +442,60 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  // ---------- all-pairs similarity (prefix filtering) -------------------
+  /** Exact all-pairs cosine similarity ≥ `threshold` over sparse tf
+    * vectors, via PREFIX FILTERING (Bayardo, Ma & Srikant, WWW 2007
+    * "Scaling Up All Pairs Similarity Search"; Chaudhuri et al. 2006
+    * SSJoin — public literature). The exact-threshold complement of the
+    * probabilistic LSH family above: zero false negatives BY CONSTRUCTION,
+    * no band/hash recall to tune.
+    *
+    * Each doc's tf vector is unit-normalized; its terms are laid out in a
+    * global order (df asc, term asc — rarest first) and only a PREFIX is
+    * indexed: the shortest head after which the remaining suffix weight
+    * sum drops below the threshold. Every unit-vector weight is ≤ 1, so a
+    * pair whose shared terms all fall in one side's suffix has dot product
+    * ≤ that suffix sum < threshold — hence every qualifying pair shares a
+    * term inside at least one side's prefix, and a prefix⋈full equi-join
+    * on term yields a COMPLETE candidate set. Exact cosine is recomputed
+    * on candidates only.
+    *
+    * 100 TB shape: per-term candidate cost is |prefix docs| × |postings|,
+    * and rarest-first ordering keeps hot (high-df) terms OUT of prefixes —
+    * exactly the lists that would otherwise quadratically explode; the
+    * verification join touches candidate pairs only, never all pairs. The
+    * harness oracle is the brute-force all-pairs join — equality PROVES
+    * the filter loses nothing. The 1e-9 slack keeps the float boundary
+    * inclusive (the bound stays an upper bound; candidates a superset). */
+  def apssPairs(postings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norms = postings.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+    val w = postings.join(norms, "doc_id")
+      .select(col("doc_id"), col("term"), (col("tf") / col("nrm")).as("w"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val ord = Window.partitionBy("doc_id").orderBy(asc("df"), asc("term"))
+    val prefix = w.join(dfs, "term")
+      .withColumn("cum", sum("w").over(ord))
+      .withColumn("s", sum("w").over(Window.partitionBy("doc_id")))
+      // keep term j iff the suffix starting AT j could still reach the
+      // threshold: s − (cum − w) ≥ threshold
+      .filter(col("cum") - col("w") <= col("s") - lit(threshold) + lit(1e-9))
+      .select(col("doc_id").as("pa"), col("term"))
+    val cand = prefix
+      .join(w.select(col("doc_id").as("pb"), col("term")), "term")
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"))
+      .distinct()
+    val wa = w.select(col("doc_id").as("doc_a"), col("term"), col("w").as("wa"))
+    val wb = w.select(col("doc_id").as("doc_b"), col("term"), col("w").as("wb"))
+    cand.join(wa, "doc_a").join(wb, Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   // ---------- duplicate clusters ---------------------------------------
   /** Connected components over a near-dup PAIR set — the step that turns
     * pairwise evidence (any of the pair generators above) into the actual

@@ -205,6 +205,58 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("apss: prefix-filtered pairs ≡ scalar brute force; prefixes strictly shorter") {
+    import spark.implicits._
+    // randomized sparse tf vectors over a vocab with BOTH hot and rare
+    // terms, so prefixes actually cut (a doc's suffix holds its hot terms)
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 't').map(_.toString)
+    val rows = (0L until 40L).flatMap { d =>
+      val nTerms = 3 + rnd.nextInt(6)
+      // hot terms (a,b,c) appear often; the rest are rare
+      val terms = Seq.fill(nTerms)(
+        if (rnd.nextBoolean()) vocab(rnd.nextInt(3)) else vocab(3 + rnd.nextInt(17)))
+      terms.distinct.map(t => (d, t, (1 + rnd.nextInt(5)).toLong))
+    }
+    val post = rows.toDF("doc_id", "term", "tf")
+    val thr = 0.8
+    val got = Dedup.apssPairs(post, thr).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // scalar brute force
+    val byDoc = rows.groupBy(_._1).view.mapValues { ts =>
+      val nrm = math.sqrt(ts.map(x => x._3.toDouble * x._3).sum)
+      ts.map(x => x._2 -> x._3 / nrm).toMap
+    }.toMap
+    val ids = byDoc.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = byDoc(ids(i)); b = byDoc(ids(j))
+      sim = a.keySet.intersect(b.keySet).toSeq.map(t => a(t) * b(t)).sum
+      if sim >= thr - 1e-12
+    } yield ((ids(i), ids(j)), sim)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"$k") }
+    // the filter must actually prune: indexed prefix rows < full rows
+    val full = post.count()
+    val w = post.groupBy("doc_id").agg(org.apache.spark.sql.functions.sqrt(
+      sum(col("tf") * col("tf"))).as("nrm"))
+    val prefixRows = {
+      // recount via the operator's own candidate side: run with threshold
+      // high enough that suffixes exist
+      import org.apache.spark.sql.expressions.Window
+      val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val wN = post.join(w, "doc_id")
+        .select(col("doc_id"), col("term"), (col("tf") / col("nrm")).as("w"))
+      wN.join(dfs, "term")
+        .withColumn("cum", sum("w").over(
+          Window.partitionBy("doc_id").orderBy(asc("df"), asc("term"))))
+        .withColumn("s", sum("w").over(Window.partitionBy("doc_id")))
+        .filter(col("cum") - col("w") <= col("s") - lit(thr) + lit(1e-9))
+        .count()
+    }
+    assert(prefixRows < full, s"prefix $prefixRows !< full $full")
+  }
+
   test("token hash: Column form == pure Scala form (cross-engine determinism root)") {
     import spark.implicits._
     val words = Seq("spark", "a", "tok123", "snake_case", "Zz9")
