@@ -4,7 +4,7 @@ import graft.analyze.{Analyzer, DefaultLexicon, Html}
 import graft.ann.Ann
 import graft.corpus.Corpus
 import graft.dedup.Dedup
-import graft.index.{IndexWriter, InvertedIndex, ShardPosting}
+import graft.index.{IndexWriter, InvertedIndex, ShardPosting, Shards}
 import graft.mm.Multimodal
 import graft.query.{Bm25, QueryFrontend, Search, Snippets, Wand}
 import graft.textan.{TextAnalysis, TextHash}
@@ -426,6 +426,16 @@ object SparkEntry {
     "ft_term_stats_repo" -> ((s, dir) => {
       val (c, _) = index(s, dir)
       InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)).select("repo", "term", "df")
+    }),
+    // CORI resource selection (Callan 1995): rank index shards (= repos)
+    // for a query so selective search fans out to top shards only; the
+    // stats relation is (shards × vocab)-bounded, a broker-side artifact
+    "ft_shard_select" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val sts = Shards.shardTermStats(
+        t.postings, c.select(col("doc_id"), col("repo").as("shard")))
+      Shards.coriScores(sts, Seq("spark", "join"))
+        .select(col("shard"), round(col("score"), 6).as("score_r"), col("rank"))
     }),
     // BM25 dl component
     "ft_doc_stats" -> ((s, dir) => {
@@ -1447,6 +1457,31 @@ object SparkEntry {
          |FROM terms GROUP BY repo, term""".stripMargin,
     "ft_doc_stats" ->
       s"WITH ${termsCte}, ${dsCte} SELECT doc_id, dl FROM ds",
+    // CORI twin: same one-pass shard stats, same belief formula with the
+    // paper's 50/150/b=0.4 constants; 2-term query keeps the score sum
+    // fold-order-proof (IEEE addition is commutative)
+    "ft_shard_select" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |dr AS (SELECT doc_id, source AS shard FROM documents),
+         |sts AS (SELECT d.shard, p.term, count(*)::BIGINT AS df,
+         |               sum(p.tf)::BIGINT AS tfs
+         |        FROM post p JOIN dr d USING (doc_id) GROUP BY 1, 2),
+         |sz AS (SELECT shard, sum(tfs)::DOUBLE AS cw FROM sts GROUP BY 1),
+         |g AS (SELECT (SELECT count(*) FROM sz)::DOUBLE AS ns,
+         |             (SELECT avg(cw) FROM sz) AS avgcw),
+         |q AS (SELECT unnest(ARRAY['spark', 'join']) AS term),
+         |cf AS (SELECT term, count(*)::DOUBLE AS cf FROM sts
+         |       WHERE term IN (SELECT term FROM q) GROUP BY term),
+         |grid AS (SELECT sz.shard, sz.cw, q.term FROM sz CROSS JOIN q),
+         |belief AS (SELECT grid.shard,
+         |    0.4 + 0.6 * (coalesce(sts.df, 0) /
+         |                 (coalesce(sts.df, 0) + 50.0 + 150.0 * grid.cw / g.avgcw))
+         |        * (ln((g.ns + 0.5) / cf.cf) / ln(g.ns + 1.0)) AS p
+         |  FROM grid LEFT JOIN sts USING (shard, term)
+         |       JOIN cf USING (term) CROSS JOIN g)
+         |SELECT shard, round(sum(p), 6) AS score_r,
+         |       row_number() OVER (ORDER BY sum(p) DESC, shard ASC)::BIGINT AS rank
+         |FROM belief GROUP BY shard""".stripMargin,
     "ft_stats_rollup" ->
       s"""WITH ${termsCte},
          |tr AS (SELECT repo, term, count(DISTINCT doc_id) AS df FROM terms GROUP BY repo, term),

@@ -768,6 +768,40 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("CORI shard selection: scalar belief recompute; every shard ranked once") {
+    import graft.index.Shards
+    val q = Seq("spark", "join")
+    val sts = Shards.shardTermStats(
+      tables.postings, corpus.select(col("doc_id"), col("repo").as("shard")))
+    val got = Shards.coriScores(sts, q).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // scalar recompute from raw postings + doc→repo map
+    val repoOf = corpus.select("doc_id", "repo").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val post = tables.postings.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2))) // term, doc, tf
+    val byShardTerm = post.groupBy { case (t, d, _) => (repoOf(d), t) }
+      .map { case (k, rows) => k -> (rows.length.toLong, rows.map(_._3).sum) }
+    val cw = byShardTerm.groupBy(_._1._1).view.mapValues(_.values.map(_._2).sum.toDouble).toMap
+    val ns = cw.size.toDouble
+    val avgcw = cw.values.sum / ns
+    val cf = q.map(t => t -> byShardTerm.count(_._1._2 == t).toDouble).toMap
+    val want = cw.keys.map { s =>
+      val score = q.filter(cf(_) > 0).map { t =>
+        val df = byShardTerm.getOrElse((s, t), (0L, 0L))._1.toDouble
+        val tt = df / (df + 50.0 + 150.0 * cw(s) / avgcw)
+        val ii = math.log((ns + 0.5) / cf(t)) / math.log(ns + 1.0)
+        0.4 + 0.6 * tt * ii
+      }.sum
+      s -> score
+    }.toMap
+    assert(got.length == cw.size)
+    got.foreach { case (s, sc, _) => assert(math.abs(sc - want(s)) < 1e-6, s) }
+    val wantRanks = want.toSeq.sortBy { case (s, sc) => (-sc, s) }
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1).toLong }.toMap
+    got.foreach { case (s, _, r) => assert(r == wantRanks(s), s"rank $s") }
+  }
+
   test("synonymTopK: scalar pseudo-term recompute; singleton groups ≡ conjunctive bm25TopK") {
     val groups = Seq("join" -> Seq("join", "merge"), "spark" -> Seq("spark"))
     val post = tables.postings.select("term", "doc_id", "tf").collect()
