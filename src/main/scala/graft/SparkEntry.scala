@@ -1254,6 +1254,14 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       graft.textan.Bpe.merges(c, steps = 3)
     }),
+    // BPE ENCODE: apply the 3 learned merges back to the corpus — per-doc
+    // token counts under the trained vocab (train → encode round-trip)
+    "text_bpe_encode" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val m = graft.textan.Bpe.merges(c, steps = 3).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.textan.Bpe.encode(c, m)
+    }),
     // bigram surprisal: mean −ln p(w_i | w_{i−1}) under the corpus bigram
     // MLE — the word-ORDER quality signal unigram surprisal cannot see
     "text_bigram_lm" -> ((s, dir) => {
@@ -2718,6 +2726,44 @@ object SparkEntry {
          |       FROM wc),
          |$chain
          |$unions""".stripMargin
+    },
+    // BPE-encode twin: the SAME unrolled 3-step merge chain, then each
+    // merge applied in training order to a (word → symbols) relation and
+    // the resulting token lengths joined back to word instances per doc
+    "text_bpe_encode" -> {
+      val steps = 3
+      def pm(i: Int, prev: String) =
+        s"""pr$i AS (SELECT n, arr, unnest(range(greatest(len(arr) - 1, 0))) AS i
+           |         FROM (SELECT n, regexp_split_to_array(trim(s), '  ') AS arr FROM $prev)),
+           |p$i AS (SELECT arr[i + 1] AS a, arr[i + 2] AS b, sum(n)::BIGINT AS cnt
+           |        FROM pr$i GROUP BY 1, 2),
+           |m$i AS (SELECT $i::BIGINT AS step, a, b, cnt FROM p$i
+           |        ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def wn(i: Int, prev: String) =
+        s"""w$i AS (SELECT n, replace(s,
+           |  ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+           |  ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s FROM $prev)""".stripMargin
+      def en(i: Int) =
+        s"""e$i AS (SELECT w, replace(s,
+           |  ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ',
+           |  ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s FROM e${i - 1})""".stripMargin
+      val chain = (1 to steps).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        if (i < steps) s"${pm(i, prev)},\n${wn(i, prev)}" else pm(i, prev)
+      }.mkString(",\n")
+      val echain = (1 to steps).map(en).mkString(",\n")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_filter(${Analyzer.sqlTokens("text")},
+         |  t -> t <> '')) AS w FROM documents),
+         |wc AS (SELECT w, count(*)::BIGINT AS n FROM tk GROUP BY w),
+         |w0 AS (SELECT n, ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS s
+         |       FROM wc),
+         |$chain,
+         |e0 AS (SELECT w, ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS s
+         |       FROM wc),
+         |$echain,
+         |lens AS (SELECT w, len(regexp_split_to_array(trim(s), '  '))::BIGINT AS ntok FROM e$steps)
+         |SELECT tk.doc_id, count(*)::BIGINT AS n_words, sum(l.ntok)::BIGINT AS n_bpe
+         |FROM tk JOIN lens l USING (w) GROUP BY tk.doc_id""".stripMargin
     },
     // bigram-surprisal twin: same decomposition — instance-level
     // −ln(c_ab/c_a) summed per doc, head totals from the gram aggregate

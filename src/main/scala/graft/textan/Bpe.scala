@@ -64,6 +64,29 @@ object Bpe {
     out.toSeq.toDF("step", "a", "b", "cnt")
   }
 
+  /** ENCODE under a learned merge table — the inference half of the
+    * tokenizer: each word's symbol string folds through the merges IN
+    * TRAINING ORDER as the same literal double-space replace used during
+    * induction, so train → encode round-trips exactly. The whole chain is
+    * ONE map-only nested-replace expression (no joins, no per-merge jobs)
+    * evaluated over the DISTINCT-WORD relation — vocabulary-bounded, not
+    * corpus-bounded — then joined back to word instances on the word key.
+    * Output per doc: (doc_id, n_words, n_bpe) — the token count a context-
+    * window budgeter needs, and n_bpe/n_words is the compression the
+    * trained vocab achieves. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(Analyzer.tokensCol(col("content"))).as("w"))
+    val sym0 = concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" "))
+    val sFinal = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val lens = words.select("w").distinct()
+      .select(col("w"), size(split(trim(sFinal), "  ")).cast("long").as("ntok"))
+    words.join(lens, "w").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("ntok").as("n_bpe"))
+  }
+
   /** scalar twin (tests): the same induction over an in-memory corpus */
   def mergesS(words: Map[String, Long], steps: Int): Seq[(Long, String, String, Long)] = {
     var voc = words.map { case (w, n) => (w.map(_.toString).toVector, n) }.toVector

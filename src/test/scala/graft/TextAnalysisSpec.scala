@@ -241,4 +241,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     // exhaustion: single-char vocabulary stops early
     assert(Bpe.merges(df((1L, "x y z")), steps = 5).count() == 0L)
   }
+
+  test("BPE encode: train→encode round-trip; counts ≡ scalar; merges only shrink") {
+    import graft.textan.Bpe
+    // merges learned on this corpus: (a,a) (a,b) (aa,ab) — see test above
+    val d = df((1L, "aaab aaab ab"), (2L, "ab ba"), (3L, "zzz"))
+    val m = Bpe.merges(df((1L, "aaab aaab ab")), steps = 3).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encode(d, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // aaab: a a a b → aa a b → aa ab → aaab = 1 token; ab: → ab = 1
+    assert(got(0) == ((1L, 3L, 3L)))
+    // ab → 1; ba: no ' b  a ' merge learned → stays 2
+    assert(got(1) == ((2L, 2L, 3L)))
+    // zzz untouched by the learned merges → 3 char tokens
+    assert(got(2) == ((3L, 1L, 3L)))
+    // zero merges = pure character tokenization
+    val raw = Bpe.encode(d, Nil).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(raw == Map(1L -> 10L, 2L -> 4L, 3L -> 3L))
+    // each applied merge never increases any doc's token count
+    val m1 = Bpe.encode(d, m.take(1)).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val m2 = Bpe.encode(d, m.take(2)).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val m3 = got.map(r => (r._1, r._3)).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(raw(id) >= m1(id) && m1(id) >= m2(id) && m2(id) >= m3(id), s"doc $id")
+    }
+  }
 }
