@@ -543,6 +543,18 @@ object SparkEntry {
       graft.query.Lm.qlTopK(t.postings, t.docStats, cfs, total, k = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // SMART lnc.ltc vector-space cosine (Salton & Buckley 1988) — the
+    // third ranking family next to BM25 and Dirichlet QL; doc norms are
+    // an index artifact, the query path is one IN-filtered postings scan
+    "ft_vsm_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = t.termStats.filter(col("term").isin(q2.map(x => x: Any): _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.query.Vsm.vsmTopK(t.postings, graft.query.Vsm.docNorms(t.postings),
+          dfs, t.nDocs, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // F1: path-validity filter (reference validUrl: reject media/binary
     // extensions and fragment links, IndexingServiceImpl.java:239-243)
     "ft_valid_paths" -> ((s, dir) => {
@@ -1658,6 +1670,23 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
          |         doc_id, round(score, 4) AS score_r
          |  FROM scored
+         |) WHERE rank <= 10""".stripMargin,
+    // lnc.ltc twin: same decomposition — doc norms over FULL postings,
+    // query idf/norm from the dictionary, candidate sum / dnorm
+    "ft_vsm_topk" ->
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |dn AS (SELECT doc_id, sqrt(sum(pow(1.0 + ln(tf), 2))) AS dnorm
+         |       FROM post GROUP BY doc_id),
+         |qw AS (SELECT q.term, ln((SELECT n FROM stats) / ts.df) AS idf
+         |       FROM q JOIN tstats ts USING (term)),
+         |qn AS (SELECT sqrt(sum(idf * idf)) AS qnorm FROM qw),
+         |sc AS (SELECT p.doc_id,
+         |              sum((w.idf / (SELECT qnorm FROM qn)) * (1.0 + ln(p.tf))) AS num
+         |       FROM post p JOIN qw w USING (term) GROUP BY p.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY num / dn.dnorm DESC, doc_id ASC)::BIGINT AS rank,
+         |         doc_id, round(num / dn.dnorm, 4) AS score_r
+         |  FROM sc JOIN dn USING (doc_id)
          |) WHERE rank <= 10""".stripMargin,
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
     "ft_bm25_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),

@@ -768,6 +768,34 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("VSM lnc.ltc top-k ≡ scalar recompute (scores, ranks, docId ties)") {
+    import graft.query.Vsm
+    val q = Seq("join", "spark")
+    val dfs = q.map(t => t -> oracle.df(t)).toMap
+    val got = Vsm.vsmTopK(tables.postings, Vsm.docNorms(tables.postings),
+        dfs, oracle.nDocs, 10)
+      .collect().map(r => (r.getAs[Number]("rank").longValue(),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    // scalar: score every doc matching ≥1 query term, sort, take 10
+    val cands = q.flatMap(t => oracle.postingList(t)).distinct
+    val want = cands.map { id =>
+      val docTfs = oracle.terms(id).distinct
+        .map(t => t -> oracle.tf((id, t))).toMap
+      val qTfs = q.flatMap(t => oracle.tf.get((id, t)).map(t -> _)).toMap
+      id -> Vsm.scoreS(qTfs, docTfs, dfs, oracle.nDocs)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case (((r, id, sc), (wid, wsc)), i) =>
+      assert(r == i + 1)
+      assert(id == wid, s"rank ${i + 1}: $id vs $wid")
+      assert(math.abs(sc - wsc) < 1e-9)
+    }
+    // lnc doc weighting has NO idf on the doc side: a doc scoring on the
+    // rare term only can still lose to a hot-term doc with a short vector —
+    // just sanity-check the top doc matches at least one query term
+    assert(cands.contains(got.head._2))
+  }
+
   test("CORI shard selection: scalar belief recompute; every shard ranked once") {
     import graft.index.Shards
     val q = Seq("spark", "join")
