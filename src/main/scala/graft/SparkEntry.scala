@@ -773,6 +773,14 @@ object SparkEntry {
         .select(col("term"), col("c_old"), col("c_new"),
           round(col("dp"), 6).as("dp_r"), round(col("jsd"), 6).as("jsd_r"))
     }),
+    // Dunning LLR distinctive terms: what vocabulary makes repo src0
+    // different from the rest of the pile (domain fingerprint)
+    "text_llr_keywords" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      TextAnalysis.llrKeywords(t.postings, c.select("doc_id", "repo"), "src0")
+        .select(col("rank"), col("term"), col("k11"), col("k12"),
+          round(col("g2"), 4).as("g2_r"))
+    }),
     // F4: HTTP-status gate (code <= 299, IndexingServiceImpl.java:135-137)
     // over a synthesized deterministic status column
     "ft_http_filter" -> ((s, dir) => {
@@ -2756,6 +2764,30 @@ object SparkEntry {
          |$chain
          |$unions""".stripMargin
     },
+    // LLR twin: same 2×2 contingency and CASE-guarded cell sums, same
+    // integer cross-multiplication overrepresentation gate
+    "text_llr_keywords" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |dr AS (SELECT doc_id, source AS repo FROM documents),
+         |cf AS (SELECT p.term,
+         |         sum(CASE WHEN d.repo = 'src0' THEN p.tf ELSE 0 END)::BIGINT AS k11,
+         |         sum(CASE WHEN d.repo = 'src0' THEN 0 ELSE p.tf END)::BIGINT AS k12
+         |       FROM post p JOIN dr d USING (doc_id) GROUP BY p.term),
+         |tot AS (SELECT sum(k11)::BIGINT AS nf, sum(k12)::BIGINT AS nr FROM cf),
+         |g AS (SELECT term, k11, k12, 2.0 * (
+         |    (CASE WHEN k11 > 0 THEN k11 * ln(k11 /
+         |        ((k11 + k12)::DOUBLE * nf / (nf + nr)::DOUBLE)) ELSE 0.0 END) +
+         |    (CASE WHEN k12 > 0 THEN k12 * ln(k12 /
+         |        ((k11 + k12)::DOUBLE * nr / (nf + nr)::DOUBLE)) ELSE 0.0 END) +
+         |    (CASE WHEN nf - k11 > 0 THEN (nf - k11) * ln((nf - k11) /
+         |        (((nf + nr)::DOUBLE - (k11 + k12)::DOUBLE) * nf / (nf + nr)::DOUBLE)) ELSE 0.0 END) +
+         |    (CASE WHEN nr - k12 > 0 THEN (nr - k12) * ln((nr - k12) /
+         |        (((nf + nr)::DOUBLE - (k11 + k12)::DOUBLE) * nr / (nf + nr)::DOUBLE)) ELSE 0.0 END)
+         |  ) AS g2
+         |  FROM cf, tot WHERE k11 * nr > k12 * nf)
+         |SELECT row_number() OVER (ORDER BY g2 DESC, term ASC)::BIGINT AS rank,
+         |       term, k11, k12, round(g2, 4) AS g2_r
+         |FROM g ORDER BY g2 DESC, term ASC LIMIT 20""".stripMargin,
     // BPE-encode twin: the SAME unrolled 3-step merge chain, then each
     // merge applied in training order to a (word → symbols) relation and
     // the resulting token lengths joined back to word instances per doc

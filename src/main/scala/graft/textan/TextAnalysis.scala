@@ -222,6 +222,49 @@ object TextAnalysis {
         (col("q") - col("p")).as("dp"), col("jsd"))
   }
 
+  /** Distinctive-term report for a FOCUS sub-corpus against the rest —
+    * Dunning's log-likelihood ratio (Dunning 1993, "Accurate Methods for
+    * the Statistics of Surprise and Coincidence" — public literature), the
+    * standard corpus-comparison keyword statistic: per term, the 2×2
+    * contingency of token counts (term/other × focus/rest) scores
+    * G² = 2·Σ_cells k·ln(k/E), E the independence expectation — unlike raw
+    * frequency ratios, G² is calibrated for rare terms (a χ²-distributed
+    * surprise). The domain-fingerprint move of a mixture pipeline: "what
+    * vocabulary makes this source different from the pile".
+    *
+    * Only terms OVERREPRESENTED in focus are returned, gated by the
+    * integer cross-multiplication k11·Nrest > k12·Nfocus (no float in the
+    * gate). Scale shape: one postings⋈docRepo aggregate (vocabulary-
+    * bounded output), totals as a broadcast 1-row aggregate, a closed-form
+    * per-row score, and a top-k heap — no second corpus pass. */
+  def llrKeywords(postings: DataFrame, docRepo: DataFrame, focus: String,
+                  k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cf = postings.join(docRepo, "doc_id")
+      .groupBy("term")
+      .agg(sum(when(col("repo") === focus, col("tf")).otherwise(lit(0L))).as("k11"),
+        sum(when(col("repo") === focus, lit(0L)).otherwise(col("tf"))).as("k12"))
+    val tot = cf.agg(sum("k11").as("nf"), sum("k12").as("nr"))
+    def cell(kc: Column, e: Column): Column =
+      when(kc > 0L, kc.cast("double") * log(kc.cast("double") / e))
+        .otherwise(lit(0.0))
+    cf.crossJoin(broadcast(tot))
+      .filter(col("k11") * col("nr") > col("k12") * col("nf"))
+      .withColumn("n", (col("nf") + col("nr")).cast("double"))
+      .withColumn("row1", (col("k11") + col("k12")).cast("double"))
+      .withColumn("g2", lit(2.0) * (
+        cell(col("k11"), col("row1") * col("nf") / col("n")) +
+        cell(col("k12"), col("row1") * col("nr") / col("n")) +
+        cell(col("nf") - col("k11"),
+          (col("n") - col("row1")) * col("nf") / col("n")) +
+        cell(col("nr") - col("k12"),
+          (col("n") - col("row1")) * col("nr") / col("n"))))
+      .orderBy(desc("g2"), asc("term")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("g2"), asc("term"))).cast("long"))
+      .select("rank", "term", "k11", "k12", "g2")
+  }
+
   /** Per-document unigram surprisal: mean negative log-likelihood of the
     * doc's tokens under the CORPUS unigram language model,
     * H(d) = −Σ_t tf_{t,d}·ln(cf_t/C) / dl_d — the model-free stand-in for

@@ -209,6 +209,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(covered == (0L until 5L).toSet)
   }
 
+  test("llrKeywords: closed-form G² on a 2×2 contingency; gate drops non-overrepresented") {
+    import spark.implicits._
+    // focus doc 1 (repo f): x×3 y×1; rest doc 2 (repo r): y×3 z×1
+    // → x: k11=3 k12=0 (overrep); y: 1·4 > 3·4 false; z: 0 > 4 false
+    val postings = Seq(("x", 1L, 3L), ("y", 1L, 1L), ("y", 2L, 3L), ("z", 2L, 1L))
+      .toDF("term", "doc_id", "tf")
+    val docRepo = Seq((1L, "f"), (2L, "r")).toDF("doc_id", "repo")
+    val got = TextAnalysis.llrKeywords(postings, docRepo, "f").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getString(1) == "x"
+      && r.getLong(2) == 3L && r.getLong(3) == 0L)
+    // nf=nr=4, n=8, row1=3: G² = 2·(3·ln(3/1.5) + 0 + 1·ln(1/2.5) + 4·ln(4/2.5))
+    val exp = 2.0 * (3.0 * math.log(2.0) + math.log(0.4) + 4.0 * math.log(1.6))
+    assert(math.abs(r.getDouble(4) - exp) < 1e-12)
+  }
+
   test("bigramSurprisal: closed-form MLE on a crafted corpus; <2-token docs absent") {
     val d = df((1L, "x y z"), (2L, "x y"), (3L, "y w"), (4L, "x"))
     // c(x y)=2, c(y z)=1, c(y w)=1; heads: c(x ·)=2, c(y ·)=2
