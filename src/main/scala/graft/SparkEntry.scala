@@ -543,6 +543,19 @@ object SparkEntry {
       graft.query.Lm.qlTopK(t.postings, t.docStats, cfs, total, k = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Sequential dependence model (Metzler & Croft 2005): unigram +
+    // ordered-adjacency + unordered-window-8 Dirichlet features at the
+    // canonical (0.85, 0.10, 0.05) weights — the term-dependence ranker
+    "ft_sdm_topk" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val cfs = graft.query.Lm.lookupCf(t.postings, q2.toSet)
+      val total = t.docStats.agg(sum("dl")).head.getLong(0)
+      graft.query.Sdm.sdmTopK(t.postings,
+          graft.index.Positional.tokenPositions(c), t.docStats,
+          q2, cfs, total, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // SMART lnc.ltc vector-space cosine (Salton & Buckley 1988) — the
     // third ranking family next to BM25 and Dirichlet QL; doc norms are
     // an index artifact, the query path is one IN-filtered postings scan
@@ -1042,6 +1055,37 @@ object SparkEntry {
     "split_stratified" -> ((s, dir) => {
       graft.pipeline.Splits.stratifiedSample(
         Corpus.fromDocuments(s, dir).select("doc_id", "lang"), "lang", quota = 40)
+    }),
+    // Leakage-safe split: near-dup cluster members share a split (hash the
+    // cluster representative, not the doc) — singletons fall back to the
+    // plain assign hash, so only dup groups move
+    "split_leakage_safe" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val pairs = Dedup.minhashLshPairs(c, numHashes = 8, rowsPerBand = 2,
+        threshold = 0.8).select("a_id", "b_id")
+      graft.pipeline.Splits.leakageSafeAssign(
+        c.select("doc_id"), Dedup.clusters(pairs))
+    }),
+    // Multinomial Naive Bayes domain classifier (the fastText-style cheap
+    // filter of LLM pipelines): train on the hash-split train docs with
+    // repo as label, predict the held-out docs. Model = vocab×classes
+    // count matrix (corpus-size-independent); apply = one postings⋈model
+    // join, absent (term,class) pairs vanish algebraically (ln 1 = 0)
+    "text_nb_classify" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val labels = c.select(col("doc_id"), col("repo").as("label"))
+      val split = graft.pipeline.Splits.assign(c.select("doc_id"))
+      val trainIds = split.filter(col("split") === "train").select("doc_id")
+      val heldIds = split.filter(col("split") =!= "train").select("doc_id")
+      val (model, cs) = graft.pipeline.Classify.nbTrain(
+        t.postings.join(trainIds, Seq("doc_id"), "left_semi"),
+        labels.join(trainIds, Seq("doc_id"), "left_semi"))
+      graft.pipeline.Classify.nbPredict(
+          t.postings.join(heldIds, Seq("doc_id"), "left_semi"), model, cs)
+        .join(labels.withColumnRenamed("label", "truth"), "doc_id")
+        .select(col("doc_id"), col("truth"), col("label").as("pred"),
+          (col("label") === col("truth")).cast("long").as("hit"),
+          round(col("score"), 4).as("score_r"))
     }),
     // LTR training-set export: per-(query,doc) feature vectors for the
     // whole query log in ONE postings pass (disjunctive candidates keep the
@@ -1678,6 +1722,43 @@ object SparkEntry {
          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
          |         doc_id, round(score, 4) AS score_r
          |  FROM scored
+         |) WHERE rank <= 10""".stripMargin,
+    // SDM twin: same matched-only decomposition per feature family; the
+    // one adjacent pair's ordered/unordered counts via a positions
+    // self-join; zero collection count zeroes the family (CASE), exactly
+    // the Spark drop rule
+    "ft_sdm_topk" ->
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tokArrCte}, ${qCte(q2)},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |tot AS (SELECT sum(dl)::DOUBLE AS c FROM ds),
+         |qcf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post JOIN q USING (term) GROUP BY term),
+         |qc AS (SELECT sum(ln(2000.0 * (cf / c))) AS qconst, count(*)::DOUBLE AS nq FROM qcf, tot),
+         |sdt AS (SELECT p.doc_id, sum(ln(1.0 + p.tf / (2000.0 * (f.cf / t.c)))) AS sd_t
+         |        FROM post p JOIN qcf f USING (term), tot t GROUP BY p.doc_id),
+         |owc AS (SELECT a.doc_id, count(*)::BIGINT AS cnt
+         |        FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |        WHERE a.term = '${q2(0)}' AND b.term = '${q2(1)}' GROUP BY a.doc_id),
+         |ocf AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS cf FROM owc),
+         |uwc AS (SELECT a.doc_id, count(*)::BIGINT AS cnt
+         |        FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) < 8
+         |        WHERE a.term = '${q2(0)}' AND b.term = '${q2(1)}' GROUP BY a.doc_id),
+         |ucf AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS cf FROM uwc),
+         |sc AS (SELECT s.doc_id,
+         |  0.85 * (s.sd_t + qc.qconst - qc.nq * ln(d.dl + 2000.0))
+         |  + 0.1 * (CASE WHEN ocf.cf > 0 THEN
+         |      coalesce(ln(1.0 + o.cnt / (2000.0 * (ocf.cf / t.c))), 0.0)
+         |      + ln(2000.0 * (ocf.cf / t.c)) - ln(d.dl + 2000.0) ELSE 0.0 END)
+         |  + 0.05 * (CASE WHEN ucf.cf > 0 THEN
+         |      coalesce(ln(1.0 + u.cnt / (2000.0 * (ucf.cf / t.c))), 0.0)
+         |      + ln(2000.0 * (ucf.cf / t.c)) - ln(d.dl + 2000.0) ELSE 0.0 END) AS score
+         |  FROM sdt s JOIN ds d USING (doc_id)
+         |  CROSS JOIN qc CROSS JOIN ocf CROSS JOIN ucf CROSS JOIN tot t
+         |  LEFT JOIN owc o ON o.doc_id = s.doc_id
+         |  LEFT JOIN uwc u ON u.doc_id = s.doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r
+         |  FROM sc
          |) WHERE rank <= 10""".stripMargin,
     // lnc.ltc twin: same decomposition — doc norms over FULL postings,
     // query idf/norm from the dictionary, candidate sum / dnorm
@@ -2370,6 +2451,69 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
          |      FROM documents)""".stripMargin,
+    // leakage-safe twin: the SAME recursive clusters closure, then the
+    // permille hash over coalesce(cluster_id, doc_id)
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE ${lshCtes},
+         |pairs AS (
+         |  SELECT a_id, b_id
+         |  FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8),
+         |und AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |k AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN cl USING (doc_id)),
+         |kb AS (SELECT doc_id, group_id,
+         |         (${TextHash.mixSql(7, tokenHashSqlInner("group_id::VARCHAR"))}) % 1000 AS bucket
+         |       FROM k)
+         |SELECT doc_id, group_id, bucket,
+         |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM kb""".stripMargin,
+    // Naive Bayes twin: same train/apply hash split, same Laplace
+    // fold (score = prior + Σ tf·ln(ctf+1) − dl_v·ln(T_c+V)), same
+    // vocab restriction and argmax tie-break
+    "text_nb_classify" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |b AS (SELECT doc_id,
+         |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
+         |      FROM documents),
+         |tr AS (SELECT doc_id FROM b WHERE bucket < 800),
+         |te AS (SELECT doc_id FROM b WHERE bucket >= 800),
+         |lab AS (SELECT doc_id, source AS label FROM documents),
+         |ctf AS (SELECT l.label, p.term, sum(p.tf)::BIGINT AS ctf
+         |        FROM post p JOIN tr USING (doc_id) JOIN lab l USING (doc_id)
+         |        GROUP BY l.label, p.term),
+         |nbm AS (SELECT label, term, ln(ctf + 1.0) AS lw FROM ctf),
+         |tc AS (SELECT label, sum(ctf)::BIGINT AS tc FROM ctf GROUP BY label),
+         |voc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM ctf),
+         |pri AS (SELECT l.label, count(*)::BIGINT AS nc
+         |        FROM lab l JOIN tr USING (doc_id) GROUP BY l.label),
+         |ntr AS (SELECT count(*)::BIGINT AS n FROM tr),
+         |cs AS (SELECT t.label, ln(p.nc::DOUBLE / n.n) AS prior_ln,
+         |              ln((t.tc + voc.v)::DOUBLE) AS denom_ln
+         |       FROM tc t JOIN pri p USING (label), voc, ntr n),
+         |tep AS (SELECT p.* FROM post p JOIN te USING (doc_id)
+         |        WHERE p.term IN (SELECT DISTINCT term FROM nbm)),
+         |dlv AS (SELECT doc_id, sum(tf)::BIGINT AS dlv FROM tep GROUP BY doc_id),
+         |con AS (SELECT p.doc_id, m.label, sum(p.tf * m.lw) AS s
+         |        FROM tep p JOIN nbm m USING (term) GROUP BY p.doc_id, m.label),
+         |sc AS (SELECT d.doc_id, c.label,
+         |         c.prior_ln + coalesce(con.s, 0.0) - d.dlv * c.denom_ln AS score
+         |       FROM dlv d CROSS JOIN cs c
+         |       LEFT JOIN con ON con.doc_id = d.doc_id AND con.label = c.label),
+         |best AS (SELECT doc_id, label, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+         |         FROM sc)
+         |SELECT bb.doc_id, l.label AS truth, bb.label AS pred,
+         |       (CASE WHEN bb.label = l.label THEN 1 ELSE 0 END)::BIGINT AS hit,
+         |       round(bb.score, 4) AS score_r
+         |FROM best bb JOIN lab l USING (doc_id) WHERE rn = 1""".stripMargin,
     // importance-sampling twin: same permille hash, same rounded weight
     "split_importance" ->
       s"""WITH w AS (SELECT doc_id,

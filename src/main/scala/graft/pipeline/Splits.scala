@@ -53,6 +53,30 @@ object Splits {
       .drop("_h")
   }
 
+  /** Leakage-safe split: hash the dedup-CLUSTER representative instead of
+    * the doc itself, so near-duplicates never straddle train/test — the
+    * contamination mode a group-unaware split creates (a test doc whose
+    * near-twin was trained on scores as memorization, not generalization;
+    * the GPT-3 appendix-C audit exists because of exactly this).
+    * `clusterOf` = (doc_id, cluster_id) from [[graft.dedup.Dedup.clusters]];
+    * docs absent from it are singletons and split by their own id —
+    * bit-identical to [[assign]] for them (the spec pins). Scale shape: one
+    * left equi-join on doc_id (the cluster relation is the SMALL side —
+    * only docs with a near-dup appear) + the same map-only permille hash;
+    * every cluster member shares the key, so the no-straddle property is
+    * structural, not probabilistic. */
+  def leakageSafeAssign(docs: DataFrame, clusterOf: DataFrame,
+                        trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    require(trainPermille + valPermille <= 1000)
+    val key = coalesce(col("cluster_id"), col("doc_id"))
+    val b = bucketCol(key)
+    docs.join(clusterOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), key.as("group_id"), b.as("bucket"),
+        when(b < trainPermille, lit("train"))
+          .when(b < trainPermille + valPermille, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Deterministic IMPORTANCE sampling — keep probability proportional to a
     * per-doc quality weight w ∈ [0, 1]: doc kept iff bucket < ⌊1000·w⌋,
     * with the same permille hash as [[assign]]. The training-data mixing

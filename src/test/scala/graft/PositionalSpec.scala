@@ -184,6 +184,26 @@ class PositionalSpec extends AnyFunSuite {
     assert((1L until 200L by 3).forall(i => kept.contains(i)))
   }
 
+  test("leakageSafeAssign: cluster members never straddle; singletons ≡ assign") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(Tuple1(_)).toDF("doc_id")
+    val clusterOf = Seq((1L, 1L), (5L, 1L), (9L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val got = Splits.leakageSafeAssign(docs, clusterOf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def sOf(b: Long) = if (b < 800) "train" else if (b < 900) "val" else "test"
+    // every cluster member carries the representative's key, bucket, split
+    Seq(1L, 5L, 9L).foreach { id =>
+      assert(got(id) == ((1L, Splits.bucketS(1L), sOf(Splits.bucketS(1L)))), s"doc $id") }
+    Seq(20L, 21L).foreach { id =>
+      assert(got(id) == ((20L, Splits.bucketS(20L), sOf(Splits.bucketS(20L)))), s"doc $id") }
+    // singletons: bit-identical to the plain assign
+    val plain = Splits.assign(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    (0L until 100L).filterNot(Set(1L, 5L, 9L, 20L, 21L)).foreach { id =>
+      assert(got(id) == ((id, plain(id)._1, plain(id)._2)), s"doc $id") }
+  }
+
   test("mixtureResample: BIGINT keep rule matches scalar; shares land at target") {
     import spark.implicits._
     import graft.pipeline.Mixture
