@@ -1107,6 +1107,19 @@ object SparkEntry {
     "pipeline_curate" -> ((s, dir) => {
       graft.pipeline.Curation.curate(Corpus.fromDocuments(s, dir))
     }),
+    // per-source quality-percentile gate: keep each repo's top half by
+    // alnum quality — exact via the bounded (source, q@4dp) histogram,
+    // never a per-source doc sort; threshold ties all kept
+    "pipeline_quality_gate" -> ((s, dir) => {
+      val c = Corpus.fromDocuments(s, dir)
+      val q = TextAnalysis.quality(c)
+        .select(col("doc_id"), col("alnum_ratio_r").as("q"))
+      graft.pipeline.Curation.qualityQuantileGate(
+          c.select("doc_id", "repo").withColumnRenamed("repo", "source").join(q, "doc_id"),
+          keepPermille = 500)
+        .select(col("doc_id"), col("source").as("repo"),
+          col("q").as("q_r"), col("thr").as("thr_r"))
+    }),
     // benchmark-contamination audit: bench set = doc_id < 20 stand-in
     // (single-pass split variant: one shingle computation for both sides)
     "dedup_contamination" -> ((s, dir) => {
@@ -1132,6 +1145,15 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       Dedup.ngramJaccardPairs(c, n = 3, threshold = 0.8, maxShingleDf = 1000L)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jac_r"))
+    }),
+    // n-gram novelty: fraction of a doc's shingles FIRST seen in it
+    // (ingestion order = doc_id) — the recycled-text signal no pairwise
+    // threshold catches
+    "dedup_novelty" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.novelty(c, n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_first"),
+          round(col("novelty"), 4).as("novelty_r"))
     }),
     // Containment (subset-duplication): inter / min(|A|,|B|) >= 0.9 — the
     // quoted-whole-inside case Jaccard misses on size-skewed pairs
@@ -2528,6 +2550,22 @@ object SparkEntry {
          |       floor(1000.0 * w.alnum_ratio_r)::BIGINT AS thr
          |FROM b JOIN w USING (doc_id)
          |WHERE b.bucket < floor(1000.0 * w.alnum_ratio_r)""".stripMargin,
+    // quality-gate twin: same 4dp histogram, same BIGINT cross-multiplied
+    // ties-or-better threshold, same keep-all-ties rule
+    "pipeline_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  round(CASE WHEN length(text) > 0 THEN
+         |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+         |    ELSE 0.0 END, 4) AS q
+         |  FROM documents),
+         |h AS (SELECT source, q, count(*)::BIGINT AS c FROM q GROUP BY source, q),
+         |cu AS (SELECT source, q, sum(c) OVER (PARTITION BY source ORDER BY q DESC) AS cum FROM h),
+         |nn AS (SELECT source, count(*)::BIGINT AS n FROM q GROUP BY source),
+         |thr AS (SELECT cu.source, max(cu.q) AS thr
+         |        FROM cu JOIN nn USING (source)
+         |        WHERE cu.cum * 1000 >= nn.n * 500 GROUP BY cu.source)
+         |SELECT q.doc_id, q.source AS repo, q.q AS q_r, thr.thr AS thr_r
+         |FROM q JOIN thr USING (source) WHERE q.q >= thr.thr""".stripMargin,
     "pipeline_curate" ->
       s"""WITH q AS (SELECT doc_id, text,
          |  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
@@ -2708,6 +2746,16 @@ object SparkEntry {
          |SELECT a_id, b_id, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac_r
          |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
+    // novelty twin: same distinct-shingle relation, min-doc_id first
+    // occurrence, per-doc first-fraction
+    "dedup_novelty" ->
+      s"""WITH ${shinglesCte},
+         |fi AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY shingle)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         |       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_first,
+         |       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*), 4) AS novelty_r
+         |FROM shd s JOIN fi f USING (shingle) GROUP BY s.doc_id""".stripMargin,
     "dedup_minhash_sig" -> {
       val mins = (0 until 8).map(i =>
         s"min(${TextHash.mixSql(i, "h")}) AS s$i").mkString(", ")

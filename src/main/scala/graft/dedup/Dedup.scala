@@ -118,6 +118,28 @@ object Dedup {
     * ≥1 shingle), then exact |A∩B| / |A∪B| ≥ threshold. `maxShingleDf`
     * drops ubiquitous shingles before the join — the standard candidate
     * prune that keeps the join linear-ish under Zipf skew. */
+  /** Per-doc n-gram NOVELTY: the fraction of a doc's distinct shingles
+    * whose FIRST occurrence (min doc_id = ingestion order) is this doc —
+    * the memorization-risk / boilerplate signal behind suffix-array train
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — public literature): novelty ≈ 0 marks a doc whose
+    * text is entirely recycled even when no single pair-wise near-dup
+    * crosses a Jaccard threshold (N docs each copying 1/N of it). Scale
+    * shape: one shuffle on the shingle key for the min aggregate, one
+    * co-partitioned join back, one doc_id aggregate — the n-gram-dedup
+    * plan with min(doc_id) instead of a pair join, nothing quadratic. */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L)))
+          .as("n_first"))
+      .withColumn("novelty",
+        col("n_first").cast("double") / col("n_shingles").cast("double"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 1000L, eager: Boolean = true): DataFrame = {
     val sh = shingles(docs, n).cache()

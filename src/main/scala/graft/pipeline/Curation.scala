@@ -40,4 +40,35 @@ object Curation {
       when(b < 800, lit("train")).when(b < 900, lit("val"))
         .otherwise(lit("test")).as("split"))
   }
+
+  /** Per-source quality-percentile gate — "keep each source's top p‰ by
+    * quality" (the CCNet move: an ABSOLUTE quality threshold lets one
+    * clean domain flood the mix and silently drops whole noisy-but-useful
+    * domains; a PER-SOURCE percentile keeps the mixture shape).
+    *
+    * Exact and scale-safe without a per-source sort: `q` is a score
+    * already rounded to fixed precision, so the per-source histogram
+    * groupBy("source", "q") has BOUNDED cardinality (≤ 10⁴ rows per
+    * source at 4dp in [0,1]) no matter the corpus size — the cumulative
+    * window then runs over histogram rows, never docs (contrast: exact
+    * `percentile`/window-rank buffers or sorts every doc of a source in
+    * one place). Threshold = the highest q whose ties-or-better count
+    * reaches ⌈p‰·n⌉, by pure-BIGINT cross-multiplication; ALL docs tying
+    * the threshold are kept (quantile_disc semantics — deterministic, no
+    * intra-tie ordering dependence), so the kept count can slightly
+    * exceed p‰·n. docs = (doc_id, source, q). */
+  def qualityQuantileGate(docs: DataFrame, keepPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepPermille >= 0 && keepPermille <= 1000)
+    val hist = docs.groupBy("source", "q").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("source").orderBy(desc("q"))))
+    val n = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val thr = cum.join(n, "source")
+      .filter(col("cum") * 1000L >= col("n") * lit(keepPermille.toLong))
+      .groupBy("source").agg(max("q").as("thr"))
+    docs.join(broadcast(thr), "source")
+      .filter(col("q") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("q"), col("thr"))
+  }
 }

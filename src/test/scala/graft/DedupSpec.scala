@@ -324,6 +324,16 @@ class DedupSpec extends AnyFunSuite {
     assert(none.forall(_.getLong(2) == 0L))
   }
 
+  test("novelty: first-occurrence fraction by ingestion order; shingle-less docs absent") {
+    val got = Dedup.novelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((8L, 8L, 1.0)))   // first copy: all shingles new
+    assert(got(1L) == ((8L, 0L, 0.0)))   // exact dup of 0: nothing new
+    assert(got(2L) == ((8L, 1L, 0.125))) // near-dup: only the changed tail shingle
+    assert(got(3L) == ((8L, 8L, 1.0)))   // unrelated doc
+    assert(!got.contains(4L))            // 2 tokens → no 3-shingles
+  }
+
   test("winnowing: window minima ≡ scalar; shared-run guarantee; candidate pairs") {
     import spark.implicits._
     import graft.analyze.Analyzer

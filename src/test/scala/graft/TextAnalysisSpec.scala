@@ -209,6 +209,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(covered == (0L until 5L).toSet)
   }
 
+  test("qualityQuantileGate: exact per-source threshold from the histogram; ties kept") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // a: q .9 .8 .7 .6 (n=4, 500‰ → cum≥2 → thr .8); b: .5 .5 .1 (thr .5, both ties)
+    val docs = Seq((1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.6),
+      (10L, "b", 0.5), (11L, "b", 0.5), (12L, "b", 0.1)).toDF("doc_id", "source", "q")
+    val got = Curation.qualityQuantileGate(docs, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(1L, 2L, 10L, 11L))
+    assert(got(1L) == 0.8 && got(10L) == 0.5)
+    // permille 1000 keeps everything; permille 0 keeps only top ties
+    assert(Curation.qualityQuantileGate(docs, 1000).count() == 7)
+    assert(Curation.qualityQuantileGate(docs, 0).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 10L, 11L))
+  }
+
   test("llrKeywords: closed-form G² on a 2×2 contingency; gate drops non-overrepresented") {
     import spark.implicits._
     // focus doc 1 (repo f): x×3 y×1; rest doc 2 (repo r): y×3 z×1
