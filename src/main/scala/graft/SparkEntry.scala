@@ -918,6 +918,17 @@ object SparkEntry {
         t.nDocs, iters = 3)
       graft.corpus.LinkRank.topK(pr, 20)
     }),
+    // TrustRank: teleport only to the trusted seed set (doc_id % 17 = 0)
+    // — spam-farm pages unreachable from seeds score exactly 0
+    "ft_trustrank" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val seeds = c.select("doc_id").filter(col("doc_id") % 17 === 0)
+      val nSeeds = seeds.count()
+      val pr = graft.corpus.LinkRank.trustRank(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        seeds, nSeeds, iters = 3)
+      graft.corpus.LinkRank.topK(pr, 20)
+    }),
     // Co-citation related-pages: pairs cited together, hot-citer pruned
     "ft_cocitation" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -2069,6 +2080,40 @@ object SparkEntry {
          |SELECT rank, doc_id, pr FROM (
          |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
          |  FROM p3) WHERE rank <= 20""".stripMargin,
+    // TrustRank twin: pagerank chain with the teleport gated by the seed
+    // flag and divided by |seeds| instead of N
+    "ft_trustrank" -> {
+      val S = "1000000000000"
+      val tele = s"(15 * ($S // (SELECT k FROM sk))) // 100"
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (SELECT b.doc_id,
+           |  CAST(b.is_seed * ($tele) + (85 * coalesce(s.acc, 0)) // 100 AS BIGINT) AS pr
+           |  FROM sbase b LEFT JOIN (
+           |    SELECT e.dst AS doc_id, sum(p.pr // o.odeg) AS acc
+           |    FROM $prev p JOIN odeg o ON p.doc_id = o.src
+           |         JOIN edges e ON p.doc_id = e.src
+           |    GROUP BY e.dst) s USING (doc_id))""".stripMargin
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
+         |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+         |sbase AS (SELECT doc_id,
+         |            CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END::BIGINT AS is_seed
+         |          FROM nodes),
+         |sk AS (SELECT sum(is_seed)::BIGINT AS k FROM sbase),
+         |p0 AS (SELECT doc_id,
+         |         CAST(is_seed * ($S // (SELECT k FROM sk)) AS BIGINT) AS pr
+         |       FROM sbase),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT rank, doc_id, pr FROM (
+         |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
+         |  FROM p3) WHERE rank <= 20""".stripMargin
+    },
     "ft_cocitation" ->
       s"""WITH ccn AS (SELECT count(*) AS n FROM documents),
          |cce AS (SELECT DISTINCT src, dst FROM (

@@ -65,6 +65,43 @@ object LinkRank {
     pr
   }
 
+  /** Personalized PageRank over a trusted seed set — TrustRank (Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB 2004 — public literature), the
+    * classic spam-demotion prior: teleport mass returns ONLY to the seeds,
+    * so authority decays with link distance from trusted pages and a spam
+    * farm unreachable from them scores exactly 0 (uniform PageRank gives
+    * every page the teleport floor; this gives it nothing). Same
+    * fixed-point BIGINT arithmetic as [[pagerank]] — bit-exact at any
+    * parallelism — with the teleport term gated by a per-node seed flag.
+    * `seeds` stays a relation (one left join, checkpointed once and reused
+    * every iteration); nothing collects. */
+  def trustRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                nSeeds: Long, iters: Int = 3,
+                scale: Long = 1000000000000L): DataFrame = {
+    require(nSeeds > 0, "trustRank needs a non-empty seed set")
+    require(iters >= 0)
+    val init = scale / nSeeds
+    val teleport = 15L * init / 100L
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(seeds.select(col("doc_id"), lit(1L).as("is_seed")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true) // probed every iteration
+    var pr = base.select(col("doc_id"), (col("is_seed") * lit(init)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(outdeg, pr("doc_id") === outdeg("src"))
+        .select(col("src"), expr("pr div outdeg").as("contrib"))
+      val in = edges.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
+      pr = base.join(in, base("doc_id") === in("dst"), "left")
+        .select(base("doc_id"),
+          (col("is_seed") * lit(teleport)
+            + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
   /** Top-k authority pages: (rank, doc_id, pr), ties broken by doc_id. */
   def topK(pr: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -37,6 +37,37 @@ class LinkRankSpec extends AnyFunSuite {
     assert(got == scalarPr(edges, nodes, 3))
   }
 
+  /** scalar twin of LinkRank.trustRank — seed-gated teleport */
+  def scalarTrust(edges: Seq[(Long, Long)], nodes: Seq[Long], seeds: Set[Long],
+                  iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val init = scale / seeds.size
+    val teleport = 15L * init / 100L
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = nodes.map(v => v -> (if (seeds(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- edges if outdeg.contains(u))
+        acc(v) += pr(u) / outdeg(u)
+      pr = nodes.map(v => v ->
+        ((if (seeds(v)) teleport else 0L) + 85L * acc(v) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("trustRank ≡ scalar; unreachable-from-seeds pages score exactly 0") {
+    // seeds {0}; chain 0→1→2; spam pair 10↔11 links only to itself
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L)
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 10L))
+    val got = LinkRank.trustRank(edges.toDF("src", "dst"), nodes.toDF("doc_id"),
+        Seq(0L).toDF("doc_id"), nSeeds = 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarTrust(edges, nodes, Set(0L), 3))
+    assert(got(10L) == 0L && got(11L) == 0L) // spam farm: no teleport floor
+    assert(got(0L) > 0L && got(1L) > 0L && got(2L) > 0L)
+    // trust decays with distance from the seed
+    assert(got(0L) > got(1L) && got(1L) > got(2L))
+  }
+
   test("node with no in-edges holds exactly the teleport mass") {
     // 0 -> 1 -> 2 -> 0 cycle plus isolated-source 3 -> 0: node 3 gets no
     // in-links, so after any iteration pr(3) = teleport exactly
