@@ -1011,6 +1011,26 @@ object SparkEntry {
         .select(col("query_id"), round(col("ndcg"), 4).as("ndcg_r"),
           round(col("ap"), 4).as("ap_r"))
     }),
+    // Paired bootstrap significance test: BM25 vs binary-tf BM25 (tf
+    // capped at 1) over a df-top-40 synthetic query log — deterministic
+    // hash resamples, integer micro-unit deltas (exact sign test)
+    "ft_eval_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val top = t.termStats.orderBy(desc("df"), asc("term")).limit(40)
+        .collect().map(_.getString(0))
+      val qs = top.grouped(2).zipWithIndex.flatMap { case (pair, i) =>
+        pair.map(term => (i.toLong, term)) }.toSeq.toDF("query_id", "term")
+      val rankA = Search.bm25TopKBatch(t.postings, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10).select("query_id", "rank", "doc_id")
+      val capped = t.postings.withColumn("tf", least(col("tf"), lit(1L)))
+      val rankB = Search.bm25TopKBatch(capped, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10).select("query_id", "rank", "doc_id")
+      val qrels = graft.query.Eval.sumTfQrels(t.postings, qs)
+      val mA = graft.query.Eval.rankingMetrics(rankA, qrels, k = 10)
+      val mB = graft.query.Eval.rankingMetrics(rankB, qrels, k = 10)
+      graft.query.Eval.pairedBootstrap(mA, mB, "ndcg", b = 200, seed = 11)
+    }),
     // Reverse search / percolation: every stored query matched against the
     // corpus in ONE postings pass (the alerting primitive)
     "ft_percolate" -> ((s, dir) => {
@@ -2457,6 +2477,73 @@ object SparkEntry {
          |                  ELSE 0.0 END, 4) AS ap_r
          |FROM dcg d JOIN ideal i USING (query_id) JOIN apq a USING (query_id)
          |     LEFT JOIN nrel n USING (query_id)""".stripMargin
+    },
+    // bootstrap twin: BOTH nDCG chains (full vs tf-capped postings) over
+    // the same df-top-40 query log, integer micro-unit deltas, and the
+    // exact hash-replayed draw table (id = resample·nq + slot)
+    "ft_eval_bootstrap" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      def ndcgChain(postRel: String, pfx: String) =
+        s"""${pfx}scored AS (
+           |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+           |  FROM $postRel p JOIN q USING (term) JOIN tstats t USING (term)
+           |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+           |  GROUP BY q.query_id, p.doc_id),
+           |${pfx}ranking AS (SELECT query_id, rank, doc_id FROM (
+           |  SELECT s.query_id,
+           |         row_number() OVER (PARTITION BY s.query_id
+           |                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT AS rank,
+           |         s.doc_id
+           |  FROM ${pfx}scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+           |) WHERE rank <= 10),
+           |${pfx}j AS (SELECT r.query_id, r.rank, coalesce(qr.grade, 0)::BIGINT AS grade
+           |      FROM ${pfx}ranking r LEFT JOIN qrels qr
+           |           ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+           |${pfx}dcg AS (SELECT query_id, sum((power(2.0, grade) - 1.0) / ln(rank + 1.0)) AS dcg
+           |        FROM ${pfx}j GROUP BY query_id),
+           |${pfx}nd AS (SELECT dd.query_id, dd.dcg / i.idcg AS ndcg
+           |        FROM ${pfx}dcg dd JOIN ideal i USING (query_id))""".stripMargin
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |qt AS (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS i
+         |       FROM tstats ORDER BY df DESC, term ASC LIMIT 40),
+         |q AS (SELECT (i // 2)::BIGINT AS query_id, term FROM qt),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |qrels AS (
+         |  SELECT x.query_id, x.doc_id, least(x.stf, 3)::BIGINT AS grade FROM (
+         |    SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum(p.tf)::BIGINT AS stf
+         |    FROM post p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+         |  ) x JOIN qn USING (query_id) WHERE x.n_terms = qn.q_n),
+         |ideal AS (SELECT query_id, sum((power(2.0, grade) - 1.0) / ln(irank + 1.0)) AS idcg
+         |          FROM (SELECT query_id, grade,
+         |                       row_number() OVER (PARTITION BY query_id
+         |                                          ORDER BY grade DESC, doc_id ASC)::BIGINT AS irank
+         |                FROM qrels) WHERE irank <= 10 GROUP BY query_id),
+         |cpost AS (SELECT doc_id, term, least(tf, 1)::BIGINT AS tf FROM post),
+         |${ndcgChain("post", "ra_")},
+         |${ndcgChain("cpost", "rb_")},
+         |del AS (SELECT x.query_id,
+         |          CAST(round((x.ndcg - y.ndcg) * 1000000.0) AS BIGINT) AS du
+         |        FROM ra_nd x JOIN rb_nd y USING (query_id)),
+         |idx AS (SELECT du, row_number() OVER (ORDER BY query_id ASC) - 1 AS qidx FROM del),
+         |nqv AS (SELECT count(*)::BIGINT AS nq FROM del),
+         |draws AS (SELECT r.range AS bs,
+         |                 (r.range * (SELECT nq FROM nqv) + s.qidx) AS id
+         |          FROM range(200) r CROSS JOIN idx s),
+         |dpick AS (SELECT bs,
+         |            (${TextHash.mixSql(11, tokenHashSqlInner("id::VARCHAR"))})
+         |              % (SELECT nq FROM nqv) AS pick
+         |          FROM draws),
+         |bsum AS (SELECT d.bs, sum(i.du) AS sdu
+         |         FROM dpick d JOIN idx i ON d.pick = i.qidx GROUP BY d.bs),
+         |obs AS (SELECT sum(du)::BIGINT AS odu FROM del)
+         |SELECT (SELECT nq FROM nqv) AS n_queries,
+         |       count(*)::BIGINT AS n_resamples,
+         |       round((SELECT odu FROM obs)::DOUBLE
+         |             / ((SELECT nq FROM nqv) * 1000000.0), 4) AS mean_delta_r,
+         |       round(sum(CASE WHEN sdu <= 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS p_r,
+         |       (CASE WHEN sum(CASE WHEN sdu <= 0 THEN 1 ELSE 0 END) * 20 < count(*)
+         |             THEN 1 ELSE 0 END)::BIGINT AS significant
+         |FROM bsum""".stripMargin
     },
     "ltr_features" -> {
       val idf = "ln((((SELECT n FROM stats) - t.df + 0.5) / (t.df + 0.5)) + 1.0)"

@@ -36,6 +36,57 @@ object Eval {
       .select(col("query_id"), col("doc_id"), least(col("stf"), lit(cap)).as("grade"))
   }
 
+  /** Paired bootstrap significance test (Smucker, Allan & Carterette,
+    * CIKM 2007 — the standard IR answer to "is ranker A actually better
+    * than B, or did I get lucky on this query set?"): resample the query
+    * set with replacement `b` times, measure how often the resampled mean
+    * per-query metric delta (A − B) fails to stay positive — that fraction
+    * is the one-sided p-value.
+    *
+    * Determinism across engines, the part worth care:
+    *  - resampling uses the cross-engine TextHash family over the FLAT
+    *    draw id (resample·nq + slot), not an engine RNG — the DuckDB twin
+    *    replays the exact draws;
+    *  - per-query deltas are converted to INTEGER micro-units
+    *    (round(Δndcg·10⁶)) so every resample sum is exact BIGINT
+    *    arithmetic — the `≤ 0` sign test can never flip on summation
+    *    order, and p is a ratio of integers.
+    *
+    * Scale shape: deltas are one join of two Q-row metric relations; the
+    * draw table is b·Q rows joined against the Q-row delta relation
+    * (broadcast — Q ≪ corpus by construction) and aggregated on the
+    * resample id. The global row_number windows run over Q-row relations
+    * only, never anything corpus-sized. Returns ONE row:
+    * (n_queries, n_resamples, mean_delta_r, p_r, significant@0.05). */
+  def pairedBootstrap(metricsA: DataFrame, metricsB: DataFrame, metric: String,
+                      b: Int = 200, seed: Int = 11): DataFrame = {
+    import graft.textan.TextHash
+    val d = metricsA.select(col("query_id"), col(metric).as("ma"))
+      .join(metricsB.select(col("query_id"), col(metric).as("mb")), "query_id")
+      .select(col("query_id"),
+        round((col("ma") - col("mb")) * lit(1000000.0), 0).cast("long").as("du"))
+    val idx = d.withColumn("qidx",
+      (row_number().over(Window.orderBy(asc("query_id"))) - 1).cast("long"))
+    val nq = idx.count()
+    require(nq > 0, "paired bootstrap needs a non-empty shared query set")
+    val spark = metricsA.sparkSession
+    val draws = spark.range(b.toLong * nq).select(
+      expr(s"id div $nq").as("bs"),
+      (TextHash.mixCol(seed, TextHash.tokenHashCol(col("id").cast("string")))
+        % nq).as("pick"))
+    val sums = draws
+      .join(broadcast(idx.select(col("qidx"), col("du"))), col("pick") === col("qidx"))
+      .groupBy("bs").agg(sum("du").as("sdu"))
+    val cnt = sums.agg(count(lit(1)).as("nb"),
+      sum(when(col("sdu") <= 0L, lit(1L)).otherwise(lit(0L))).as("le0"))
+    val obs = d.agg(sum("du").as("odu"))
+    cnt.crossJoin(obs).select(
+      lit(nq).as("n_queries"), col("nb").as("n_resamples"),
+      round(col("odu").cast("double") / lit(nq * 1000000.0), 4).as("mean_delta_r"),
+      round(col("le0").cast("double") / col("nb").cast("double"), 4).as("p_r"),
+      (col("le0") * lit(20L) < col("nb")).cast("long").as("significant"))
+  }
+
   /** nDCG@k + MAP@k per query.
     * ranking: (query_id, rank, doc_id) with rank 1-based; qrels:
     * (query_id, doc_id, grade ≥ 1). Binary relevance for AP is

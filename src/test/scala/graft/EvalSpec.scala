@@ -52,4 +52,19 @@ class EvalSpec extends AnyFunSuite {
       (0L, 10L) -> 3L, (0L, 12L) -> 2L,        // conjunctive, capped
       (1L, 10L) -> 1L, (1L, 11L) -> 2L, (1L, 12L) -> 1L)) // single-term query
   }
+
+  test("pairedBootstrap: endpoint pins — all-positive p=0/significant, flipped p=1") {
+    import spark.implicits._
+    val mA = (0L until 6L).map(q => (q, 0.9)).toDF("query_id", "ndcg")
+    val mB = (0L until 6L).map(q => (q, 0.8)).toDF("query_id", "ndcg")
+    val r = Eval.pairedBootstrap(mA, mB, "ndcg", b = 50, seed = 11).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 0.1)            // exact: integer micro-units
+    assert(r.getDouble(3) == 0.0 && r.getLong(4) == 1L)
+    val n = Eval.pairedBootstrap(mB, mA, "ndcg", b = 50, seed = 11).collect().head
+    assert(n.getDouble(2) == -0.1 && n.getDouble(3) == 1.0 && n.getLong(4) == 0L)
+    // identical systems: every resample sum is exactly 0 -> p = 1, not noise
+    val z = Eval.pairedBootstrap(mA, mA, "ndcg", b = 50, seed = 11).collect().head
+    assert(z.getDouble(2) == 0.0 && z.getDouble(3) == 1.0 && z.getLong(4) == 0L)
+  }
 }
