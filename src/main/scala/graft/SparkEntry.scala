@@ -1011,6 +1011,30 @@ object SparkEntry {
         .select(col("query_id"), round(col("ndcg"), 4).as("ndcg_r"),
           round(col("ap"), 4).as("ap_r"))
     }),
+    // Balanced interleaving (online A/B of two rankers in one list):
+    // leader by query-hash coin, closed-form slot merge, keep-first dedup
+    "ft_interleave" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val qs = batchQ.toDF("query_id", "term")
+      val rankA = Search.bm25TopKBatch(t.postings, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10).select("query_id", "rank", "doc_id")
+      val capped = t.postings.withColumn("tf", least(col("tf"), lit(1L)))
+      val rankB = Search.bm25TopKBatch(capped, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10).select("query_id", "rank", "doc_id")
+      graft.query.Eval.balancedInterleave(rankA, rankB, k = 10)
+    }),
+    // Post-retrieval query-performance prediction (NQC-family score
+    // dispersion): tightly-bunched top-k scores = hard query
+    "ft_qpp_nqc" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val qs = batchQ.toDF("query_id", "term")
+      val ranking = Search.bm25TopKBatch(t.postings, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10)
+      graft.query.Eval.nqc(ranking, k = 10)
+        .select(col("query_id"), col("k_n"), round(col("nqc"), 4).as("nqc_r"))
+    }),
     // Paired bootstrap significance test: BM25 vs binary-tf BM25 (tf
     // capped at 1) over a df-top-40 synthetic query log — deterministic
     // hash resamples, integer micro-unit deltas (exact sign test)
@@ -2477,6 +2501,73 @@ object SparkEntry {
          |                  ELSE 0.0 END, 4) AS ap_r
          |FROM dcg d JOIN ideal i USING (query_id) JOIN apq a USING (query_id)
          |     LEFT JOIN nrel n USING (query_id)""".stripMargin
+    },
+    // interleave twin: both batch ranking chains, the same coin, the same
+    // closed-form slot merge
+    "ft_interleave" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      val aLeads = s"(${TextHash.mixSql(13, tokenHashSqlInner("query_id::VARCHAR"))}) % 2 = 0"
+      def rankChain(postRel: String, pfx: String) =
+        s"""${pfx}scored AS (
+           |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+           |  FROM $postRel p JOIN q USING (term) JOIN tstats t USING (term)
+           |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+           |  GROUP BY q.query_id, p.doc_id),
+           |${pfx}ranking AS (SELECT query_id, rank, doc_id FROM (
+           |  SELECT s.query_id,
+           |         row_number() OVER (PARTITION BY s.query_id
+           |                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT AS rank,
+           |         s.doc_id
+           |  FROM ${pfx}scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+           |) WHERE rank <= 10)""".stripMargin
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |cpost AS (SELECT doc_id, term, least(tf, 1)::BIGINT AS tf FROM post),
+         |${rankChain("post", "ra_")},
+         |${rankChain("cpost", "rb_")},
+         |ab AS (SELECT query_id, doc_id,
+         |         rank * 2 - (CASE WHEN $aLeads THEN 1 ELSE 0 END) AS slot
+         |       FROM ra_ranking
+         |       UNION ALL
+         |       SELECT query_id, doc_id,
+         |         rank * 2 - (CASE WHEN $aLeads THEN 0 ELSE 1 END)
+         |       FROM rb_ranking),
+         |mg AS (SELECT query_id, doc_id, min(slot)::BIGINT AS slot
+         |       FROM ab GROUP BY query_id, doc_id),
+         |tm AS (SELECT query_id, doc_id, slot,
+         |         CASE WHEN (slot % 2 = 1) = ($aLeads) THEN 'A' ELSE 'B' END AS team
+         |       FROM mg)
+         |SELECT query_id, irank, doc_id, team, slot FROM (
+         |  SELECT query_id, doc_id, slot, team,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY slot ASC)::BIGINT AS irank
+         |  FROM tm) WHERE irank <= 10""".stripMargin
+    },
+    // NQC twin: same batch scored chain, population σ over the top-k
+    // scores normalized by their mean
+    "ft_qpp_nqc" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY q.query_id, p.doc_id),
+         |ranking AS (SELECT query_id, score FROM (
+         |  SELECT s.query_id, s.score,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT AS rank
+         |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+         |) WHERE rank <= 10)
+         |SELECT query_id, count(*)::BIGINT AS k_n,
+         |       round(stddev_pop(score) / avg(score), 4) AS nqc_r
+         |FROM ranking GROUP BY query_id""".stripMargin
     },
     // bootstrap twin: BOTH nDCG chains (full vs tf-capped postings) over
     // the same df-top-40 query log, integer micro-unit deltas, and the

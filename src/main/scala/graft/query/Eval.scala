@@ -87,6 +87,50 @@ object Eval {
       (col("le0") * lit(20L) < col("nb")).cast("long").as("significant"))
   }
 
+  /** Balanced interleaving (Joachims, KDD 2002 — public literature): the
+    * ONLINE ranker comparison — merge A's and B's rankings into one list
+    * shown to users, credit clicks by team. Joachims's pointer walk with a
+    * per-query leader coin reduces to a closed relational form: leader's
+    * rank r lands in slot 2r−1, follower's in slot 2r; a doc in both lists
+    * keeps its FIRST slot. So: one union, one (query, doc) min-slot
+    * aggregate, one WindowGroupLimit top-k — no per-step state, whole
+    * query logs interleave in one plan. The coin is the cross-engine
+    * TextHash of the query id (no RNG — the DuckDB twin replays it); team
+    * attribution = leader iff the kept slot is odd. */
+  def balancedInterleave(rankA: DataFrame, rankB: DataFrame, k: Int,
+                         seed: Int = 13): DataFrame = {
+    import graft.textan.TextHash
+    def aLeads = (TextHash.mixCol(seed,
+      TextHash.tokenHashCol(col("query_id").cast("string"))) % 2) === 0
+    val a = rankA.select(col("query_id"), col("doc_id"),
+      (col("rank") * 2 - when(aLeads, lit(1L)).otherwise(lit(0L))).as("slot"))
+    val b = rankB.select(col("query_id"), col("doc_id"),
+      (col("rank") * 2 - when(aLeads, lit(0L)).otherwise(lit(1L))).as("slot"))
+    a.unionByName(b)
+      .groupBy("query_id", "doc_id").agg(min("slot").as("slot"))
+      .withColumn("team",
+        when((col("slot") % 2 === 1) === aLeads, lit("A")).otherwise(lit("B")))
+      .withColumn("irank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("slot"))).cast("long"))
+      .filter(col("irank") <= k)
+      .select("query_id", "irank", "doc_id", "team", "slot")
+  }
+
+  /** Post-retrieval query-performance prediction — the score-dispersion
+    * predictor in the NQC family (Shtok, Kurland & Carmel 2012: queries
+    * whose top-k scores are tightly bunched are hard — the ranker can't
+    * separate; NQC proper normalizes σ by the full-collection score, this
+    * uses the standard lightweight surrogate of the mean top-k score).
+    * One aggregate over the already-computed (query, rank, score) top-k
+    * relation — Q×k rows, nothing corpus-sized. */
+  def nqc(ranking: DataFrame, k: Int): DataFrame =
+    ranking.filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_n"),
+        avg("score").as("mu"), stddev_pop(col("score")).as("sigma"))
+      .select(col("query_id"), col("k_n"),
+        (col("sigma") / col("mu")).as("nqc"))
+
   /** nDCG@k + MAP@k per query.
     * ranking: (query_id, rank, doc_id) with rank 1-based; qrels:
     * (query_id, doc_id, grade ≥ 1). Binary relevance for AP is

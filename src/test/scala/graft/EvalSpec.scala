@@ -67,4 +67,36 @@ class EvalSpec extends AnyFunSuite {
     val z = Eval.pairedBootstrap(mA, mA, "ndcg", b = 50, seed = 11).collect().head
     assert(z.getDouble(2) == 0.0 && z.getDouble(3) == 1.0 && z.getLong(4) == 0L)
   }
+
+  test("balancedInterleave: closed-form slot merge, keep-first dedup, team credit") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    val qid = 7L
+    val aLeads = TextHash.mix(13, TextHash.tokenHash(qid.toString)) % 2 == 0
+    val rankA = Seq((qid, 1L, 101L), (qid, 2L, 102L), (qid, 3L, 103L))
+      .toDF("query_id", "rank", "doc_id")
+    val rankB = Seq((qid, 1L, 102L), (qid, 2L, 104L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Eval.balancedInterleave(rankA, rankB, k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    // Joachims's pointer walk: leader/follower alternate, dups skipped —
+    // e.g. A leads: A1=101, B1=102, A2=102 (dup, skip), B2=104, A3=103
+    val want =
+      if (aLeads) Seq((1L, 101L, "A"), (2L, 102L, "B"), (3L, 104L, "B"), (4L, 103L, "A"))
+      else Seq((1L, 102L, "B"), (2L, 101L, "A"), (3L, 104L, "B"), (4L, 103L, "A"))
+    assert(got.toSeq == want, s"aLeads=$aLeads")
+    // shared doc appears exactly once
+    assert(got.map(_._2).distinct.length == got.length)
+    // k truncation
+    assert(Eval.balancedInterleave(rankA, rankB, k = 2).count() == 2)
+  }
+
+  test("nqc: closed-form coefficient of score dispersion") {
+    import spark.implicits._
+    val ranking = Seq((1L, 1L, 10L, 3.0), (1L, 2L, 11L, 2.0), (1L, 3L, 12L, 1.0))
+      .toDF("query_id", "rank", "doc_id", "score")
+    val r = Eval.nqc(ranking, k = 10).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - math.sqrt(2.0 / 3.0) / 2.0) < 1e-12)
+  }
 }
