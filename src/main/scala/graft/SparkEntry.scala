@@ -836,6 +836,23 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       graft.index.Positional.phraseTopK(graft.index.Positional.tokenPositions(c), q2, 10)
     }),
+    // docID-assignment compression study (Silvestri 2007): exact varint
+    // byte cost of every delta-gap under original vs URL-sorted ids
+    "ft_docid_remap" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      graft.index.IndexLayout.remapStudy(t.postings, c)
+    }),
+    // Compressed positional index: per-term delta+varint position blobs
+    // built once, the phrase query decodes |q|=2 blobs and runs the same
+    // relational intersection. Shares ft_phrase's oracle — hash equality
+    // proves encode∘decode = id on every position the query touches
+    "ft_phrase_coded" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val blobs = graft.index.PositionalCodec.buildBlobs(
+        graft.index.Positional.positionalPostings(c))
+      graft.index.Positional.phraseTopK(
+        graft.index.PositionalCodec.readPositions(blobs, q2), q2, 10)
+    }),
     // Biword fast path: build-time adjacent-pair index, 2-word phrase =
     // ONE equality probe. Shares ft_phrase's oracle SQL — the hash gate
     // itself proves biword ≡ positional-intersection across engines
@@ -2063,10 +2080,37 @@ object SparkEntry {
          |SELECT doc_id, term, count(*)::BIGINT AS tf,
          |       array_to_string(list(pos ORDER BY pos), ',') AS positions_s
          |FROM tp GROUP BY doc_id, term""".stripMargin,
+    // remap twin: same lag-gap windows, same integer varint thresholds
+    "ft_docid_remap" -> {
+      val gb = (g: String) =>
+        s"""sum(CASE WHEN $g < 128 THEN 1 WHEN $g < 16384 THEN 2
+           |         WHEN $g < 2097152 THEN 3 WHEN $g < 268435456 THEN 4
+           |         WHEN $g < 34359738368 THEN 5 ELSE 6 END)::BIGINT""".stripMargin
+      s"""WITH ${termsCte}, ${postCte},
+         |rm AS (SELECT doc_id,
+         |         (row_number() OVER (ORDER BY source ASC,
+         |            'doc/' || doc_id::VARCHAR ASC, doc_id ASC) - 1)::BIGINT AS new_id
+         |       FROM documents),
+         |g1 AS (SELECT doc_id - lag(doc_id, 1, -1)
+         |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post),
+         |c1 AS (SELECT 'original' AS variant, count(*)::BIGINT AS n_postings,
+         |              ${gb("gap")} AS gap_bytes FROM g1),
+         |post2 AS (SELECT p.term, r.new_id AS doc_id FROM post p JOIN rm r USING (doc_id)),
+         |g2 AS (SELECT doc_id - lag(doc_id, 1, -1)
+         |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post2),
+         |c2 AS (SELECT 'url_sorted' AS variant, count(*)::BIGINT AS n_postings,
+         |              ${gb("gap")} AS gap_bytes FROM g2)
+         |SELECT variant, n_postings, gap_bytes,
+         |       round(gap_bytes::DOUBLE / n_postings, 4) AS bytes_per_posting_r
+         |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)""".stripMargin
+    },
     "ft_phrase" -> phraseSql(q2, 10),
     // deliberately the SAME twin as ft_phrase: the biword index must be
     // indistinguishable from the positional intersection for k = 2
     "ft_biword" -> phraseSql(q2, 10),
+    // coded-positional shares the phrase oracle: the hash gate proves the
+    // varint round-trip loses no position
+    "ft_phrase_coded" -> phraseSql(q2, 10),
     "ft_proximity" -> proximitySql(q2, 2, 10),
     "ft_near" -> nearSql(q2, 2, 10),
     "ft_prefix" ->

@@ -1,0 +1,34 @@
+package graft
+
+import graft.index.IndexLayout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("varintBytes: exact LEB128 thresholds") {
+    val vs = Seq(1L, 127L, 128L, 16383L, 16384L, 2097151L, 2097152L,
+      268435455L, 268435456L, 34359738367L, 34359738368L)
+    val got = vs.toDF("v").select(col("v"), IndexLayout.varintBytes(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 127L -> 1L, 128L -> 2L, 16383L -> 2L, 16384L -> 3L,
+      2097151L -> 3L, 2097152L -> 4L, 268435455L -> 4L, 268435456L -> 5L,
+      34359738367L -> 5L, 34359738368L -> 6L)
+    assert(got == want)
+  }
+
+  test("remapStudy: URL-sorted ids shrink gap bytes on a clustered corpus") {
+    // one term spread across docs 0, 200, 400 (same repo): raw gaps
+    // 1,200,200 → 1+2+2 = 5 bytes; remapped ids 0,1,2 → 3 bytes
+    val postings = Seq(("x", 0L), ("x", 200L), ("x", 400L)).toDF("term", "doc_id")
+      .withColumn("tf", lit(1L))
+    val corpus = Seq((0L, "r", "a"), (200L, "r", "b"), (400L, "r", "c"))
+      .toDF("doc_id", "repo", "path")
+    val got = IndexLayout.remapStudy(postings, corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("original") == ((3L, 5L)))
+    assert(got("url_sorted") == ((3L, 3L)))
+  }
+}
