@@ -543,6 +543,17 @@ object SparkEntry {
       graft.query.Lm.qlTopK(t.postings, t.docStats, cfs, total, k = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Minimum-should-match BM25 (mm=2 of 3): the AND/OR middle ground —
+    // same one-pass shape, the match-count gate runs on candidates
+    "ft_bm25_mm" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = t.termStats.filter(col("term").isin(q3.map(x => x: Any): _*))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Search.bm25TopKMinMatch(t.postings, t.docStats, dfs, t.nDocs, t.avgDl,
+          minMatch = 2, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("n_terms"), round(col("score"), 4).as("score_r"))
+    }),
     // Sequential dependence model (Metzler & Croft 2005): unigram +
     // ordered-adjacency + unordered-window-8 Dirichlet features at the
     // canonical (0.85, 0.10, 0.05) weights — the term-dependence ranker
@@ -1817,6 +1828,22 @@ object SparkEntry {
          |         doc_id, round(score, 4) AS score_r
          |  FROM scored
          |) WHERE rank <= 10""".stripMargin,
+    // min-should-match twin: the conjunctive chain with the gate relaxed
+    // to >= 2 and the match count carried into the output
+    "ft_bm25_mm" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q3)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id)
+         |SELECT rank, doc_id, n_terms, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, n_terms::BIGINT AS n_terms, round(score, 4) AS score_r
+         |  FROM scored WHERE n_terms >= 2
+         |) WHERE rank <= 10""".stripMargin
+    },
     // SDM twin: same matched-only decomposition per feature family; the
     // one adjacent pair's ordered/unordered counts via a positions
     // self-join; zero collection count zeroes the family (CASE), exactly

@@ -78,6 +78,35 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Minimum-should-match BM25 (Lucene's `minimumShouldMatch` — the middle
+    * ground between AND and OR that verbose queries need: AND returns
+    * nothing when one term is off, OR drowns in single-term matches).
+    * Candidates must match at least `minMatch` of the |q| query terms;
+    * minMatch = |q| is bm25TopK, minMatch = 1 the disjunctive variant.
+    * Same ONE IN-filtered postings pass + hash aggregate; the match-count
+    * gate runs on the aggregated candidate-sized rows, so the relaxation
+    * costs nothing extra. */
+  def bm25TopKMinMatch(postings: DataFrame, docStats: DataFrame,
+                       dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                       minMatch: Int, k: Int): DataFrame = {
+    require(minMatch >= 1 && minMatch <= dfs.size,
+      s"minMatch must be in [1, ${dfs.size}]")
+    val terms = dfs.keys.toSeq.sorted
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val scored = postings
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .join(docStats, "doc_id")
+      .withColumn("term_score", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .filter(col("n_terms") >= minMatch)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+    rankTopK(scored, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
+  }
+
   /** Score EXPLAIN (Lucene's `explain` API as a relation): the per-term
     * BM25 breakdown — tf, df, dl, idf, tf-norm, contribution — for the
     * top-k documents of a query. The debugging surface every relevance

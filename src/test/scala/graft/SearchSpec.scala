@@ -975,4 +975,22 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "stored-query joins must not shuffle the postings")
   }
+
+  test("bm25TopKMinMatch: the mm gate spans AND..OR; match counts carried") {
+    import spark.implicits._
+    // d1 matches a,b,c; d2 matches a,b; d3 matches a
+    val post = Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L),
+      ("a", 2L, 1L), ("b", 2L, 1L), ("a", 3L, 1L)).toDF("term", "doc_id", "tf")
+    val ds = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("doc_id", "dl")
+    val dfs = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    def docs(mm: Int) =
+      Search.bm25TopKMinMatch(post, ds, dfs, 3L, 2.0, mm, 10)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(docs(1) == Map(1L -> 3L, 2L -> 2L, 3L -> 1L)) // OR
+    assert(docs(2) == Map(1L -> 3L, 2L -> 2L))           // middle ground
+    assert(docs(3) == Map(1L -> 3L))                     // == conjunctive
+    val conj = Search.bm25TopK(post, ds, dfs, 3L, 2.0, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(docs(3).keySet == conj)
+  }
 }
