@@ -45,6 +45,13 @@ object SparkEntry {
     * de mid (partially downsampled); es/fr absent (dropped) */
   val mixTargets: Map[String, Int] = Map("en" -> 300, "zh" -> 200, "de" -> 100)
   /** fixed query log for the batched scorer (query_id, term) */
+  /** seed lexicons for weak-supervision topic tagging (over the synthetic
+    * vocabulary — each topic is a keyword labeling function) */
+  val seedTopics: Map[String, Seq[String]] = Map(
+    "joins" -> Seq("join", "merge", "hash"),
+    "streaming" -> Seq("stream", "window", "batch"),
+    "scans" -> Seq("scan", "table", "row"))
+
   val batchQ: Seq[(Long, String)] = Seq(
     (0L, "join"), (0L, "spark"),
     (1L, "dup"), (1L, "hash"), (1L, "spark"),
@@ -796,6 +803,12 @@ object SparkEntry {
       TextAnalysis.vocabDrift(old, kept.unionByName(added), k = 20)
         .select(col("term"), col("c_old"), col("c_new"),
           round(col("dp"), 6).as("dp_r"), round(col("jsd"), 6).as("jsd_r"))
+    }),
+    // Seed-lexicon topic tagging (Snorkel-style labeling functions):
+    // BIGINT hit votes, argmax topic per doc, no-hit docs stay unlabeled
+    "text_topic_tag" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      TextAnalysis.topicTag(t.postings, seedTopics)
     }),
     // Dunning LLR distinctive terms: what vocabulary makes repo src0
     // different from the rest of the pile (domain fingerprint)
@@ -3249,6 +3262,20 @@ object SparkEntry {
          |       FROM wc),
          |$chain
          |$unions""".stripMargin
+    },
+    // topic-tag twin: same seed VALUES, BIGINT votes, argmax tie topic asc
+    "text_topic_tag" -> {
+      val seedVals = seedTopics.toSeq.sortBy(_._1)
+        .flatMap { case (topic, ts) => ts.sorted.map(t => s"('$t', '$topic')") }
+        .mkString(", ")
+      s"""WITH ${termsCte}, ${postCte},
+         |sd AS (SELECT * FROM (VALUES $seedVals) AS t(term, topic)),
+         |h AS (SELECT p.doc_id, sd.topic, sum(p.tf)::BIGINT AS hits
+         |      FROM post p JOIN sd USING (term) GROUP BY p.doc_id, sd.topic)
+         |SELECT doc_id, topic, hits FROM (
+         |  SELECT doc_id, topic, hits,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, topic ASC) AS rn
+         |  FROM h) WHERE rn = 1""".stripMargin
     },
     // LLR twin: same 2×2 contingency and CASE-guarded cell sums, same
     // integer cross-multiplication overrepresentation gate

@@ -37,6 +37,32 @@ object TextAnalysis {
       best.getField("hits").cast("long").as("marker_hits"))
   }
 
+  /** Seed-lexicon topic tagging — the weak-supervision labeling move of a
+    * training-data pipeline (Snorkel-style labeling functions, Ratner et
+    * al. 2017; each topic is a keyword labeling function and the tag is
+    * the argmax vote): per doc, per topic, hits = Σ tf over that topic's
+    * seed terms — pure BIGINT, so the argmax has no float edge; ties break
+    * topic-name asc; docs hitting no topic are absent (unlabeled pool).
+    * Scale shape: ONE postings scan IN-filtered to the union of seed terms
+    * (pushed to the scan), a broadcast seed→topic join, a (doc, topic)
+    * aggregate, and a per-doc top-1 window over ≤ |topics| rows. */
+  def topicTag(postings: DataFrame, topics: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topics.nonEmpty && topics.values.forall(_.nonEmpty))
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val seeds = topics.toSeq.flatMap { case (topic, ts) => ts.map(t => (t, topic)) }
+      .toDF("term", "topic")
+    val all = topics.values.flatten.toSeq.distinct
+    postings.filter(col("term").isin(all.map(x => x: Any): _*))
+      .join(broadcast(seeds), "term")
+      .groupBy("doc_id", "topic").agg(sum("tf").as("hits"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("hits"), asc("topic"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "topic", "hits")
+  }
+
   /** quality features: (doc_id, n_chars, n_tokens, avg_token_len_r,
     * stop_ratio_r, alnum_ratio_r) — the length/punct/stopword-ratio scores
     * used for corpus filtering. Ratios rounded to 4dp for oracle parity. */

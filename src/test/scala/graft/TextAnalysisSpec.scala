@@ -301,4 +301,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(raw(id) >= m1(id) && m1(id) >= m2(id) && m2(id) >= m3(id), s"doc $id")
     }
   }
+
+  test("topicTag: BIGINT argmax votes, topic-asc ties, no-hit docs absent") {
+    import spark.implicits._
+    val post = Seq(("join", 1L, 3L), ("stream", 1L, 1L),
+      ("stream", 2L, 2L), ("batch", 2L, 1L),
+      ("join", 3L, 2L), ("scan", 3L, 2L),   // exact tie joins/scans -> joins
+      ("other", 4L, 9L)).toDF("term", "doc_id", "tf")
+    val topics = Map("joins" -> Seq("join", "merge"),
+      "streaming" -> Seq("stream", "batch"), "scans" -> Seq("scan"))
+    val got = TextAnalysis.topicTag(post, topics).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("joins", 3L)))
+    assert(got(2L) == (("streaming", 3L)))
+    assert(got(3L) == (("joins", 2L))) // tie 2=2 -> topic asc
+    assert(!got.contains(4L))          // seedless doc stays unlabeled
+  }
 }
