@@ -550,6 +550,22 @@ object SparkEntry {
       graft.query.Lm.qlTopK(t.postings, t.docStats, cfs, total, k = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // Passage retrieval + MaxP (Callan 1994): docs scored by their BEST
+    // sliding window over analyzer positions; the winning (doc, start) is
+    // the RAG chunk. Passage-level BM25 stats, window 30 / stride 15
+    "ft_maxp_topk" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val pp = graft.query.Passage.passagePostings(
+        graft.index.Positional.tokenPositions(c), window = 30, stride = 15)
+      val pl = graft.query.Passage.passageLengths(pp)
+      val st = pl.agg(count(lit(1)).as("np"), avg("pl").as("avgpl")).head()
+      val dfs = pp.filter(col("term").isin(q2.map(x => x: Any): _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.query.Passage.maxpTopK(pp, pl, dfs, st.getLong(0), st.getDouble(1), k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("s"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // Minimum-should-match BM25 (mm=2 of 3): the AND/OR middle ground —
     // same one-pass shape, the match-count gate runs on candidates
     "ft_bm25_mm" -> ((s, dir) => {
@@ -1841,6 +1857,34 @@ object SparkEntry {
          |         doc_id, round(score, 4) AS score_r
          |  FROM scored
          |) WHERE rank <= 10""".stripMargin,
+    // MaxP twin: same window-covering explode (range with stride step),
+    // same passage-level stats, same best-passage-then-doc ranking
+    "ft_maxp_topk" -> {
+      val score = Bm25.sql("p.tf", "f.df", "l.pl", "st.np", "st.avgpl")
+      s"""WITH ${tokArrCte},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |pp0 AS (SELECT doc_id, term,
+         |          unnest(range(((greatest(pos - 30 + 1, 0) + 15 - 1) // 15) * 15,
+         |                       (pos // 15) * 15 + 1, 15)) AS s
+         |        FROM tp),
+         |ppc AS (SELECT doc_id, s, term, count(*)::BIGINT AS tf FROM pp0 GROUP BY doc_id, s, term),
+         |plc AS (SELECT doc_id, s, sum(tf)::BIGINT AS pl FROM ppc GROUP BY doc_id, s),
+         |pstats AS (SELECT count(*)::DOUBLE AS np, avg(pl) AS avgpl FROM plc),
+         |pdf AS (SELECT term, count(*)::BIGINT AS df FROM ppc GROUP BY term),
+         |${qCte(q2)},
+         |scored AS (SELECT p.doc_id, p.s, sum($score) AS pscore
+         |  FROM ppc p JOIN q USING (term) JOIN pdf f USING (term)
+         |       JOIN plc l ON p.doc_id = l.doc_id AND p.s = l.s, pstats st
+         |  GROUP BY p.doc_id, p.s),
+         |best AS (SELECT doc_id, s, pscore,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY pscore DESC, s ASC) AS rn
+         |         FROM scored)
+         |SELECT rank, doc_id, s, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY pscore DESC, doc_id ASC) AS rank,
+         |         doc_id, s, round(pscore, 4) AS score_r
+         |  FROM best WHERE rn = 1
+         |) WHERE rank <= 10""".stripMargin
+    },
     // min-should-match twin: the conjunctive chain with the gate relaxed
     // to >= 2 and the match count carried into the output
     "ft_bm25_mm" -> {
