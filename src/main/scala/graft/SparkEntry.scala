@@ -1482,6 +1482,20 @@ object SparkEntry {
       val cms = graft.stats.Sketches.cmsBuild(t.postings, "term", "tf", width = 64)
       graft.stats.Sketches.cmsEstimate(s, cms, cmsTerms, width = 64)
     }),
+    // KMV distinct sketch (k=64) over the 3-shingle stream — "how big
+    // would the shingle dictionary be" without building it; deterministic,
+    // so oracle-gated unlike HLL. The tiny fixed term vocabulary (29)
+    // would take the exact-below-k path; shingles exercise the estimator
+    "text_kmv_shingles" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val sh = Dedup.shingles(c, 3).select(col("shingle").as("v"))
+      val exact = sh.distinct().count()
+      graft.stats.Sketches.kmvDistinct(sh, "v", k = 64)
+        .select(col("k_n"), round(col("est"), 4).as("est_r"),
+          lit(exact).as("exact"),
+          round(abs(col("est") - lit(exact.toDouble)) / lit(exact.toDouble), 4)
+            .as("err_r"))
+    }),
     // order-sensitive rolling document fingerprint
     "text_fingerprint" -> ((s, dir) => {
       val (c, _) = index(s, dir)
@@ -3418,6 +3432,22 @@ object SparkEntry {
     },
     // Count-Min twin: the bit-identical 4×64 sketch (same mixer family,
     // same cells), min over probed cells, absent cells read 0
+    // KMV twin: same hash, same distinct k-cut, same (k−1)·P/h_k estimate
+    "text_kmv_shingles" -> {
+      val hSql = TextHash.mixSql(5, tokenHashSqlInner("shingle"))
+      s"""WITH ${shinglesCte},
+         |vh AS (SELECT DISTINCT ($hSql) AS h FROM shd),
+         |topk AS (SELECT h FROM vh ORDER BY h ASC LIMIT 64),
+         |ag AS (SELECT count(*)::BIGINT AS k_n, max(h) AS hk FROM topk),
+         |ex AS (SELECT count(DISTINCT shingle)::BIGINT AS exact FROM shd),
+         |es AS (SELECT k_n,
+         |         CASE WHEN k_n < 64 THEN k_n::DOUBLE
+         |              ELSE 63.0 * ${TextHash.P} / hk::DOUBLE END AS est
+         |       FROM ag)
+         |SELECT k_n, round(est, 4) AS est_r, ex.exact,
+         |       round(abs(est - ex.exact::DOUBLE) / ex.exact::DOUBLE, 4) AS err_r
+         |FROM es, ex""".stripMargin
+    },
     "ft_cms_cf" -> {
       val w = 64
       val shards = (0 until 4).map(i =>

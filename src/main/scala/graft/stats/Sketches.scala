@@ -39,6 +39,30 @@ object Sketches {
       .agg(sum("w").as("total"))
   }
 
+  /** K-minimum-values DISTINCT sketch (Bar-Yossef et al., RANDOM 2002 —
+    * public literature): keep the k smallest distinct hash values of the
+    * stream; if the kth smallest is h₍ₖ₎ over a hash range of P, the
+    * distinct count ≈ (k−1)·P/h₍ₖ₎. Unlike HLL++ (engine-private register
+    * layout — [[graft.index.InvertedIndex.termStatsApprox]] can only be
+    * spec-checked for error bounds), KMV under the cross-engine TextHash
+    * is FULLY deterministic, so the DuckDB twin reproduces the estimate
+    * bit-for-bit and the driver gate proves the sketch construction.
+    * Fewer than k distinct hashes → the sketch IS the exact count.
+    * Scale shape: a map-side-partial hash-dedup aggregate (≤ distinct
+    * values rows, never stream-sized) + a TakeOrdered k-cut + one 1-row
+    * aggregate; k is the whole memory budget. */
+  def kmvDistinct(values: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2)
+    val h = TextHash.mixCol(5, TextHash.tokenHashCol(col(valueCol)))
+    values.select(h.as("h")).distinct()
+      .orderBy(asc("h")).limit(k)
+      .agg(count(lit(1)).as("k_n"), max("h").as("hk"))
+      .select(col("k_n"),
+        when(col("k_n") < k, col("k_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(TextHash.P.toDouble)
+            / col("hk").cast("double")).as("est"))
+  }
+
   /** Point estimates for `terms`: min over the depth probed cells; a cell
     * no key hashed to reads 0. Output (term, est). */
   def cmsEstimate(spark: SparkSession, cms: DataFrame, terms: Seq[String],

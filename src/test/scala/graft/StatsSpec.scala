@@ -207,4 +207,25 @@ class StatsSpec extends AnyFunSuite {
     // sketch size is bounded by depth·width regardless of vocabulary
     assert(Sketches.cmsBuild(items, "term", "tf", 8).count() <= 4L * 8)
   }
+
+  test("kmvDistinct: exact below k, estimate formula at k, duplicate-invariant") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    import graft.stats.Sketches
+    // 10 distinct values, k=256 -> sketch IS the exact count
+    val small = (0 until 10).flatMap(i => Seq.fill(3)(s"v$i")).toDF("v")
+    val r = Sketches.kmvDistinct(small, "v", 256).collect().head
+    assert(r.getLong(0) == 10L && r.getDouble(1) == 10.0)
+    // 50 distinct, k=8 -> est = 7*P/h_(8), h_(8) the 8th smallest hash
+    val vals = (0 until 50).map(i => s"w$i")
+    val big = vals.flatMap(v => Seq.fill(2)(v)).toDF("v")
+    val got = Sketches.kmvDistinct(big, "v", 8).collect().head
+    val h8 = vals.map(v => TextHash.mix(5, TextHash.tokenHash(v))).distinct.sorted.apply(7)
+    assert(got.getLong(0) == 8L)
+    assert(math.abs(got.getDouble(1) - 7.0 * TextHash.P.toDouble / h8) < 1e-9)
+    // duplicates never change the sketch
+    val once = vals.toDF("v")
+    assert(Sketches.kmvDistinct(once, "v", 8).collect().head.getDouble(1)
+      == got.getDouble(1))
+  }
 }
