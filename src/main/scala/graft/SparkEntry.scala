@@ -876,6 +876,14 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       graft.index.Positional.phraseTopK(graft.index.Positional.tokenPositions(c), q2, 10)
     }),
+    // Front-coded dictionary study (IIR §5.2): exact byte model of blocked
+    // prefix compression over the term and 3-shingle dictionaries
+    "ft_dict_frontcode" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val sh = Dedup.shingles(c, 3).select(col("shingle").as("term")).distinct()
+      graft.index.IndexLayout.frontCodeStudy(t.termStats.select("term"), "terms")
+        .unionByName(graft.index.IndexLayout.frontCodeStudy(sh, "shingles"))
+    }),
     // docID-assignment compression study (Silvestri 2007): exact varint
     // byte cost of every delta-gap under original vs URL-sorted ids
     "ft_docid_remap" -> ((s, dir) => {
@@ -2178,6 +2186,32 @@ object SparkEntry {
          |SELECT doc_id, term, count(*)::BIGINT AS tf,
          |       array_to_string(list(pos ORDER BY pos), ',') AS positions_s
          |FROM tp GROUP BY doc_id, term""".stripMargin,
+    // front-code twin: same sorted-window lcp (list mismatch scan), same
+    // integer byte model, same block restarts
+    "ft_dict_frontcode" -> {
+      val vb = (x: String) =>
+        s"(CASE WHEN $x < 128 THEN 1 WHEN $x < 16384 THEN 2 ELSE 3 END)"
+      def chain(dictSel: String, label: String, pfx: String) =
+        s"""${pfx}d AS ($dictSel),
+           |${pfx}r AS (SELECT term, row_number() OVER (ORDER BY term) AS rn,
+           |        coalesce(lag(term, 1) OVER (ORDER BY term), '') AS prev FROM ${pfx}d),
+           |${pfx}e AS (SELECT rn, length(term)::BIGINT AS len,
+           |        coalesce(list_min(list_filter(range(1, least(length(prev), length(term)) + 1),
+           |          i -> substr(prev, i::INT, 1) <> substr(term, i::INT, 1))) - 1,
+           |          least(length(prev), length(term)))::BIGINT AS lcp FROM ${pfx}r),
+           |${pfx}c AS (SELECT '$label' AS variant, count(*)::BIGINT AS n_terms,
+           |        sum(${vb("len")} + len)::BIGINT AS raw_bytes,
+           |        sum(CASE WHEN rn % 16 = 1 THEN ${vb("len")} + len
+           |                 ELSE ${vb("lcp")} + ${vb("(len - lcp)")} + (len - lcp)
+           |            END)::BIGINT AS front_bytes
+           |        FROM ${pfx}e)""".stripMargin
+      s"""WITH ${termsCte}, ${shinglesCte},
+         |${chain("SELECT DISTINCT term FROM terms", "terms", "ta")},
+         |${chain("SELECT DISTINCT shingle AS term FROM shd", "shingles", "sa")}
+         |SELECT variant, n_terms, raw_bytes, front_bytes,
+         |       round(1.0 - front_bytes::DOUBLE / raw_bytes::DOUBLE, 4) AS saved_r
+         |FROM (SELECT * FROM tac UNION ALL SELECT * FROM sac)""".stripMargin
+    },
     // remap twin: same lag-gap windows, same integer varint thresholds
     "ft_docid_remap" -> {
       val gb = (g: String) =>

@@ -59,6 +59,43 @@ object IndexLayout {
         Window.orderBy(asc("repo"), asc("path"), asc("doc_id"))) - 1).cast("long"))
       .select("doc_id", "new_id")
 
+  /** Front-coding study of the term DICTIONARY (Manning IIR §5.2: blocked
+    * front coding — consecutive sorted terms share prefixes, so store
+    * lcp + suffix and restart every `block` terms so lookup can binary-
+    * search block heads). Exact byte model, all integer: a block head
+    * costs varint(len) + len; a follower costs varint(lcp) +
+    * varint(len − lcp) + (len − lcp). The study is the dictionary-layout
+    * counterpart of [[remapStudy]] — it prices the layout before anyone
+    * builds it. The rank window is a single ordered pass over the
+    * DICTIONARY (vocabulary-sized, ≪ corpus — the same bounded-relation
+    * note as the Zipf fit). */
+  def frontCodeStudy(dict: DataFrame, label: String, block: Int = 16): DataFrame = {
+    require(block >= 1)
+    val w = Window.orderBy(asc("term"))
+    // sequence(1, 0) would DESCEND in Spark — greatest(·,1) guards the
+    // empty-prev first row (substr('',1,1) mismatches, giving lcp 0)
+    val lcpExpr = expr(
+      """coalesce(array_min(filter(sequence(1, greatest(least(length(prev), length(term)), 1)),
+        |  i -> substr(prev, i, 1) != substr(term, i, 1))) - 1,
+        |  least(length(prev), length(term)))""".stripMargin)
+    val rows = dict.select("term")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", coalesce(lag(col("term"), 1).over(w), lit("")))
+      .withColumn("len", length(col("term")).cast("long"))
+      .withColumn("lcp", lcpExpr.cast("long"))
+      .withColumn("raw_b", varintBytes(col("len")) + col("len"))
+      .withColumn("front_b",
+        when(col("rn") % block === 1, col("raw_b"))
+          .otherwise(varintBytes(col("lcp")) + varintBytes(col("len") - col("lcp"))
+            + (col("len") - col("lcp"))))
+    rows.agg(count(lit(1)).as("n_terms"),
+        sum("raw_b").as("raw_bytes"), sum("front_b").as("front_bytes"))
+      .select(lit(label).as("variant"), col("n_terms"), col("raw_bytes"),
+        col("front_bytes"),
+        round(lit(1.0) - col("front_bytes").cast("double")
+          / col("raw_bytes").cast("double"), 4).as("saved_r"))
+  }
+
   /** the study: gap cost under the original ids vs URL-sorted ids */
   def remapStudy(postings: DataFrame, corpus: DataFrame): DataFrame = {
     val remapped = postings.join(remapByUrl(corpus), "doc_id")

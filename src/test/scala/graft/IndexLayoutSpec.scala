@@ -31,4 +31,15 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(got("original") == ((3L, 5L)))
     assert(got("url_sorted") == ((3L, 3L)))
   }
+
+  test("frontCodeStudy: exact byte model with block restarts and full-prefix lcp") {
+    import spark.implicits._
+    // sorted: alpha(head, 6B) | alphabet(lcp 5, 1+1+3=5B) | beta(head, 5B)
+    val dict = Seq("beta", "alpha", "alphabet").toDF("term")
+    val r = IndexLayout.frontCodeStudy(dict, "t", block = 2).collect().head
+    assert(r.getString(0) == "t" && r.getLong(1) == 3L)
+    assert(r.getLong(2) == (6L + 9L + 5L))  // raw: 1+5, 1+8, 1+4
+    assert(r.getLong(3) == (6L + 5L + 5L))  // front: head, lcp5+suf3, head
+    assert(r.getDouble(4) == 0.2)
+  }
 }
