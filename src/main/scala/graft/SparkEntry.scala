@@ -566,6 +566,23 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("doc_id"), col("s"),
           round(col("score"), 4).as("score_r"))
     }),
+    // MaxP winners materialized as chunk TEXT (the RAG deliverable):
+    // top-5 (doc, start) joined back to k token arrays, window sliced
+    "ft_maxp_snippet" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      val pp = graft.query.Passage.passagePostings(
+        graft.index.Positional.tokenPositions(c), window = 30, stride = 15)
+      val pl = graft.query.Passage.passageLengths(pp)
+      val st = pl.agg(count(lit(1)).as("np"), avg("pl").as("avgpl")).head()
+      val dfs = pp.filter(col("term").isin(q2.map(x => x: Any): _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val winners = graft.query.Passage.maxpTopK(pp, pl, dfs,
+        st.getLong(0), st.getDouble(1), k = 5)
+      graft.query.Passage.chunkText(c, winners, window = 30)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("s"), col("chunk"))
+    }),
     // Minimum-should-match BM25 (mm=2 of 3): the AND/OR middle ground —
     // same one-pass shape, the match-count gate runs on candidates
     "ft_bm25_mm" -> ((s, dir) => {
@@ -1906,6 +1923,35 @@ object SparkEntry {
          |         doc_id, s, round(pscore, 4) AS score_r
          |  FROM best WHERE rn = 1
          |) WHERE rank <= 10""".stripMargin
+    },
+    // MaxP-snippet twin: the same maxp chain (k=5) + a tokarr slice
+    "ft_maxp_snippet" -> {
+      val score = Bm25.sql("p.tf", "f.df", "l.pl", "st.np", "st.avgpl")
+      s"""WITH ${tokArrCte},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |pp0 AS (SELECT doc_id, term,
+         |          unnest(range(((greatest(pos - 30 + 1, 0) + 15 - 1) // 15) * 15,
+         |                       (pos // 15) * 15 + 1, 15)) AS s
+         |        FROM tp),
+         |ppc AS (SELECT doc_id, s, term, count(*)::BIGINT AS tf FROM pp0 GROUP BY doc_id, s, term),
+         |plc AS (SELECT doc_id, s, sum(tf)::BIGINT AS pl FROM ppc GROUP BY doc_id, s),
+         |pstats AS (SELECT count(*)::DOUBLE AS np, avg(pl) AS avgpl FROM plc),
+         |pdf AS (SELECT term, count(*)::BIGINT AS df FROM ppc GROUP BY term),
+         |${qCte(q2)},
+         |scored AS (SELECT p.doc_id, p.s, sum($score) AS pscore
+         |  FROM ppc p JOIN q USING (term) JOIN pdf f USING (term)
+         |       JOIN plc l ON p.doc_id = l.doc_id AND p.s = l.s, pstats st
+         |  GROUP BY p.doc_id, p.s),
+         |best AS (SELECT doc_id, s, pscore,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY pscore DESC, s ASC) AS rn
+         |         FROM scored),
+         |win AS (SELECT rank, doc_id, s FROM (
+         |  SELECT row_number() OVER (ORDER BY pscore DESC, doc_id ASC) AS rank, doc_id, s
+         |  FROM best WHERE rn = 1
+         |) WHERE rank <= 5)
+         |SELECT w.rank, w.doc_id, w.s,
+         |       array_to_string(t.arr[(w.s + 1):(w.s + 30)], ' ') AS chunk
+         |FROM win w JOIN tokarr t USING (doc_id)""".stripMargin
     },
     // min-should-match twin: the conjunctive chain with the gate relaxed
     // to >= 2 and the match count carried into the output

@@ -44,6 +44,19 @@ object Passage {
   def passageLengths(passagePostings: DataFrame): DataFrame =
     passagePostings.groupBy("doc_id", "s").agg(sum("tf").as("pl"))
 
+  /** Materialize the winning chunks' TEXT: join the top-k (doc, start)
+    * winners back to the analyzer token arrays and slice the window — the
+    * deliverable a RAG reader consumes. Touches k documents' arrays, never
+    * the corpus. */
+  def chunkText(corpus: DataFrame, winners: DataFrame, window: Int): DataFrame = {
+    val arr = graft.index.InvertedIndex.termsForLang(col("content"), col("lang"))
+    corpus.select(col("doc_id"), arr.as("arr"))
+      .join(winners, "doc_id")
+      .select(col("rank"), col("doc_id"), col("s"),
+        concat_ws(" ", slice(col("arr"), (col("s") + 1).cast("int"), lit(window)))
+          .as("chunk"))
+  }
+
   /** MaxP top-k: score every passage disjunctively with passage-level BM25
     * stats, keep each doc's best passage (ties: smaller start), rank docs.
     * Returns (rank, doc_id, s, score) — the winning window rides along. */

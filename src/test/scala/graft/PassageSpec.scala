@@ -45,4 +45,15 @@ class PassageSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - exp) < 1e-12)
     assert(got.map(_._1).toSeq == Seq(2L, 1L))
   }
+
+  test("chunkText: winner window sliced from the analyzer array; tail clamps") {
+    import spark.implicits._
+    val corpus = Seq((1L, "en", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "lang", "content")
+    val winners = Seq((1L, 1L, 2L), (2L, 1L, 3L)).toDF("rank", "doc_id", "s")
+    val got = Passage.chunkText(corpus, winners, window = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == "gamma delta epsilon")
+    assert(got(2L) == "delta epsilon") // window past the end clamps
+  }
 }
