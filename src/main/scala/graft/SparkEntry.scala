@@ -1193,6 +1193,13 @@ object SparkEntry {
       graft.pipeline.Splits.stratifiedSample(
         Corpus.fromDocuments(s, dir).select("doc_id", "lang"), "lang", quota = 40)
     }),
+    // Sequence packing (concat-and-chop, capacity 512): each doc's exact
+    // position in the packed training stream — two-phase range-bucket
+    // prefix sum; the twin's GLOBAL cumsum proves the phases lose nothing
+    "split_packing" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      graft.pipeline.Packing.pack(t.docStats, capacity = 512L)
+    }),
     // Leakage-safe split: near-dup cluster members share a split (hash the
     // cluster representative, not the doc) — singletons fall back to the
     // plain assign hash, so only dup groups move
@@ -2918,6 +2925,22 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        (${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000 AS bucket
          |      FROM documents)""".stripMargin,
+    // packing twin: the GLOBAL single-window cumsum the two-phase Spark
+    // path must equal exactly
+    "split_packing" -> {
+      val hSql = TextHash.mixSql(9, tokenHashSqlInner("doc_id::VARCHAR"))
+      s"""WITH ${termsCte}, ${dsCte},
+         |hd AS (SELECT doc_id, dl, ($hSql) AS h FROM ds),
+         |po AS (SELECT doc_id, h, dl,
+         |         (sum(dl) OVER (ORDER BY h ASC, doc_id ASC
+         |            ROWS UNBOUNDED PRECEDING) - dl)::BIGINT AS off
+         |       FROM hd)
+         |SELECT doc_id, h, off,
+         |       (off // 512)::BIGINT AS seq_first,
+         |       ((off + dl - 1) // 512)::BIGINT AS seq_last,
+         |       (CASE WHEN (off + dl - 1) // 512 > off // 512 THEN 1 ELSE 0 END)::BIGINT AS split
+         |FROM po""".stripMargin
+    },
     // leakage-safe twin: the SAME recursive clusters closure, then the
     // permille hash over coalesce(cluster_id, doc_id)
     "split_leakage_safe" ->

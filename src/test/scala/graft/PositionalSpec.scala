@@ -253,4 +253,26 @@ class PositionalSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("pack: two-phase prefix sum ≡ scalar fold; chop boundaries; bucket-invariant") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    import graft.pipeline.Packing
+    val ds = (1L to 40L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "dl")
+    val got = Packing.pack(ds, capacity = 10L, nBuckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val order = (1L to 40L).map(i => (i, (i % 7) + 1,
+      TextHash.mix(9, TextHash.tokenHash(i.toString)))).sortBy(x => (x._3, x._1))
+    var off = 0L
+    val want = order.map { case (id, dl, _) =>
+      val o = off; off += dl
+      (id, o, o / 10, (o + dl - 1) / 10, if ((o + dl - 1) / 10 > o / 10) 1L else 0L)
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.count(_._5 == 1L) > 0) // some docs straddle a boundary
+    // bucket count is an implementation knob, never a semantic one
+    val one = Packing.pack(ds, 10L, nBuckets = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, o, _, _, _) => assert(one(id) == o) }
+  }
 }
