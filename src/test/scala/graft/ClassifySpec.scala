@@ -40,6 +40,17 @@ class ClassifySpec extends AnyFunSuite {
       .collect().head.getString(1) == "A")
   }
 
+  test("nb: apply plan broadcasts the class stats (model side stays small)") {
+    import spark.implicits._
+    val trainPost = Seq(("x", 1L, 1L), ("y", 2L, 1L)).toDF("term", "doc_id", "tf")
+    val labels = Seq((1L, "A"), (2L, "B")).toDF("doc_id", "label")
+    val (model, cs) = Classify.nbTrain(trainPost, labels)
+    val applyPost = Seq(("x", 9L, 1L)).toDF("term", "doc_id", "tf")
+    val plan = Classify.nbScores(applyPost, model, cs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"class-stats grid must broadcast:\n$plan")
+  }
+
   test("nb: doc with zero in-vocab tokens is absent from scores") {
     import spark.implicits._
     val trainPost = Seq(("x", 1L, 1L)).toDF("term", "doc_id", "tf")

@@ -275,4 +275,16 @@ class PositionalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toMap
     got.foreach { case (id, o, _, _, _) => assert(one(id) == o) }
   }
+
+  test("pack: the prefix-sum window is bucket-partitioned, never global") {
+    import spark.implicits._
+    import graft.pipeline.Packing
+    val ds = (1L to 100L).map(i => (i, 3L)).toDF("doc_id", "dl")
+    val plan = Packing.pack(ds, capacity = 10L, nBuckets = 8)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toList
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("bucket")),
+      s"every window must partition on bucket:\n${windowLines.mkString("\n")}")
+  }
 }
