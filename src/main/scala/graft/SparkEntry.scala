@@ -27,6 +27,9 @@ object SparkEntry {
   val q2 = Seq("join", "spark")           // 2-term conjunction
   val q3 = Seq("dup", "hash", "spark")    // rare + hot conjunction
   val qMissingInput = "spark warpdrive flux" // terms absent from corpus
+  /** segmentation input: 'spark join' is a corpus collocation (cf ≥ 3),
+    * 'join dup' and 'dup table' are not → segments [spark join][dup][table] */
+  val qSeg = Seq("spark", "join", "dup", "table")
   /** INFLECTED flagship-search input: the shipped lexicon maps joins→join,
     * so the end-to-end lexical path must return docs indexed under `join` */
   val qLexInput = "joins spark"
@@ -736,6 +739,19 @@ object SparkEntry {
       val idfs = dfs.map { case (k, v) => k -> Bm25.idfS(v, t.nDocs) }
       val qShards = shards(s, dir).filter(col("term").isin(idfs.keys.toSeq.map(x => x: Any): _*))
       Wand.topKDisjunctive(qShards, idfs, t.avgDl, 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // MaxScore dynamic pruning (Turtle–Flood 1995): the third pruning
+    // strategy beside conj/disj block-max WAND — essential-suffix candidate
+    // generation, skipTo probes into the non-essential prefix. Shares the
+    // disjunctive BM25 oracle shape (q3: rare + hot terms stress the
+    // essential/non-essential split); hash equality = exactness proof
+    "ft_maxscore_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q3.toSet)
+      val idfs = dfs.map { case (kk, v) => kk -> Bm25.idfS(v, t.nDocs) }
+      val qShards = shards(s, dir).filter(col("term").isin(idfs.keys.toSeq.map(x => x: Any): _*))
+      Wand.maxScoreTopK(qShards, idfs, t.avgDl, 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
     // Hybrid lexical+vector retrieval: BM25 top-10 fused with brute-force
@@ -1680,6 +1696,51 @@ object SparkEntry {
     "ft_suggest" -> ((s, dir) => {
       val (_, t) = index(s, dir)
       QueryFrontend.suggestBatch(t.termStats, suggestQ, maxDist = 2)
+    }),
+    // Politeness scheduler: ≤ 1 fetch per host per slot (Mercator crawl-
+    // delay discipline) over a deterministic synthetic frontier
+    "ft_crawl_polite" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.corpus.Crawl.politeSchedule(
+        c.select(col("repo").as("host"), col("path"),
+          (col("doc_id") % 100).as("priority")), limit = 100)
+    }),
+    // Host-level mirror detection (Bharat–Broder): shingle resemblance
+    // lifted from docs to repos — finds whole mirror farms in one pair
+    "dedup_mirrors" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      Dedup.mirrorPairs(c, n = 3, threshold = 0.05, maxShingleHosts = 15L)
+    }),
+    // Bit-level codec study: byte-aligned varint vs Elias γ/δ priced over
+    // the SAME delta-gap stream under both docID assignments — integer-
+    // exact (bit lengths via bin(), no float log)
+    "ft_codec_study" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      graft.index.IndexLayout.codecStudy(t.postings, c)
+    }),
+    // Query segmentation by corpus-bigram evidence: adjacent terms glue
+    // iff the biword index saw them together ≥ 3 times
+    "ft_query_segment" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      QueryFrontend.segmentQuery(
+        graft.index.Positional.biwordPostings(c), qSeg, minCf = 3L)
+    }),
+    // Within-site boilerplate: fraction of a doc's shingles recurring in
+    // ≥ 2 docs of the SAME site (nav/footer/template mass)
+    "text_boilerplate" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.textan.TextAnalysis.boilerplate(c, n = 3, minSiteDf = 2L)
+    }),
+    // Rendezvous (HRW) term→shard routing: top-2 weight shards per term;
+    // adding a shard moves only ~1/S of the dictionary
+    "ft_shard_route" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      graft.index.Sharding.route(t.termStats, nShards = 8, replicas = 2)
+    }),
+    // per-shard load ledger over the same routing (capacity-planner view)
+    "ft_shard_load" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      graft.index.Sharding.loadSummary(t.termStats, nShards = 8, replicas = 2)
     })
   )
 
@@ -2032,6 +2093,9 @@ object SparkEntry {
          |) WHERE rank <= 10""".stripMargin,
     "ft_wand_topk" -> bm25TopKSql(q2, 10),
     "ft_bm25_or_topk" -> bm25TopKSql(q2, 10).replace(s"WHERE n_terms = ${q2.size}", ""),
+    // MaxScore twin: the plain disjunctive top-k over q3 — the pruning
+    // must be invisible in the result
+    "ft_maxscore_topk" -> bm25TopKSql(q3, 10).replace(s"WHERE n_terms = ${q3.size}", ""),
     // tiered retrieval SHARES the exhaustive disjunctive twin: the hash
     // equality IS the proof that the tier-1 certificate + fallback return
     // the exact global top-k
@@ -3645,8 +3709,123 @@ object SparkEntry {
         |  (doc_id % 640 + 16)::BIGINT AS width,
         |  (doc_id % 480 + 16)::BIGINT AS height,
         |  (CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END)::BIGINT AS sample_rate
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // politeness twin: same per-host rank → slot, same dispatch order
+    "ft_crawl_polite" ->
+      """WITH f AS (SELECT source AS host, 'doc/' || doc_id AS path,
+        |             (doc_id % 100)::BIGINT AS priority FROM documents),
+        |r AS (SELECT host, path, priority,
+        |        row_number() OVER (PARTITION BY host
+        |          ORDER BY priority DESC, path ASC)::BIGINT AS slot FROM f)
+        |SELECT slot, host, path, priority FROM r
+        |ORDER BY slot ASC, host ASC, path ASC LIMIT 100""".stripMargin,
+    // mirror twin: per-repo distinct shingles, hot-shingle prune on the
+    // candidate side only (sizes stay unpruned, exactly as the operator)
+    "dedup_mirrors" ->
+      s"""WITH ${shinglesCte},
+         |rs AS (SELECT DISTINCT d.source AS repo, s.shingle
+         |       FROM shd s JOIN documents d USING (doc_id)),
+         |kept AS (SELECT rs.repo, rs.shingle FROM rs JOIN (
+         |           SELECT shingle FROM rs GROUP BY shingle
+         |           HAVING count(*) <= 15) k USING (shingle)),
+         |sizes AS (SELECT repo, count(*)::BIGINT AS sz FROM rs GROUP BY repo),
+         |p AS (SELECT a.repo AS repo_a, b.repo AS repo_b, count(*)::BIGINT AS inter
+         |      FROM kept a JOIN kept b
+         |           ON a.shingle = b.shingle AND a.repo < b.repo
+         |      GROUP BY 1, 2)
+         |SELECT repo_a, repo_b, inter,
+         |       (sa.sz + sb.sz - inter)::BIGINT AS uni,
+         |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jacc_r
+         |FROM p JOIN sizes sa ON repo_a = sa.repo
+         |       JOIN sizes sb ON repo_b = sb.repo
+         |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.05""".stripMargin,
+    // codec twin: same lag-gap stream, same integer varint thresholds,
+    // bit lengths via bin() string length (no float log on either engine)
+    "ft_codec_study" -> {
+      val vb = (g: String) =>
+        s"""(CASE WHEN $g < 128 THEN 1 WHEN $g < 16384 THEN 2
+           |      WHEN $g < 2097152 THEN 3 WHEN $g < 268435456 THEN 4
+           |      WHEN $g < 34359738368 THEN 5 ELSE 6 END)""".stripMargin
+      val bl = (e: String) => s"length(bin($e))::BIGINT"
+      val cost = (g: String) =>
+        s"""sum((${vb(g)}) * 8)::BIGINT AS varint_bits,
+           |sum(2 * ${bl(g)} - 1)::BIGINT AS gamma_bits,
+           |sum(2 * ${bl(bl(g))} - 1 + ${bl(g)} - 1)::BIGINT AS delta_bits""".stripMargin
+      s"""WITH ${termsCte}, ${postCte},
+         |rm AS (SELECT doc_id,
+         |         (row_number() OVER (ORDER BY source ASC,
+         |            'doc/' || doc_id::VARCHAR ASC, doc_id ASC) - 1)::BIGINT AS new_id
+         |       FROM documents),
+         |g1 AS (SELECT doc_id - lag(doc_id, 1, -1)
+         |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post),
+         |c1 AS (SELECT 'original' AS variant, count(*)::BIGINT AS n_postings,
+         |              ${cost("gap")} FROM g1),
+         |post2 AS (SELECT p.term, r.new_id AS doc_id FROM post p JOIN rm r USING (doc_id)),
+         |g2 AS (SELECT doc_id - lag(doc_id, 1, -1)
+         |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post2),
+         |c2 AS (SELECT 'url_sorted' AS variant, count(*)::BIGINT AS n_postings,
+         |              ${cost("gap")} FROM g2)
+         |SELECT * FROM c1 UNION ALL SELECT * FROM c2""".stripMargin
+    },
+    // segmentation twin: corpus bigram cf from the same ordered token
+    // arrays, cumulative cut-count window over the |q| query rows
+    "ft_query_segment" -> {
+      val qvals = qSeg.zipWithIndex
+        .map { case (t, i) => s"($i::BIGINT, '$t')" }.mkString(", ")
+      s"""WITH ${tokArrCte},
+         |bw AS (SELECT unnest(list_transform(range(greatest(len(arr) - 1, 0)),
+         |         i -> arr[i + 1] || ' ' || arr[i + 2])) AS gram FROM tokarr),
+         |cf AS (SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+         |              count(*)::BIGINT AS cf FROM bw GROUP BY 1, 2),
+         |q AS (SELECT * FROM (VALUES $qvals) t(pos, term)),
+         |g AS (SELECT q2.pos, coalesce(c.cf, 0)::BIGINT AS pair_cf,
+         |             coalesce(c.cf, 0) >= 3 AS glue
+         |      FROM q q1 JOIN q q2 ON q2.pos = q1.pos + 1
+         |      LEFT JOIN cf c ON c.w1 = q1.term AND c.w2 = q2.term)
+         |SELECT q.pos, q.term,
+         |       sum(CASE WHEN q.pos = 0 OR NOT coalesce(g.glue, false)
+         |                THEN 1 ELSE 0 END)
+         |         OVER (ORDER BY q.pos ROWS UNBOUNDED PRECEDING)::BIGINT AS seg_id,
+         |       coalesce(g.pair_cf, 0)::BIGINT AS pair_cf
+         |FROM q LEFT JOIN g USING (pos) ORDER BY pos ASC""".stripMargin
+    },
+    // boilerplate twin: within-site shingle df, per-doc boiler fraction
+    "text_boilerplate" ->
+      s"""WITH ${shinglesCte},
+         |sh2 AS (SELECT s.doc_id, d.source AS repo, s.shingle
+         |        FROM shd s JOIN documents d USING (doc_id)),
+         |sdf AS (SELECT repo, shingle, count(*)::BIGINT AS site_df
+         |        FROM sh2 GROUP BY 1, 2)
+         |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |       sum(CASE WHEN site_df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+         |       round(sum(CASE WHEN site_df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*), 4) AS boiler_r
+         |FROM sh2 JOIN sdf USING (repo, shingle)
+         |GROUP BY doc_id""".stripMargin,
+    // rendezvous twins: same tokenHash → per-shard mixer weights, same
+    // (w desc, shard asc) rank — bit-identical placement across engines
+    "ft_shard_route" -> (shardRouteSql + "\nSELECT term, df, shard, rnk FROM r WHERE rnk <= 2"),
+    "ft_shard_load" -> (shardRouteSql +
+      """
+        |SELECT shard, rnk, count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS df_mass
+        |FROM r WHERE rnk <= 2 GROUP BY shard, rnk
+        |ORDER BY shard ASC, rnk ASC""".stripMargin)
   )
+
+  /** shared rendezvous-routing CTE chain (through ranked placements `r`) —
+    * referenced by BOTH ft_shard_route and ft_shard_load twins */
+  private def shardRouteSql: String = {
+    val h = tokenHashSqlInner("term")
+    val branches = (0 until 8).map(i =>
+      s"SELECT term, df, $i::BIGINT AS shard, ${TextHash.mixSql(i, "h")} AS w FROM th")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${termsCte}, ${tstatsCte},
+       |th AS (SELECT term, df, $h AS h FROM tstats),
+       |placed AS ($branches),
+       |r AS (SELECT term, df, shard,
+       |        row_number() OVER (PARTITION BY term
+       |          ORDER BY w DESC, shard ASC)::BIGINT AS rnk FROM placed)""".stripMargin
+  }
 
   /** exact-adjacent-phrase top-k: per term i, starts = pos − i; a
     * (doc, start) hit by all |terms| streams is one phrase occurrence —

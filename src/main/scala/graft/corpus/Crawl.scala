@@ -138,4 +138,28 @@ object Crawl {
     urls.select(col("url_id"), canonicalUrl(col("url")).as("canon"))
       .groupBy("canon")
       .agg(count(lit(1)).as("members"), min("url_id").as("keeper"))
+
+  /** Politeness scheduler over a fetch frontier: at most ONE fetch per host
+    * per time slot (the crawl-delay discipline every crawler owes robots.txt;
+    * Heydon & Najork's Mercator, WWW 1999 — public literature; the reference
+    * serializes per-site fetches through its per-site ForkJoin task,
+    * services/IndexingServiceImpl.java). Each host's URLs are ranked by
+    * priority (desc, then path for determinism); rank r fetches in slot r.
+    * The output is the dispatch order: (slot, host, path, priority).
+    *
+    * Scale shape: ONE window partitioned by host — the frontier shuffles
+    * once on host, each host's queue sorts locally. A mega-host (one domain
+    * with 10^9 queued URLs) makes a fat partition, but the slot assignment
+    * is a streaming rank — no buffering beyond the sort spill. The global
+    * dispatch ORDER BY is for display; a real fetch loop consumes
+    * `WHERE slot = t` per tick, which prunes on the rank. */
+  def politeSchedule(frontier: DataFrame, limit: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(desc("priority"), asc("path"))
+    frontier.select(col("host"), col("path"), col("priority"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .orderBy(asc("slot"), asc("host"), asc("path"))
+      .select("slot", "host", "path", "priority")
+      .limit(limit)
+  }
 }

@@ -128,6 +128,43 @@ object Dedup {
     * shape: one shuffle on the shingle key for the min aggregate, one
     * co-partitioned join back, one doc_id aggregate — the n-gram-dedup
     * plan with min(doc_id) instead of a pair join, nothing quadratic. */
+  /** Site-MIRROR detection (Bharat & Broder, WWW 1999 "A comparison of
+    * techniques to find mirrored hosts" — public literature): lift the
+    * shingle resemblance from documents to HOSTS. A mirror farm serving the
+    * same corpus under many domains defeats doc-level dedup economics (every
+    * doc pair must be found separately); host-level resemblance finds the
+    * whole farm in one pair. sets = per-repo DISTINCT shingles; resemblance
+    * = |A∩B| / |A∪B| over repo pairs sharing ≥ 1 shingle.
+    *
+    * Scale shape: the joined relation is (repo, shingle) — |hosts| ≪ |docs|
+    * rows, the aggregation collapses the corpus BEFORE any pair forms, and
+    * the pair join inverts on the shingle key exactly like
+    * [[ngramJaccardPairs]] with the same hot-shingle prune (a shingle on
+    * every host contributes |hosts|² candidate rows — cap its df). */
+  def mirrorPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+                  maxShingleHosts: Long = 1000L): DataFrame = {
+    val rs = shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("repo")), "doc_id")
+      .select("repo", "shingle").distinct()
+    val kept = rs.join(
+      rs.groupBy("shingle").agg(count(lit(1)).as("hdf"))
+        .filter(col("hdf") <= maxShingleHosts).select("shingle"),
+      "shingle")
+    val sizes = rs.groupBy("repo").agg(count(lit(1)).as("sz"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.repo") < col("b.repo"))
+      .groupBy(col("a.repo").as("repo_a"), col("b.repo").as("repo_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("repo").as("repo_a"), col("sz").as("sza")), "repo_a")
+      .join(sizes.select(col("repo").as("repo_b"), col("sz").as("szb")), "repo_b")
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .withColumn("jacc", col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jacc") >= threshold)
+      .select(col("repo_a"), col("repo_b"), col("inter"), col("uni"),
+        round(col("jacc"), 4).as("jacc_r"))
+  }
+
   def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingles(docs, n)
     val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))

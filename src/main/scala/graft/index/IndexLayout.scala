@@ -103,4 +103,45 @@ object IndexLayout {
     gapStats(postings, "original")
       .unionByName(gapStats(remapped, "url_sorted"))
   }
+
+  /** binary bit length of a positive BIGINT — length of its base-2 string,
+    * so ⌊log2 v⌋ + 1 with NO float log: both engines' `bin()` strips
+    * leading zeros, making the count integer-exact. */
+  def bitLen(v: Column): Column = length(bin(v)).cast("long")
+
+  /** exact Elias γ bit cost of a positive gap: unary length prefix +
+    * binary remainder = 2·bitLen − 1 (Elias 1975; Witten/Moffat/Bell
+    * "Managing Gigabytes" §3.3 — public literature). */
+  def gammaBits(v: Column): Column = lit(2L) * bitLen(v) - 1L
+
+  /** exact Elias δ bit cost: γ-code the bit length, then the bitLen − 1
+    * remainder bits — (2·bitLen(L) − 1) + (L − 1) for L = bitLen(gap).
+    * δ wins over γ once gaps routinely exceed ~31 (L ≥ 6). */
+  def deltaBits(v: Column): Column =
+    lit(2L) * bitLen(bitLen(v)) - 1L + bitLen(v) - 1L
+
+  /** Bit-level codec study over the docID delta-gap stream: prices byte-
+    * aligned varint (what [[graft.index.PostingCodec]] writes) against
+    * Elias γ and δ, under both docID assignments of [[remapStudy]]. The
+    * interesting interaction: URL-sorting shrinks gaps, which helps the
+    * bit-level codes MORE than varint (varint can't go below 8 bits/gap;
+    * γ of gap 1 is a single bit). Same lag-window shape as [[gapStats]] —
+    * one extra pass over postings, partitioned on term, no new shuffle
+    * beyond the remap join. */
+  def codecStudy(postings: DataFrame, corpus: DataFrame): DataFrame = {
+    def stats(p: DataFrame, label: String): DataFrame = {
+      val w = Window.partitionBy("term").orderBy(asc("doc_id"))
+      p.select(col("term"), col("doc_id"))
+        .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1, -1L).over(w))
+        .agg(count(lit(1)).as("n_postings"),
+          sum(varintBytes(col("gap")) * 8L).as("varint_bits"),
+          sum(gammaBits(col("gap"))).as("gamma_bits"),
+          sum(deltaBits(col("gap"))).as("delta_bits"))
+        .select(lit(label).as("variant"), col("n_postings"),
+          col("varint_bits"), col("gamma_bits"), col("delta_bits"))
+    }
+    val remapped = postings.join(remapByUrl(corpus), "doc_id")
+      .select(col("term"), col("new_id").as("doc_id"))
+    stats(postings, "original").unionByName(stats(remapped, "url_sorted"))
+  }
 }

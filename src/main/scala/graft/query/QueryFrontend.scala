@@ -258,6 +258,42 @@ object QueryFrontend {
       .select(col("qterm"), col("term").as("suggestion"), col("dist"), col("df"))
   }
 
+  /** Query SEGMENTATION by corpus bigram evidence (Bergsma & Wang 2007;
+    * Hagen et al. 2011 — public literature): adjacent query terms glue into
+    * one segment iff the corpus saw them adjacent ≥ `minCf` times. The
+    * segments are what the phrase/biword operators should receive — running
+    * `new york pizza` as segment ["new york"]["pizza"] beats both the bag
+    * and the 3-word phrase. seg_id is 1 + the count of non-glued boundaries
+    * at or before the position (a cumulative window over ≤ |q| rows).
+    *
+    * Scale shape: the bigram statistics come from the biword index the
+    * build already materializes ([[graft.index.Positional.biwordPostings]])
+    * — ONE vocabulary-keyed aggregate; the query side is |q| − 1 pairs
+    * broadcast against it. Nothing rescans text at query time. */
+  def segmentQuery(biwordPostings: DataFrame, queryTerms: Seq[String],
+                   minCf: Long = 3L): DataFrame = {
+    require(queryTerms.size >= 2)
+    val spark = biwordPostings.sparkSession
+    import spark.implicits._
+    val pairs = queryTerms.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (i.toLong + 1L, a, b) }.toSeq
+      .toDF("pos", "w1", "w2")
+    val cf = biwordPostings.groupBy("w1", "w2").agg(sum("tf").as("cf"))
+    val glued = pairs.join(cf, Seq("w1", "w2"), "left")
+      .select(col("pos"), (coalesce(col("cf"), lit(0L)) >= minCf).as("glue"),
+        coalesce(col("cf"), lit(0L)).as("cf"))
+    val terms = queryTerms.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("pos", "term")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(asc("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    terms.join(glued.select(col("pos"), col("glue"), col("cf")), Seq("pos"), "left")
+      .withColumn("_cut", when(col("pos") === 0 || !col("glue"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("seg_id", sum(col("_cut")).over(w))
+      .select(col("pos"), col("term"), col("seg_id"),
+        coalesce(col("cf"), lit(0L)).as("pair_cf"))
+      .orderBy(asc("pos"))
+  }
+
   def plan(termStats: DataFrame, lang: String, query: String,
            lexicon: Analyzer.Lexicon = Analyzer.emptyLexicon,
            pruneCoef: Int = 2): Plan = {

@@ -182,4 +182,115 @@ object Wand {
     top.withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
       .select(col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Disjunctive BM25 top-k via MaxScore pruning (Turtle & Flood 1995,
+    * "Query evaluation: strategies and optimizations" — public literature):
+    * the THIRD dynamic-pruning strategy beside conjunctive and disjunctive
+    * block-max WAND. Lists sit in ascending term-upper-bound order; the
+    * current θ splits them into a NON-ESSENTIAL prefix (whose summed upper
+    * bounds cannot alone reach θ) and an essential suffix. Candidates are
+    * drawn only from essential lists; non-essential lists are skipTo-probed
+    * for the exact score with a running remaining-bound early exit.
+    *
+    * Exactness contract shared with the WAND variants (hash-proven by the
+    * shared disjunctive oracle): prune strictly below θ only — a θ-tie
+    * with a smaller docId must still be scored to win the docId tie-break,
+    * so a prefix whose bound EQUALS θ stays essential and a probe chain
+    * whose bound equals θ runs to completion.
+    *
+    * Scale shape: identical to [[topKDisjunctive]] — per-shard mapGroups
+    * over ≤ |terms| decoded blobs, zero further shuffle, per-shard top-k
+    * lists meet in one TakeOrderedAndProject. The MaxScore advantage at
+    * 100 TB: once θ passes a hot term's upper bound, that (longest, lowest-
+    * idf) list is never iterated again — only skipTo-probed at candidate
+    * docIds, O(candidates · log blocks) on the skip index instead of
+    * O(postings). */
+  def maxScoreTopK(shards: Dataset[ShardPosting], idfs: Map[String, Double],
+                   avgDl: Double, k: Int): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val idfB = spark.sparkContext.broadcast(idfs)
+    val hits = shards.groupByKey(_.shard).flatMapGroups { (shard, it) =>
+      val idf = idfB.value
+      final class C(val w: Double, val cur: PostingCodec.Cursor, val termUB: Double)
+      // static MaxScore layout: ascending term upper bound
+      val cs = it.toArray.map { b =>
+        val dec = new PostingCodec.Decoded(b.bytes)
+        new C(idf(b.term), new PostingCodec.Cursor(dec), idf(b.term) * dec.maxTfNorm)
+      }.filter(!_.cur.exhausted).sortBy(_.termUB)
+      val live = Array.fill(cs.length)(true)
+      implicit val ord: Ordering[Hit] = Ordering.by(h => (-h.score, h.docId))
+      val heap = new scala.collection.mutable.PriorityQueue[Hit]()(ord)
+      var theta = Double.NegativeInfinity
+      val prefixUB = new Array[Double](cs.length + 1)
+      var done = cs.isEmpty
+      while (!done) {
+        var i = 0
+        while (i < cs.length) {
+          prefixUB(i + 1) = prefixUB(i) + (if (live(i)) cs(i).termUB else 0.0)
+          i += 1
+        }
+        // largest prefix whose total bound is STRICTLY below θ is non-essential
+        var firstEss = 0
+        if (heap.size == k)
+          while (firstEss < cs.length && prefixUB(firstEss + 1) < theta) firstEss += 1
+        // candidate: min docId across live essential cursors
+        var cand = Long.MaxValue
+        i = firstEss
+        while (i < cs.length) {
+          if (live(i) && cs(i).cur.docId < cand) cand = cs(i).cur.docId
+          i += 1
+        }
+        if (cand == Long.MaxValue) {
+          done = true // only non-essential lists remain: no doc can reach θ
+        } else {
+          // exact essential contributions; advance those cursors after
+          var score = 0.0
+          i = firstEss
+          while (i < cs.length) {
+            if (live(i) && cs(i).cur.docId == cand) {
+              score += cs(i).w * Bm25.tfNormS(cs(i).cur.tf, cs(i).cur.dl, avgDl)
+            }
+            i += 1
+          }
+          // probe non-essential lists in descending-UB order, early exit
+          // the moment even full credit for the unprobed rest can't reach θ
+          var j = firstEss - 1
+          var viable = heap.size < k || score + prefixUB(firstEss) >= theta
+          while (viable && j >= 0) {
+            if (live(j)) {
+              if (heap.size == k && score + prefixUB(j + 1) < theta) viable = false
+              else {
+                val c = cs(j)
+                c.cur.skipTo(cand)
+                if (c.cur.exhausted) live(j) = false
+                else if (c.cur.docId == cand)
+                  score += c.w * Bm25.tfNormS(c.cur.tf, c.cur.dl, avgDl)
+              }
+            }
+            j -= 1
+          }
+          if (viable) {
+            val h = Hit(shard, cand, score)
+            if (heap.size < k) { heap.enqueue(h); if (heap.size == k) theta = heap.head.score }
+            else if (score > theta || (score == theta && cand < heap.head.docId)) {
+              heap.dequeue(); heap.enqueue(h); theta = heap.head.score
+            }
+          }
+          i = firstEss
+          while (i < cs.length) {
+            if (live(i) && cs(i).cur.docId == cand) {
+              cs(i).cur.next()
+              if (cs(i).cur.exhausted) live(i) = false
+            }
+            i += 1
+          }
+        }
+      }
+      heap.iterator.map(h => (h.docId, h.score))
+    }.toDF("doc_id", "score")
+    val top = hits.orderBy(desc("score"), asc("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
 }

@@ -377,4 +377,31 @@ object TextAnalysis {
         size(col("_chunk")).cast("long").as("n_tokens"),
         array_join(col("_chunk"), " ").as("text"))
   }
+
+  /** Within-site BOILERPLATE score: the fraction of a doc's distinct
+    * n-gram shingles that recur across ≥ `minSiteDf` documents of the SAME
+    * site (nav bars, footers, license headers — the text a site stamps on
+    * every page). Cross-site line dedup (C4's rule, `dedup_segments`)
+    * misses boilerplate unique to one site; this is the within-site
+    * complement (Gibson/Punera/Tomkins 2005, "The volume and evolution of
+    * web page templates" — public literature). A training pipeline drops
+    * or down-weights docs whose boiler_r is high: their token mass is
+    * template, not content.
+    *
+    * Scale shape: shingle → (repo, shingle) df aggregate (shuffle on the
+    * shingle key, map-side partials absorb hot shingles) → co-partitioned
+    * join back → per-doc aggregate. |sites| is immaterial; nothing pairs. */
+  def boilerplate(docs: DataFrame, n: Int = 3, minSiteDf: Long = 3L): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(docs, n)
+      .join(docs.select(col("doc_id"), col("repo")), "doc_id")
+    val siteDf = sh.groupBy("repo", "shingle")
+      .agg(count(lit(1)).as("site_df"))
+    sh.join(siteDf, Seq("repo", "shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("site_df") >= minSiteDf, lit(1L)).otherwise(lit(0L)))
+          .as("n_boiler"))
+      .withColumn("boiler_r", round(
+        col("n_boiler").cast("double") / col("n_shingles").cast("double"), 4))
+  }
 }

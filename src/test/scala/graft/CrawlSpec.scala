@@ -135,4 +135,18 @@ class CrawlSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("https://a.com/other", 1L, 3L),
       ("https://a.com/page", 3L, 0L)))
   }
+
+  test("politeSchedule: one fetch per host per slot, priority desc then path asc") {
+    val f = Seq(
+      ("a.com", "/p1", 5L), ("a.com", "/p2", 9L), ("a.com", "/p0", 9L),
+      ("b.com", "/x", 1L)).toDF("host", "path", "priority")
+    val got = Crawl.politeSchedule(f, limit = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // within a.com: ties at priority 9 break path-asc → /p0 first
+    assert(got.toSeq == Seq(
+      (1L, "a.com", "/p0", 9L), (1L, "b.com", "/x", 1L),
+      (2L, "a.com", "/p2", 9L), (3L, "a.com", "/p1", 5L)))
+    // the politeness invariant: at most one fetch per (host, slot)
+    assert(got.map(g => (g._1, g._2)).distinct.length == got.length)
+  }
 }

@@ -373,4 +373,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 == (got(1L) intersect got(2L)).size.toLong)
   }
+
+  test("mirrorPairs: host-level resemblance finds the mirror farm, not the stranger") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "iota kappa lambda mu nu xi omicron pi"
+    val docs = Seq(
+      (0L, a, "m1"), (1L, b, "m1"),   // m2 serves the same two pages →
+      (2L, a, "m2"), (3L, b, "m2"),   // identical host shingle sets
+      (4L, "one two three four five six seven", "other"))
+      .toDF("doc_id", "content", "repo")
+    val got = Dedup.mirrorPairs(docs, n = 3, threshold = 0.5, maxShingleHosts = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(4)))
+    assert(got.toSeq == Seq(("m1", "m2", 1.0)))
+    // hot-shingle prune: cap 1 drops every shared shingle → no candidates
+    assert(Dedup.mirrorPairs(docs, n = 3, threshold = 0.0, maxShingleHosts = 1L)
+      .collect().isEmpty)
+  }
 }

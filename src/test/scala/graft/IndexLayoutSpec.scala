@@ -42,4 +42,25 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(r.getLong(3) == (6L + 5L + 5L))  // front: head, lcp5+suf3, head
     assert(r.getDouble(4) == 0.2)
   }
+
+  test("Elias gamma/delta bit costs: exact closed forms on known values") {
+    // γ(v) = 2·bitlen − 1; δ(v) = γ(bitlen) + bitlen − 1; δ wins from L ≥ 6
+    val got = Seq(1L, 2L, 5L, 16L, 31L, 32L).toDF("v")
+      .select(col("v"), IndexLayout.gammaBits(col("v")).as("g"),
+        IndexLayout.deltaBits(col("v")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((3L, 4L)), 5L -> ((5L, 5L)),
+      16L -> ((9L, 9L)), 31L -> ((9L, 9L)), 32L -> ((11L, 10L))))
+  }
+
+  test("codecStudy: dense gap-1 stream — bit codes beat byte-aligned varint 8×") {
+    // one term on docs 0..9: remap is identity (single repo, path = doc order)
+    val postings = (0L until 10L).map(d => ("x", d, 1L)).toDF("term", "doc_id", "tf")
+    val corpus = (0L until 10L).map(d => (d, "r", f"doc/$d%03d")).toDF("doc_id", "repo", "path")
+    val got = IndexLayout.codecStudy(postings, corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // gaps: first = 0−(−1) = 1, then nine 1s → γ/δ = 10 bits, varint = 80
+    assert(got("original") == ((10L, 80L, 10L, 10L)))
+    assert(got("url_sorted") == ((10L, 80L, 10L, 10L)))
+  }
 }

@@ -993,4 +993,15 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(docs(3).keySet == conj)
   }
+
+  test("segmentQuery: corpus-bigram glue yields [new york][pizza] segments") {
+    import spark.implicits._
+    val bw = Seq((0L, "new", "york", 5L), (1L, "new", "york", 2L),
+      (2L, "york", "pizza", 1L)).toDF("doc_id", "w1", "w2", "tf")
+    val got = QueryFrontend.segmentQuery(bw, Seq("new", "york", "pizza"), minCf = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // cf(new,york) = 7 glues; cf(york,pizza) = 1 cuts
+    assert(got.toSeq == Seq((0L, "new", 1L, 0L), (1L, "york", 1L, 7L),
+      (2L, "pizza", 2L, 1L)))
+  }
 }

@@ -317,4 +317,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) == (("joins", 2L))) // tie 2=2 -> topic asc
     assert(!got.contains(4L))          // seedless doc stays unlabeled
   }
+
+  test("boilerplate: within-site template shingles flagged, unique text not") {
+    import spark.implicits._
+    val footer = "copyright acme corp all rights reserved"
+    val docs = Seq(
+      (0L, s"alpha beta gamma $footer", "s1"),
+      (1L, s"delta epsilon zeta $footer", "s1"),
+      (2L, "unique content here nothing shared at all", "s2"))
+      .toDF("doc_id", "content", "repo")
+    val got = TextAnalysis.boilerplate(docs, n = 3, minSiteDf = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 9 tokens → 7 shingles; the 4 fully inside the footer recur on both
+    // s1 docs, the 3 straddling unique text do not
+    assert(got(0L) == ((7L, 4L)))
+    assert(got(1L) == ((7L, 4L)))
+    assert(got(2L) == ((5L, 0L))) // 7 tokens → 5 shingles, none recur
+  }
 }

@@ -85,6 +85,13 @@ class WandSpec extends AnyFunSuite {
           gotW.zip(want).foreach { case ((_, s), o) =>
             assert(math.abs(s - o.bm25) < 1e-9, s"[$name/$q] score $s vs ${o.bm25}")
           }
+          val gotM = Wand.maxScoreTopK(shardsDs.filter(sp => idfs.contains(sp.term)),
+              idfs, t.avgDl, 10)
+            .collect().map(r => (r.getLong(1), r.getDouble(2)))
+          assert(gotM.map(_._1).toSeq == want.map(_.docId), s"[$name/$q] MaxScore docIds")
+          gotM.zip(want).foreach { case ((_, s), o) =>
+            assert(math.abs(s - o.bm25) < 1e-9, s"[$name/$q] MaxScore score")
+          }
         }
       }
     }
@@ -175,11 +182,14 @@ class WandSpec extends AnyFunSuite {
         got.zip(want).foreach { case ((_, sc), o) =>
           assert(math.abs(sc - o.bm25) < 1e-9, s"[rand-$i '$q'] score")
         }
-        // disjunctive too
+        // disjunctive too — both pruning strategies against the oracle
         val wantOr = oracle.topKDisjunctive("en", q, 10)
         val gotOr = Wand.topKDisjunctive(shardsDs.filter(sp => idfs.contains(sp.term)), idfs, t.avgDl, 10)
           .collect().map(r => r.getLong(1))
         assert(gotOr.toSeq == wantOr.map(_.docId), s"[rand-$i '$q'] OR docIds")
+        val gotMs = Wand.maxScoreTopK(shardsDs.filter(sp => idfs.contains(sp.term)), idfs, t.avgDl, 10)
+          .collect().map(r => r.getLong(1))
+        assert(gotMs.toSeq == wantOr.map(_.docId), s"[rand-$i '$q'] MaxScore docIds")
       }
     }
   }
