@@ -1718,6 +1718,12 @@ object SparkEntry {
       val (c, t) = index(s, dir)
       graft.index.IndexLayout.codecStudy(t.postings, c)
     }),
+    // Rice/Golomb with a LOCAL per-term parameter k(t)=⌊log2(mean gap)⌋ —
+    // the classical beats-varint coder for clustered docID gaps
+    "ft_rice_study" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      graft.index.IndexLayout.riceStudy(t.postings, c)
+    }),
     // Query segmentation by corpus-bigram evidence: adjacent terms glue
     // iff the biword index saw them together ≥ 3 times
     "ft_query_segment" -> ((s, dir) => {
@@ -3765,6 +3771,34 @@ object SparkEntry {
          |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post2),
          |c2 AS (SELECT 'url_sorted' AS variant, count(*)::BIGINT AS n_postings,
          |              ${cost("gap")} FROM g2)
+         |SELECT * FROM c1 UNION ALL SELECT * FROM c2""".stripMargin
+    },
+    // rice twin: per-term k from the integral mean gap (both engines floor
+    // the div and the shift identically on BIGINT — hash-exact)
+    "ft_rice_study" -> {
+      val vb = (g: String) =>
+        s"""(CASE WHEN $g < 128 THEN 1 WHEN $g < 16384 THEN 2
+           |      WHEN $g < 2097152 THEN 3 WHEN $g < 268435456 THEN 4
+           |      WHEN $g < 34359738368 THEN 5 ELSE 6 END)""".stripMargin
+      val cost = (gtab: String, label: String) =>
+        s"""SELECT '$label' AS variant, count(*)::BIGINT AS n_postings,
+           |  sum((${vb("gap")}) * 8)::BIGINT AS varint_bits,
+           |  sum((gap - 1) // (1::BIGINT << k::INT) + 1 + k)::BIGINT AS rice_bits
+           |FROM $gtab JOIN (SELECT term,
+           |    (length(bin(sum(gap) // count(*))) - 1)::BIGINT AS k
+           |  FROM $gtab GROUP BY term) kk USING (term)""".stripMargin
+      s"""WITH ${termsCte}, ${postCte},
+         |rm AS (SELECT doc_id,
+         |         (row_number() OVER (ORDER BY source ASC,
+         |            'doc/' || doc_id::VARCHAR ASC, doc_id ASC) - 1)::BIGINT AS new_id
+         |       FROM documents),
+         |g1 AS (SELECT term, doc_id - lag(doc_id, 1, -1)
+         |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post),
+         |post2 AS (SELECT p.term, r.new_id AS doc_id FROM post p JOIN rm r USING (doc_id)),
+         |g2 AS (SELECT term, doc_id - lag(doc_id, 1, -1)
+         |         OVER (PARTITION BY term ORDER BY doc_id) AS gap FROM post2),
+         |c1 AS (${cost("g1", "original")}),
+         |c2 AS (${cost("g2", "url_sorted")})
          |SELECT * FROM c1 UNION ALL SELECT * FROM c2""".stripMargin
     },
     // segmentation twin: corpus bigram cf from the same ordered token

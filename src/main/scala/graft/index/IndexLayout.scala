@@ -144,4 +144,37 @@ object IndexLayout {
       .select(col("term"), col("new_id").as("doc_id"))
     stats(postings, "original").unionByName(stats(remapped, "url_sorted"))
   }
+
+  /** Rice/Golomb coding with a LOCAL per-term parameter (the local Bernoulli
+    * model, Witten/Moffat/Bell "Managing Gigabytes" §3.4; Rice 1971 —
+    * public literature): k(t) = ⌊log2(mean gap of t)⌋ = bitLen(mean) − 1
+    * (mean ≥ 1 since every gap ≥ 1), cost of a gap = unary quotient
+    * ((gap−1) >> k) + 1 stop bit + k remainder bits. All-BIGINT: the mean
+    * is an integral `div`, the quotient an integral shift — both engines
+    * floor identically, so the bit count is hash-exact.
+    *
+    * Scale shape: one extra per-term aggregate (vocabulary-sized) joined
+    * back onto the gap stream co-partitioned on term — the parameter table
+    * rides the same shuffle the gap window already pays. */
+  def riceStudy(postings: DataFrame, corpus: DataFrame): DataFrame = {
+    def stats(p: DataFrame, label: String): DataFrame = {
+      val w = Window.partitionBy("term").orderBy(asc("doc_id"))
+      val gaps = p.select(col("term"), col("doc_id"))
+        .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1, -1L).over(w))
+      val ks = gaps.groupBy("term")
+        .agg(expr("sum(gap) div count(1)").as("mean_gap"))
+        .withColumn("k", bitLen(col("mean_gap")) - 1L)
+      gaps.join(ks, "term")
+        .withColumn("rice", expr("(gap - 1) div shiftleft(1L, cast(k as int))")
+          + 1L + col("k"))
+        .agg(count(lit(1)).as("n_postings"),
+          sum(varintBytes(col("gap")) * 8L).as("varint_bits"),
+          sum(col("rice")).as("rice_bits"))
+        .select(lit(label).as("variant"), col("n_postings"),
+          col("varint_bits"), col("rice_bits"))
+    }
+    val remapped = postings.join(remapByUrl(corpus), "doc_id")
+      .select(col("term"), col("new_id").as("doc_id"))
+    stats(postings, "original").unionByName(stats(remapped, "url_sorted"))
+  }
 }
