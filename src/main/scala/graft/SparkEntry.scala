@@ -553,6 +553,25 @@ object SparkEntry {
       graft.query.Lm.qlTopK(t.postings, t.docStats, cfs, total, k = 10)
         .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
     }),
+    // DFR PL2 top-k (Amati & van Rijsbergen; Terrier's default): the third
+    // scoring family — Poisson divergence + Laplace after-effect + length
+    // normalization 2, disjunctive matched-only
+    "ft_pl2_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val cfs = graft.query.Dfr.lookupCf(t.postings, q2.toSet)
+      graft.query.Dfr.pl2TopK(t.postings, t.docStats, cfs, t.nDocs, t.avgDl, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), round(col("score"), 4).as("score_r"))
+    }),
+    // Impact-ordered quantized index (Anh & Moffat): BM25 impacts
+    // pre-quantized to 8-bit integers at build; the serve path is one
+    // integer aggregate with no stats joins and no float ties
+    "ft_impact_topk" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val qz = graft.query.Impact.quantize(t.postings, t.docStats, t.termStats,
+        t.nDocs, t.avgDl, bits = 8)
+      graft.query.Impact.impactTopK(qz, q2, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"), col("impact"))
+    }),
     // Passage retrieval + MaxP (Callan 1994): docs scored by their BEST
     // sliding window over analyzer positions; the winning (doc, start) is
     // the RAG chunk. Passage-level BM25 stats, window 30 / stride 15
@@ -1724,6 +1743,14 @@ object SparkEntry {
       val (c, t) = index(s, dir)
       graft.index.IndexLayout.riceStudy(t.postings, c)
     }),
+    // Static index pruning (Carmel 2001, uniform top-N by tf): index size
+    // vs top-10 result overlap of the lossy hot-tier index
+    "ft_static_prune" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      graft.index.IndexLayout.staticPruneStudy(t.postings, t.docStats,
+        dfs, t.nDocs, t.avgDl, n = 20, k = 10)
+    }),
     // Query segmentation by corpus-bigram evidence: adjacent terms glue
     // iff the biword index saw them together ≥ 3 times
     "ft_query_segment" -> ((s, dir) => {
@@ -1970,6 +1997,47 @@ object SparkEntry {
          |         doc_id, round(score, 4) AS score_r
          |  FROM scored
          |) WHERE rank <= 10""".stripMargin,
+    // PL2 twin: the same ln·(1/ln2) decomposition with the same literal
+    // constants; lambda = cf/N as the identical IEEE division
+    "ft_pl2_topk" ->
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${statsCte}, ${qCte(q2)},
+         |qcf AS (SELECT term, sum(tf)::BIGINT AS cf FROM post JOIN q USING (term) GROUP BY term),
+         |base AS (SELECT p.doc_id,
+         |           (p.tf * ln(1.0 + 1.0 * s.avgdl / d.dl) * 1.4426950408889634) AS tfn,
+         |           (f.cf / s.n) AS lambda
+         |         FROM post p JOIN qcf f USING (term)
+         |              JOIN ds d ON p.doc_id = d.doc_id, stats s),
+         |scored AS (SELECT doc_id, sum(
+         |    (1.0 / (tfn + 1.0)) * (tfn * ln(tfn / lambda) * 1.4426950408889634
+         |      + (lambda - tfn) * 1.4426950408889634
+         |      + 0.5 * ln(6.283185307179586 * tfn) * 1.4426950408889634)) AS score
+         |  FROM base GROUP BY doc_id)
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r FROM scored
+         |) WHERE rank <= 10""".stripMargin,
+    // impact twin: same BM25 weight chain, same global bounds, the floor
+    // is the only discretization point and both engines hit it with the
+    // identical IEEE product
+    "ft_impact_topk" -> {
+      val w = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |wt AS (SELECT p.term, p.doc_id, $w AS w
+         |       FROM post p JOIN tstats t USING (term)
+         |            JOIN ds d ON p.doc_id = d.doc_id, stats s),
+         |b AS (SELECT min(w) AS wmin, max(w) AS wmax FROM wt),
+         |qz AS (SELECT term, doc_id,
+         |         CASE WHEN b.wmax = b.wmin THEN 1::BIGINT
+         |              ELSE (floor((w - b.wmin) / (b.wmax - b.wmin) * 255.0) + 1)::BIGINT
+         |         END AS impact
+         |       FROM wt, b),
+         |cand AS (SELECT doc_id, count(*) AS n_terms, sum(impact)::BIGINT AS impact
+         |         FROM qz JOIN q USING (term) GROUP BY doc_id)
+         |SELECT rank, doc_id, impact FROM (
+         |  SELECT row_number() OVER (ORDER BY impact DESC, doc_id ASC) AS rank,
+         |         doc_id, impact FROM cand WHERE n_terms = ${q2.size}
+         |) WHERE rank <= 10""".stripMargin
+    },
     // MaxP twin: same window-covering explode (range with stride step),
     // same passage-level stats, same best-passage-then-doc ranking
     "ft_maxp_topk" -> {
@@ -3800,6 +3868,33 @@ object SparkEntry {
          |c1 AS (${cost("g1", "original")}),
          |c2 AS (${cost("g2", "url_sorted")})
          |SELECT * FROM c1 UNION ALL SELECT * FROM c2""".stripMargin
+    },
+    // static-prune twin: same top-N-by-tf window, both rankings scored
+    // with the ORIGINAL collection statistics
+    "ft_static_prune" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      def top(rel: String, name: String) =
+        s"""$name AS (SELECT doc_id FROM (
+           |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id FROM (
+           |    SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+           |    FROM $rel p JOIN q USING (term) JOIN tstats t USING (term)
+           |         JOIN ds d ON p.doc_id = d.doc_id, stats s
+           |    GROUP BY p.doc_id) WHERE n_terms = ${q2.size}
+           |) WHERE rank <= 10)""".stripMargin
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |pruned AS (SELECT term, doc_id, tf FROM (
+         |    SELECT term, doc_id, tf,
+         |           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS kr
+         |    FROM post) WHERE kr <= 20),
+         |${top("post", "topo")},
+         |${top("pruned", "topp")}
+         |SELECT 'original' AS variant,
+         |       (SELECT count(*) FROM post)::BIGINT AS n_postings,
+         |       (SELECT count(*) FROM topo)::BIGINT AS top10_overlap
+         |UNION ALL
+         |SELECT 'pruned',
+         |       (SELECT count(*) FROM pruned)::BIGINT,
+         |       (SELECT count(*) FROM topp JOIN topo USING (doc_id))::BIGINT""".stripMargin
     },
     // segmentation twin: corpus bigram cf from the same ordered token
     // arrays, cumulative cut-count window over the |q| query rows

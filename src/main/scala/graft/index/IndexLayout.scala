@@ -177,4 +177,43 @@ object IndexLayout {
       .select(col("term"), col("new_id").as("doc_id"))
     stats(postings, "original").unionByName(stats(remapped, "url_sorted"))
   }
+
+  /** Static index pruning, uniform top-N variant (Carmel et al., SIGIR 2001
+    * "Static index pruning for information retrieval systems" — public
+    * literature): keep only each term's N highest-tf postings (ties doc_id
+    * asc) and measure what the lossy index costs in result quality.
+    *
+    * Output, one row per variant {original, pruned}:
+    *   (variant, n_postings, top10_overlap) — n_postings is the index
+    * size, top10_overlap is |top-10(variant) ∩ top-10(original)| for the
+    * given conjunctive BM25 query, scored with the ORIGINAL collection
+    * statistics (score-preserving pruning: surviving postings score
+    * identically, so rank changes come only from dropped evidence).
+    *
+    * Scale shape: the prune is one row_number window partitioned on term —
+    * the same per-term shuffle the index build already materializes; both
+    * rankings are k-row relations, so the overlap join is trivial. At
+    * 100 TB this is the offline "build the small hot-tier index" job; the
+    * tiered-serving counterpart is [[graft.query.Wand]]'s tiered entry. */
+  def staticPruneStudy(postings: DataFrame, docStats: DataFrame,
+                       dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                       n: Int, k: Int): DataFrame = {
+    import graft.query.Search
+    val w = Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
+    val pruned = postings
+      .withColumn("keep_rank", row_number().over(w))
+      .filter(col("keep_rank") <= n)
+      .drop("keep_rank")
+    val fullTop = Search.bm25TopK(postings, docStats, dfs, nDocs, avgDl, k)
+      .select(col("doc_id"))
+    def row(p: DataFrame, label: String): DataFrame = {
+      val top = Search.bm25TopK(p, docStats, dfs, nDocs, avgDl, k)
+        .select(col("doc_id"))
+      val overlap = top.join(fullTop, "doc_id")
+        .agg(count(lit(1)).as("top10_overlap"))
+      p.agg(count(lit(1)).as("n_postings")).crossJoin(overlap)
+        .select(lit(label).as("variant"), col("n_postings"), col("top10_overlap"))
+    }
+    row(postings, "original").unionByName(row(pruned, "pruned"))
+  }
 }

@@ -19,6 +19,19 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("staticPruneStudy: top-N-by-tf keeps the index's hot postings and the overlap counts the damage") {
+    // term x over docs 1..3 (tf 3,2,1) + term y on doc 1; prune n=1 keeps
+    // x@1 and y@1 only → pruned top-2 for q={x} is just doc 1, overlap 1
+    val postings = Seq(("x", 1L, 3L), ("x", 2L, 2L), ("x", 3L, 1L), ("y", 1L, 1L))
+      .toDF("term", "doc_id", "tf")
+    val docStats = Seq((1L, 4L), (2L, 2L), (3L, 1L)).toDF("doc_id", "dl")
+    val got = IndexLayout.staticPruneStudy(postings, docStats,
+        Map("x" -> 3L), nDocs = 3L, avgDl = 7.0 / 3.0, n = 1, k = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("original") == ((4L, 2L)))
+    assert(got("pruned") == ((2L, 1L)))
+  }
+
   test("remapStudy: URL-sorted ids shrink gap bytes on a clustered corpus") {
     // one term spread across docs 0, 200, 400 (same repo): raw gaps
     // 1,200,200 → 1+2+2 = 5 bytes; remapped ids 0,1,2 → 3 bytes
