@@ -1128,6 +1128,37 @@ object SparkEntry {
         .select(col("query_id"), round(col("ndcg"), 4).as("ndcg_r"),
           round(col("ap"), 4).as("ap_r"))
     }),
+    // RBP + ERR (user-model metrics beside nDCG/MAP): rank-biased
+    // persistence and the cascade stopping model over the same batched
+    // ranking + Σtf qrels
+    "ft_eval_rbp" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val qs = batchQ.toDF("query_id", "term")
+      val ranking = Search.bm25TopKBatch(t.postings, t.docStats, t.termStats,
+        qs, t.nDocs, t.avgDl, k = 10).select("query_id", "rank", "doc_id")
+      val qrels = graft.query.Eval.sumTfQrels(t.postings, qs)
+      graft.query.Eval.rbpErr(ranking, qrels, k = 10)
+        .select(col("query_id"), round(col("rbp"), 4).as("rbp_r"),
+          round(col("err"), 4).as("err_r"))
+    }),
+    // TAAT accumulator limiting (Moffat & Zobel Quit/Continue): rarest-
+    // first term order, accumulator budget L = N/2, both strategies
+    "ft_taat_quit" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q3.toSet)
+      graft.query.Taat.quitContinueTopK(t.postings, t.docStats, dfs,
+          t.nDocs, t.avgDl, limit = t.nDocs / 2, k = 10)
+        .select(col("strategy"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
+    // Static result-cache admission study (Markatos; Baeza-Yates): top-C
+    // most frequent train queries pinned, hit rates on the eval half
+    "ft_cache_static" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val stream = graft.query.ResultCache.argmaxTermStream(t.postings)
+      graft.query.ResultCache.staticCacheStudy(stream, c = 8)
+    }),
     // Balanced interleaving (online A/B of two rankers in one list):
     // leader by query-hash coin, closed-form slot merge, keep-first dedup
     "ft_interleave" -> ((s, dir) => {
@@ -2869,6 +2900,99 @@ object SparkEntry {
          |FROM dcg d JOIN ideal i USING (query_id) JOIN apq a USING (query_id)
          |     LEFT JOIN nrel n USING (query_id)""".stripMargin
     },
+    // RBP/ERR twin: same ranking + qrels chain as eval_metrics; the
+    // cascade product is the same exp(Σ ln(1−stop)) preceding-rows window,
+    // (1−p) left as the literal subtraction so both engines fold it alike
+    "ft_eval_rbp" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |qn AS (SELECT query_id, count(*) AS q_n FROM q GROUP BY query_id),
+         |scored AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY q.query_id, p.doc_id),
+         |ranking AS (SELECT query_id, rank, doc_id FROM (
+         |  SELECT s.query_id,
+         |         row_number() OVER (PARTITION BY s.query_id
+         |                            ORDER BY s.score DESC, s.doc_id ASC)::BIGINT AS rank,
+         |         s.doc_id
+         |  FROM scored s JOIN qn USING (query_id) WHERE s.n_terms = qn.q_n
+         |) WHERE rank <= 10),
+         |qrels AS (
+         |  SELECT x.query_id, x.doc_id, least(x.stf, 3)::BIGINT AS grade FROM (
+         |    SELECT q.query_id, p.doc_id, count(*) AS n_terms, sum(p.tf)::BIGINT AS stf
+         |    FROM post p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+         |  ) x JOIN qn USING (query_id) WHERE x.n_terms = qn.q_n),
+         |j AS (SELECT r.query_id, r.rank, coalesce(qr.grade, 0)::BIGINT AS grade
+         |      FROM ranking r LEFT JOIN qrels qr
+         |           ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id),
+         |m AS (SELECT query_id, rank,
+         |             (grade::DOUBLE / 3.0) AS u,
+         |             (power(2.0, grade) - 1.0) / 8.0 AS stop
+         |      FROM j),
+         |sv AS (SELECT query_id, rank, u, stop,
+         |             exp(coalesce(sum(ln(1.0 - stop))
+         |               OVER (PARTITION BY query_id ORDER BY rank
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS surv
+         |       FROM m)
+         |SELECT query_id,
+         |       round(sum((1.0 - 0.8) * u * power(0.8, rank - 1)), 4) AS rbp_r,
+         |       round(sum(stop / rank::DOUBLE * surv), 4) AS err_r
+         |FROM sv GROUP BY query_id""".stripMargin
+    },
+    // TAAT Quit/Continue twin: same rarest-first order, same densified
+    // accumulator window, same budget N//2
+    "ft_taat_quit" -> {
+      val w = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q3)},
+         |ord AS (SELECT term, row_number() OVER (ORDER BY df ASC, term ASC)::BIGINT AS idx
+         |        FROM tstats JOIN q USING (term)),
+         |m AS (SELECT p.doc_id, o.idx, $w AS w
+         |      FROM post p JOIN ord o USING (term) JOIN tstats t USING (term)
+         |           JOIN ds d ON p.doc_id = d.doc_id, stats s),
+         |fi AS (SELECT doc_id, min(idx) AS first_idx FROM m GROUP BY doc_id),
+         |created AS (SELECT first_idx, count(*)::BIGINT AS n_new FROM fi GROUP BY first_idx),
+         |cum AS (SELECT o.idx, sum(coalesce(c.n_new, 0))
+         |          OVER (ORDER BY o.idx ROWS UNBOUNDED PRECEDING) AS acc
+         |        FROM ord o LEFT JOIN created c ON o.idx = c.first_idx),
+         |istar AS (SELECT coalesce(max(idx), 0)::BIGINT AS i FROM cum
+         |          WHERE acc <= (SELECT count(*) FROM documents) // 2),
+         |adm AS (SELECT doc_id FROM fi, istar WHERE first_idx <= istar.i),
+         |qs AS (SELECT m.doc_id, sum(m.w) AS score FROM m, istar
+         |       WHERE m.idx <= istar.i GROUP BY m.doc_id),
+         |cs AS (SELECT m.doc_id, sum(m.w) AS score
+         |       FROM m JOIN adm USING (doc_id) GROUP BY m.doc_id),
+         |rq AS (SELECT 'quit' AS strategy,
+         |              row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         |              doc_id, round(score, 4) AS score_r FROM qs),
+         |rc AS (SELECT 'continue' AS strategy,
+         |              row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         |              doc_id, round(score, 4) AS score_r FROM cs)
+         |SELECT * FROM rq WHERE rank <= 10
+         |UNION ALL SELECT * FROM rc WHERE rank <= 10""".stripMargin
+    },
+    // static-cache twin: same argmax-tf stream, same even/odd split, same
+    // top-C frequency cut
+    "ft_cache_static" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |stream AS (SELECT doc_id AS event_id, term AS query FROM (
+         |    SELECT doc_id, term,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS r
+         |    FROM post) WHERE r = 1),
+         |train AS (SELECT query FROM stream WHERE event_id % 2 = 0),
+         |ev AS (SELECT query FROM stream WHERE event_id % 2 = 1),
+         |freq AS (SELECT query, count(*)::BIGINT AS f FROM train GROUP BY query),
+         |cache AS (SELECT query FROM (
+         |    SELECT query, row_number() OVER (ORDER BY f DESC, query ASC) AS r FROM freq
+         |  ) WHERE r <= 8)
+         |SELECT 8::BIGINT AS c_size,
+         |       (SELECT count(*) FROM ev)::BIGINT AS n_eval,
+         |       (SELECT count(*) FROM ev JOIN cache USING (query))::BIGINT AS hits_static,
+         |       (SELECT count(*) FROM ev JOIN freq USING (query))::BIGINT AS hits_infinite""".stripMargin,
     // interleave twin: both batch ranking chains, the same coin, the same
     // closed-form slot merge
     "ft_interleave" -> {

@@ -131,6 +131,44 @@ object Eval {
       .select(col("query_id"), col("k_n"),
         (col("sigma") / col("mu")).as("nqc"))
 
+  /** RBP + ERR per query — the two user-model metrics beside nDCG/MAP.
+    *
+    * RBP (Moffat & Zobel, TOIS 2008, "Rank-biased precision for measurement
+    * of retrieval effectiveness"): the user inspects rank r with
+    * persistence p^(r−1); RBP = (1−p)·Σ_r u_r·p^(r−1) with graded utility
+    * u = grade/gradeMax ∈ [0,1]. Needs no ideal ranking and no |relevant|
+    * — the metric of choice when qrels are incomplete.
+    *
+    * ERR (Chapelle et al., CIKM 2009, "Expected reciprocal rank for graded
+    * relevance"): cascade model — the user stops at rank r with
+    * probability R_r = (2^g − 1)/2^gmax; ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i).
+    * The cascade product is computed as exp(Σ ln(1−R_i)) over the
+    * preceding-rows window — the same closed form on both engines (R_i < 1
+    * always since (2^gmax − 1)/2^gmax < 1), so the decomposition is shared
+    * and IEEE-aligned.
+    *
+    * Scale shape: one left join of the Q×k ranking against qrels + two
+    * windows PARTITIONED on query_id over k-row groups — same cost class
+    * as rankingMetrics, nothing corpus-sized. */
+  def rbpErr(ranking: DataFrame, qrels: DataFrame, k: Int,
+             p: Double = 0.8, gradeMax: Long = 3L): DataFrame = {
+    val ranked = ranking.filter(col("rank") <= k)
+      .join(qrels, Seq("query_id", "doc_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+    val stopP = (pow(lit(2.0), col("grade")) - lit(1.0)) /
+      lit(math.pow(2.0, gradeMax.toDouble))
+    val prevW = Window.partitionBy("query_id").orderBy(asc("rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranked
+      .withColumn("u", col("grade").cast("double") / lit(gradeMax.toDouble))
+      .withColumn("rbp_t", lit(1.0 - p) * col("u") * pow(lit(p), col("rank") - lit(1L)))
+      .withColumn("stop", stopP)
+      .withColumn("surv", exp(coalesce(sum(log(lit(1.0) - col("stop"))).over(prevW), lit(0.0))))
+      .withColumn("err_t", col("stop") / col("rank").cast("double") * col("surv"))
+      .groupBy("query_id")
+      .agg(sum("rbp_t").as("rbp"), sum("err_t").as("err"))
+  }
+
   /** nDCG@k + MAP@k per query.
     * ranking: (query_id, rank, doc_id) with rank 1-based; qrels:
     * (query_id, doc_id, grade ≥ 1). Binary relevance for AP is

@@ -1,0 +1,58 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Static result-cache admission study (Markatos, 2001 "On caching search
+  * engine query results"; Baeza-Yates et al., SIGIR 2007 "The impact of
+  * caching on search engines" — public literature). Production engines put
+  * a results cache in front of the index; the STATIC policy — precompute
+  * and pin the results of the C historically most frequent queries —
+  * captures most of the skew of real query logs without any eviction
+  * machinery, and its hit rate is a pure relational computation:
+  *
+  *   train/eval split of the stream → top-C train queries by frequency
+  *   (ties lexicographic) → hit rate = fraction of eval queries in the
+  *   cache. The infinite-cache rate (eval queries seen ANYWHERE in train)
+  *   upper-bounds every admission policy fed by the same history.
+  *
+  * Scale shape: a query log aggregates to its distinct-query frequency
+  * table (≪ log), the top-C cut is one WindowGroupLimit, and both hit
+  * counts are semi-join aggregates of the eval stream against
+  * dictionary-sized relations — the log is scanned once per side.
+  *
+  * `stream` is (event_id, query); train = even event_id, eval = odd —
+  * the deterministic interleaved split both engines replay. */
+object ResultCache {
+
+  /** One row: (c_size, n_eval, hits_static, hits_infinite). */
+  def staticCacheStudy(stream: DataFrame, c: Int): DataFrame = {
+    val train = stream.filter(col("event_id") % 2 === 0)
+    val eval = stream.filter(col("event_id") % 2 === 1)
+    val freq = train.groupBy("query").agg(count(lit(1)).as("f"))
+    val cache = freq
+      .withColumn("r", row_number().over(Window.orderBy(desc("f"), asc("query"))))
+      .filter(col("r") <= c)
+      .select("query")
+    val nEval = eval.agg(count(lit(1)).as("n_eval"))
+    val hitsS = eval.join(cache, "query")
+      .agg(count(lit(1)).as("hits_static"))
+    val hitsI = eval.join(freq.select("query"), "query")
+      .agg(count(lit(1)).as("hits_infinite"))
+    nEval.crossJoin(hitsS).crossJoin(hitsI)
+      .select(lit(c.toLong).as("c_size"), col("n_eval"),
+        col("hits_static"), col("hits_infinite"))
+  }
+
+  /** Deterministic query stream synthesized from the corpus: event i is
+    * document i's most frequent term (ties lexicographic) — the stream
+    * inherits the vocabulary's Zipf skew, which is exactly what makes
+    * result caching pay. */
+  def argmaxTermStream(postings: DataFrame): DataFrame =
+    postings
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tf"), asc("term"))))
+      .filter(col("r") === 1)
+      .select(col("doc_id").as("event_id"), col("term").as("query"))
+}

@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class EvalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("RBP and ERR match closed-form values on a crafted fixture") {
+    import spark.implicits._
+    // one query, retrieved [1,2,3] with grades 3, 0, 1 (doc 2 unjudged)
+    val ranking = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 1L, 3L), (1L, 3L, 1L)).toDF("query_id", "doc_id", "grade")
+    val got = Eval.rbpErr(ranking, qrels, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // RBP(0.8) = 0.2·(1·1 + 0·0.8 + (1/3)·0.64)
+    val rbp = (1.0 - 0.8) * (1.0 + (1.0 / 3.0) * math.pow(0.8, 2.0))
+    // ERR: R = [7/8, 0, 1/8]; ERR = 7/8 + 0 + (1/3)·(1/8)·(1/8)
+    val err = 7.0 / 8.0 + (1.0 / 3.0) * (1.0 / 8.0) * (1.0 - 7.0 / 8.0)
+    assert(math.abs(got(1L)._1 - rbp) < 1e-12)
+    assert(math.abs(got(1L)._2 - err) < 1e-12)
+  }
+
   test("nDCG@k and MAP@k match closed-form values on a crafted fixture") {
     import spark.implicits._
     // q1: retrieved [1,2,3]; qrels 1→3, 3→2, 9→2 (9 NOT retrieved), 2 absent
