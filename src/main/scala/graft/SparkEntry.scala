@@ -285,6 +285,64 @@ object SparkEntry {
        |$out""".stripMargin
   }
 
+  /** DuckDB twin of the xQuAD greedy: the novelty products are unrolled
+    * stage by stage in the same sequential order the Scala greedy updates
+    * them, and the aspect sum is written in sorted-topic order — every
+    * float op shares its association with the engine side. */
+  private def xquadSql(terms: Seq[String], topics: Map[String, Seq[String]],
+                       poolSize: Int, k: Int): String = {
+    val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+    val ts = topics.keys.toSeq.sorted
+    val nT = ts.size
+    val seedVals = ts.flatMap(t => topics(t).map(st => s"('$t', '$st')")).mkString(", ")
+    val pCols = ts.zipWithIndex.map { case (t, i) =>
+      s"coalesce(max(CASE WHEN c.topic = '$t' THEN c.mt END), 0)::DOUBLE / ${topics(t).size}.0 AS p$i"
+    }.mkString(",\n       ")
+    def divExpr(novRel: String) =
+      ts.indices.map(i => s"(1.0 / $nT.0) * pv.p$i * $novRel.n$i").mkString(" + ")
+    val s1 =
+      s"""nov1 AS (SELECT ${ts.indices.map(i => s"1.0 AS n$i").mkString(", ")}),
+         |s1 AS (SELECT pv.*, 0.5 * pv.score + 0.5 * (${divExpr("nov1")}) AS obj
+         |       FROM pv, nov1 ORDER BY obj DESC, doc_id ASC LIMIT 1)""".stripMargin
+    val stages = (2 to k).map { j =>
+      val prevSel = (1 until j).map(x => s"SELECT doc_id FROM s$x").mkString(" UNION ALL ")
+      s"""nov$j AS (SELECT ${ts.indices.map(i => s"nv.n$i * (1.0 - sp.p$i) AS n$i").mkString(", ")}
+         |          FROM nov${j - 1} nv, s${j - 1} sp),
+         |sel$j AS ($prevSel),
+         |s$j AS (SELECT pv.*, 0.5 * pv.score + 0.5 * (${divExpr(s"nov$j")}) AS obj
+         |        FROM pv, nov$j WHERE pv.doc_id NOT IN (SELECT doc_id FROM sel$j)
+         |        ORDER BY obj DESC, doc_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, doc_id, round(obj, 4) AS xquad_r FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(terms)},
+       |seeds AS (SELECT * FROM (VALUES $seedVals) AS t(topic, seed_term)),
+       |scored AS (
+       |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+       |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+       |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+       |  GROUP BY p.doc_id
+       |),
+       |pool AS (
+       |  SELECT doc_id, score FROM (
+       |    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+       |    FROM scored WHERE n_terms = ${terms.size}
+       |  ) WHERE rank <= $poolSize
+       |),
+       |cov AS (SELECT p.doc_id, sd.topic, count(*)::BIGINT AS mt
+       |        FROM post p JOIN seeds sd ON p.term = sd.seed_term
+       |             JOIN pool ON p.doc_id = pool.doc_id
+       |        GROUP BY p.doc_id, sd.topic),
+       |pv AS (SELECT pool.doc_id, pool.score,
+       |       $pCols
+       |       FROM pool LEFT JOIN cov c ON pool.doc_id = c.doc_id
+       |       GROUP BY pool.doc_id, pool.score),
+       |$s1,
+       |$stages
+       |$out""".stripMargin
+  }
+
   /** shared DuckDB twin of the champion-list tier — referenced by BOTH
     * ft_champions (in-memory build) and ft_champions_persisted (cold read of
     * the aux artifact): one oracle, two engine paths. */
@@ -794,6 +852,15 @@ object SparkEntry {
       Search.mmrTopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, poolSize = 20, k = 5)
         .select(col("rank"), col("doc_id"), round(col("mmr"), 4).as("mmr_r"))
     }),
+    // xQuAD aspect diversification (Santos et al.): greedy cover of the
+    // seed-lexicon topics, sequential novelty products, uniform P(t|q)
+    "ft_xquad" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.xquadTopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl,
+          seedTopics, poolSize = 20, k = 5)
+        .select(col("rank"), col("doc_id"), round(col("xquad"), 4).as("xquad_r"))
+    }),
     // Pseudo-relevance feedback: Rocchio-style blind expansion from the
     // top-5 docs, weighted disjunctive re-rank (orig 2x, expansion 1x)
     "ft_prf" -> ((s, dir) => {
@@ -1045,6 +1112,17 @@ object SparkEntry {
         graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
         seeds, nSeeds, iters = 3)
       graft.corpus.LinkRank.topK(pr, 20)
+    }),
+    // OPIC crawl prioritization (Abiteboul): cash/history fixed point in
+    // BIGINT; importance = history + cash after 3 synchronized rounds
+    "ft_opic" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val imp = graft.corpus.LinkRank.opic(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        t.nDocs, iters = 3)
+      graft.corpus.LinkRank.topK(
+          imp.select(col("doc_id"), col("importance").as("pr")), 20)
+        .select(col("rank"), col("doc_id"), col("pr").as("importance"))
     }),
     // Co-citation related-pages: pairs cited together, hot-citer pruned
     "ft_cocitation" -> ((s, dir) => {
@@ -1579,6 +1657,20 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       val cms = graft.stats.Sketches.cmsBuild(t.postings, "term", "tf", width = 64)
       graft.stats.Sketches.cmsEstimate(s, cms, cmsTerms, width = 64)
+    }),
+    // Bloom-filter dictionary gate (Bloom 1970): m=2^16, kh=4 TextHash
+    // mixers; absent-term probes short-circuit before touching the index —
+    // the oracle hash-checks the no-false-negative invariant every run
+    "ft_bloom_dict" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      val vocab = t.termStats.select(col("term"))
+      val bits = graft.stats.Sketches.bloomBits(vocab, "term", m = 65536, kh = 4)
+      val probes = cmsTerms.toDF("term")
+      graft.stats.Sketches.probeBloom(bits, probes, "term", m = 65536, kh = 4)
+        .join(vocab.withColumn("p", lit(1L)), Seq("term"), "left")
+        .select(col("term"), col("in_bloom"),
+          coalesce(col("p"), lit(0L)).as("present"))
     }),
     // KMV distinct sketch (k=64) over the 3-shingle stream — "how big
     // would the shingle dictionary be" without building it; deterministic,
@@ -2229,6 +2321,7 @@ object SparkEntry {
     "ft_wand_persisted" -> bm25TopKSql(q2, 10),
     "ft_prf" -> prfSql(q2, k = 10, r = 5, e = 3, wOrig = 2),
     "ft_mmr" -> mmrSql(q2, poolSize = 20, k = 5),
+    "ft_xquad" -> xquadSql(q2, seedTopics, poolSize = 20, k = 5),
     // lexical CTEs + the cosine twin fused on integer ranks: each
     // reciprocal is one IEEE division, so the fusion is hash-exact
     "hybrid_rrf" -> {
@@ -2555,6 +2648,64 @@ object SparkEntry {
          |SELECT rank, doc_id, pr FROM (
          |  SELECT row_number() OVER (ORDER BY pr DESC, doc_id ASC) AS rank, doc_id, pr
          |  FROM p3) WHERE rank <= 20""".stripMargin
+    },
+    // OPIC twin: the identical BIGINT cash/history recurrence unrolled,
+    // incl. the (vacuous on this graph) dangling-share division
+    "ft_opic" -> {
+      def iter(i: Int) = {
+        val pc = s"oc${i - 1}"
+        s"""oh$i AS (SELECT h.doc_id, h.hist + c.cash AS hist
+           |         FROM oh${i - 1} h JOIN $pc c USING (doc_id)),
+           |inf$i AS (SELECT e.dst AS doc_id, sum(c.cash // o.odeg) AS acc
+           |          FROM $pc c JOIN odeg o ON c.doc_id = o.src
+           |               JOIN edges e ON c.doc_id = e.src
+           |          GROUP BY e.dst),
+           |dng$i AS (SELECT coalesce(sum(c.cash), 0) // (SELECT n FROM nn) AS share
+           |          FROM $pc c LEFT JOIN odeg o ON c.doc_id = o.src
+           |          WHERE o.src IS NULL),
+           |oc$i AS (SELECT n.doc_id,
+           |           (coalesce(i.acc, 0) + (SELECT share FROM dng$i))::BIGINT AS cash
+           |         FROM nodes n LEFT JOIN inf$i i USING (doc_id))""".stripMargin
+      }
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
+         |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+         |oh0 AS (SELECT doc_id, 0::BIGINT AS hist FROM nodes),
+         |oc0 AS (SELECT doc_id, (1000000000000 // (SELECT n FROM nn))::BIGINT AS cash FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT rank, doc_id, importance FROM (
+         |  SELECT row_number() OVER (ORDER BY h.hist + c.cash DESC, h.doc_id ASC) AS rank,
+         |         h.doc_id, (h.hist + c.cash)::BIGINT AS importance
+         |  FROM oh3 h JOIN oc3 c USING (doc_id)) WHERE rank <= 20""".stripMargin
+    },
+    // Bloom twin: same mixer family, same distinct-bit relation, and the
+    // present column makes any false negative a hash mismatch
+    "ft_bloom_dict" -> {
+      val th = TextHash.tokenHashSql("term")
+      val mixes = (0 until 4).map(i =>
+        s"SELECT term, (${TextHash.mixSql(i, th)}) % 65536 AS bit FROM vocab")
+        .mkString(" UNION ALL ")
+      val pmixes = (0 until 4).map(i =>
+        s"SELECT term, (${TextHash.mixSql(i, th)}) % 65536 AS bit FROM pr")
+        .mkString(" UNION ALL ")
+      s"""WITH ${termsCte},
+         |vocab AS (SELECT DISTINCT term FROM terms),
+         |bits AS (SELECT DISTINCT bit FROM ($mixes)),
+         |pr AS (SELECT unnest(ARRAY[${cmsTerms.map(t => s"'$t'").mkString(", ")}]) AS term),
+         |pb AS (SELECT DISTINCT term, bit FROM ($pmixes)),
+         |need AS (SELECT term, count(*)::BIGINT AS need FROM pb GROUP BY term),
+         |hits AS (SELECT pb.term, count(*)::BIGINT AS hits FROM pb JOIN bits USING (bit)
+         |         GROUP BY pb.term)
+         |SELECT n.term,
+         |       (coalesce(h.hits, 0) = n.need)::BIGINT AS in_bloom,
+         |       (CASE WHEN n.term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END)::BIGINT AS present
+         |FROM need n LEFT JOIN hits h USING (term)""".stripMargin
     },
     "ft_cocitation" ->
       s"""WITH ccn AS (SELECT count(*) AS n FROM documents),

@@ -195,4 +195,54 @@ object LinkRank {
         row_number().over(Window.orderBy(desc("auth"), asc("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("auth"), col("hub"))
   }
+
+  /** OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    * Cobena, WWW 2003 — public literature): the crawl-frontier
+    * prioritizer. Each page holds CASH; visiting a page banks its cash
+    * into HISTORY and ships it in equal parts to its out-links; importance
+    * = history + cash, and the frontier crawls highest-importance next.
+    * Unlike PageRank it needs no damping and converges while the crawl
+    * runs — this is the batch-synchronized variant (every page "visited"
+    * each round), which keeps the per-round plan one join + one aggregate.
+    *
+    * Dangling pages ship their cash to the virtual root page, which
+    * redistributes it equally to everyone (Σ dangling cash div N — one
+    * integer division on the total, remainder leaks, mirroring pagerank's
+    * leak-not-redistribute convention).
+    *
+    * Same BIGINT fixed-point arithmetic as [[pagerank]]: integer `div`
+    * everywhere, so results are bit-exact at any parallelism and the
+    * DuckDB twin unrolls the identical recurrence. Scale shape per round:
+    * one co-partitioned join of cash against out-degrees + one edge join +
+    * one dst aggregate; the dangling share is a broadcast 1-row aggregate.
+    * localCheckpoint truncates the growing lineage each round. */
+  def opic(edges: DataFrame, nodes: DataFrame, nNodes: Long, iters: Int = 3,
+           scale: Long = 1000000000000L): DataFrame = {
+    require(nNodes > 0, "opic needs a non-empty node set")
+    require(iters >= 0)
+    val init = scale / nNodes
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    var state = nodes.select(col("doc_id"), lit(0L).as("hist"), lit(init).as("cash"))
+    for (_ <- 1 to iters) {
+      val withDeg = state.join(outdeg, state("doc_id") === outdeg("src"), "left")
+        .select(col("doc_id"), col("cash"), col("odeg"))
+      val inflow = edges.join(
+          withDeg.filter(col("odeg").isNotNull)
+            .select(col("doc_id").as("src"), expr("cash div odeg").as("contrib")),
+          "src")
+        .groupBy(col("dst")).agg(sum("contrib").as("acc"))
+      val dangShare = withDeg.filter(col("odeg").isNull)
+        .agg(coalesce(sum("cash"), lit(0L)).as("dtot"))
+        .select(expr(s"dtot div CAST($nNodes AS BIGINT)").as("share"))
+      val banked = state.select(col("doc_id"), (col("hist") + col("cash")).as("hist"))
+      state = banked
+        .join(inflow, banked("doc_id") === inflow("dst"), "left")
+        .crossJoin(broadcast(dangShare))
+        .select(banked("doc_id"), col("hist"),
+          (coalesce(col("acc"), lit(0L)) + col("share")).as("cash"))
+        .localCheckpoint(true)
+    }
+    state.select(col("doc_id"), (col("hist") + col("cash")).as("importance"),
+      col("cash"))
+  }
 }

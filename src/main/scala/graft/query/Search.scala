@@ -407,6 +407,64 @@ object Search {
       .toDF("rank", "doc_id", "mmr")
   }
 
+  /** xQuAD result diversification (Santos, Macdonald & Ounis, WWW 2010,
+    * "Exploiting query reformulations for web search result
+    * diversification" — public literature): greedy re-ranking that covers
+    * the query's ASPECTS, not just its words — the reason "spark join"
+    * should not return ten near-identical pages about the same subtopic.
+    *
+    *   select argmax  (1−λ)·rel(d) + λ·Σ_t P(t|q)·P(d|t)·Π_{s∈S}(1−P(s|t))
+    *
+    * with uniform P(t|q) over the aspect set, P(d|t) = the fraction of
+    * aspect t's seed terms the doc contains (the seed-lexicon topic model
+    * the tagging operator already uses), and the product tracking how much
+    * of aspect t the already-selected set S still leaves uncovered.
+    *
+    * Determinism across engines: the novelty products are updated
+    * SEQUENTIALLY in selection order and the aspect sum is folded in
+    * sorted-topic order, so every float op has a fixed association — the
+    * DuckDB twin unrolls the same recurrence stage by stage.
+    *
+    * Scale shape: like [[mmrTopK]], the candidate pool (top-`poolSize`)
+    * and its pool×topic coverage matrix are k·|T|-row driver data; the
+    * only corpus-sized work is the BM25 pool itself plus one IN-filtered
+    * coverage aggregate. */
+  def xquadTopK(postings: DataFrame, docStats: DataFrame, dfs: Map[String, Long],
+                nDocs: Long, avgDl: Double, topics: Map[String, Seq[String]],
+                poolSize: Int = 20, k: Int = 5,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val tSorted = topics.keys.toSeq.sorted
+    val wT = 1.0 / tSorted.size
+    val pool = bm25TopK(postings, docStats, dfs, nDocs, avgDl, poolSize)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ids = pool.map(_._1).toSeq
+    val seeds = topics.toSeq.flatMap { case (t, ss) => ss.map(s => (t, s)) }
+      .toDF("topic", "seed_term")
+    val cov = postings
+      .filter(col("doc_id").isin(ids.map(x => x: Any): _*))
+      .join(broadcast(seeds), col("term") === col("seed_term"))
+      .groupBy("doc_id", "topic").agg(count(lit(1)).as("mt"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def p(d: Long, t: String): Double =
+      cov.getOrElse((d, t), 0L).toDouble / topics(t).size.toDouble
+    val nov = scala.collection.mutable.Map(tSorted.map(t => t -> 1.0): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(pool.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { case (d, s) =>
+        val div = tSorted.map(t => wT * p(d, t) * nov(t)).sum
+        (d, (1 - lambda) * s + lambda * div)
+      }.minBy { case (d, m) => (-m, d) }
+      selected += best
+      remaining -= best._1
+      tSorted.foreach(t => nov(t) = nov(t) * (1.0 - p(best._1, t)))
+    }
+    selected.zipWithIndex.map { case ((d, m), i) => (i + 1L, d, m) }.toSeq
+      .toDF("rank", "doc_id", "xquad")
+  }
+
   /** Reverse search (percolation — the Elasticsearch-percolator / alerting
     * primitive): instead of a query finding docs, every STORED query is
     * matched against the docs in hand — "notify me when a page matching

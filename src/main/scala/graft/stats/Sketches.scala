@@ -77,6 +77,43 @@ object Sketches {
   }
 
   /** scalar twin (tests): the whole sketch + estimate in memory */
+  /** Bloom-filter membership over a key column (Bloom, CACM 1970 — public
+    * literature): the dictionary-existence gate a distributed engine ships
+    * to every executor so absent-term probes never touch the index (the
+    * same job Lucene's FuzzySet / Parquet's bloom_filter_enabled do).
+    * m-bit filter as the RELATION of set bit positions (distinct
+    * (position) rows — dictionary-sized ≪ m·vocab since hot bits dedup),
+    * kh hash functions from the cross-engine TextHash mixer family.
+    *
+    * probeBloom returns per probe key: (key, in_bloom, present) — a false
+    * positive is in_bloom=1, present=0; a false NEGATIVE is impossible and
+    * the harness oracle hash-checks that invariant on every run.
+    *
+    * Scale shape: the build is one explode of keys × kh mixers + distinct
+    * (vocabulary-bounded); probes are a broadcast semi-join counting kh
+    * hits. The bit-set relation is exactly what the engine would broadcast
+    * (m = 2^16 → an 8 KiB bitmap in production; relational here so both
+    * engines share the arithmetic). */
+  def bloomBits(keys: DataFrame, keyCol: String, m: Int, kh: Int): DataFrame = {
+    val h = graft.textan.TextHash.tokenHashCol(col(keyCol))
+    (0 until kh).map(i =>
+        keys.select((graft.textan.TextHash.mixCol(i, h) % m).as("bit")))
+      .reduce(_ unionByName _).distinct()
+  }
+
+  def probeBloom(bits: DataFrame, probes: DataFrame, keyCol: String,
+                 m: Int, kh: Int): DataFrame = {
+    val h = graft.textan.TextHash.tokenHashCol(col(keyCol))
+    val pb = (0 until kh).map(i =>
+        probes.select(col(keyCol), (graft.textan.TextHash.mixCol(i, h) % m).as("bit")))
+      .reduce(_ unionByName _).distinct()
+    val hits = pb.join(bits, "bit").groupBy(keyCol).agg(count(lit(1)).as("hits"))
+    val need = pb.groupBy(keyCol).agg(count(lit(1)).as("need"))
+    need.join(hits, Seq(keyCol), "left")
+      .select(col(keyCol),
+        (coalesce(col("hits"), lit(0L)) === col("need")).cast("long").as("in_bloom"))
+  }
+
   def cmsEstimateS(counts: Map[String, Long], term: String, width: Int): Long =
     (0 until depth).map { i =>
       val cell = TextHash.mix(i, TextHash.tokenHash(term)) % width

@@ -168,4 +168,48 @@ class LinkRankSpec extends AnyFunSuite {
     assert((1L to 5L).map(got(_)._1).toSet.size == 1 && got(1L)._1 > 0L)
     assert((1L to 5L).forall(got(_)._2 == 0L))
   }
+
+  /** scalar twin of LinkRank.opic — banked history + equal cash split,
+    * dangling total redistributed by one integer division */
+  def scalarOpic(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
+                 scale: Long = 1000000000000L): Map[Long, Long] = {
+    val n = nodes.size
+    val init = scale / n
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var hist = nodes.map(_ -> 0L).toMap
+    var cash = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- edges) acc(v) += cash(u) / outdeg(u)
+      val dangShare = nodes.filterNot(outdeg.contains).map(cash).sum / n
+      hist = nodes.map(v => v -> (hist(v) + cash(v))).toMap
+      cash = nodes.map(v => v -> (acc(v) + dangShare)).toMap
+    }
+    nodes.map(v => v -> (hist(v) + cash(v))).toMap
+  }
+
+  test("opic ≡ scalar cash/history recurrence on the synthetic graph (bit-exact)") {
+    val n = 60L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 7) % n)))
+    val got = LinkRank.opic(edges.toDF("src", "dst"), nodes.toDF("doc_id"), n, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarOpic(edges, nodes, 3))
+    // cash is conserved up to integer-division leaks: total importance
+    // after G rounds is ≤ (G+1)·scale and > 0
+    assert(got.values.sum > 0L && got.values.sum <= 4L * 1000000000000L)
+  }
+
+  test("opic: dangling cash is pooled and redistributed equally") {
+    // 0→1, 1→0; node 2 dangling. After round 1: node 2's init cash is
+    // split n-ways back to everyone (scalar twin asserts exact values)
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (1L, 0L))
+    val got = LinkRank.opic(edges.toDF("src", "dst"), nodes.toDF("doc_id"), 3L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarOpic(edges, nodes, 2))
+    // the dangling node keeps banking history but only ever receives the
+    // redistributed share — strictly less important than the cycle nodes
+    assert(got(2L) < got(0L) && got(2L) < got(1L))
+  }
 }

@@ -377,6 +377,35 @@ class SearchSpec extends AnyFunSuite {
     eng.zip(sel).foreach { case ((_, g), (_, w)) => assert(math.abs(g - w) < 1e-9) }
   }
 
+  test("xquadTopK: aspect coverage beats equal-relevance redundancy") {
+    import spark.implicits._
+    // three docs with IDENTICAL relevance for q; d1,d2 cover aspect A,
+    // d3 covers aspect B. Greedy must go d1 (tie→id), then d3 (novel
+    // aspect), then d2 — pure relevance would give d1,d2,d3.
+    val posts = Seq(
+      (1L, "q", 1L), (1L, "a", 1L),
+      (2L, "q", 1L), (2L, "a", 1L),
+      (3L, "q", 1L), (3L, "b", 1L)
+    ).toDF("doc_id", "term", "tf")
+    val dstats = Seq((1L, 2L), (2L, 2L), (3L, 2L)).toDF("doc_id", "dl")
+    val topics = Map("ta" -> Seq("a"), "tb" -> Seq("b"))
+    val got = Search.xquadTopK(posts, dstats, Map("q" -> 3L), nDocs = 3,
+        avgDl = 2.0, topics, poolSize = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"xQuAD should order d1,d3,d2 — got ${got.toSeq}")
+    // closed-form objective pins: rel equal ⇒ obj differences come only
+    // from the aspect term. rank-2 d3: 0.5·rel + 0.5·(0.5·1·1) with tb
+    // untouched; rank-3 d2: aspect ta exhausted ⇒ obj = 0.5·rel
+    val objs = Search.xquadTopK(posts, dstats, Map("q" -> 3L), 3, 2.0, topics,
+        poolSize = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rel = graft.query.Bm25.scoreS(1L, 3L, 2L, 3L, 2.0)
+    assert(math.abs(objs(1L) - (0.5 * rel + 0.5 * (0.5 * 1.0 * 1.0))) < 1e-12)
+    assert(math.abs(objs(2L) - (0.5 * rel + 0.5 * (0.5 * 1.0 * 1.0))) < 1e-12)
+    assert(math.abs(objs(3L) - 0.5 * rel) < 1e-12)
+  }
+
   test("pseudo-relevance feedback == scalar recompute of all three stages") {
     val orig = Set("join", "spark")
     val dfs = QueryFrontend.lookupDf(tables.termStats, orig)

@@ -208,6 +208,43 @@ class StatsSpec extends AnyFunSuite {
     assert(Sketches.cmsBuild(items, "term", "tf", 8).count() <= 4L * 8)
   }
 
+  test("bloom filter: membership ≡ scalar bit set; no false negatives; absent term rejected at m=2^16") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    val vocab = Seq("join", "spark", "dup", "hash").toDF("term")
+    val m = 65536
+    val bits = graft.stats.Sketches.bloomBits(vocab, "term", m, kh = 4)
+      .collect().map(_.getLong(0)).toSet
+    val want = (for (t <- Seq("join", "spark", "dup", "hash"); i <- 0 until 4)
+      yield TextHash.mix(i, TextHash.tokenHash(t)) % m).toSet
+    assert(bits == want)
+    val probes = Seq("join", "spark", "warpdrive").toDF("term")
+    val got = graft.stats.Sketches.probeBloom(
+        graft.stats.Sketches.bloomBits(vocab, "term", m, kh = 4), probes, "term", m, kh = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("join") == 1L && got("spark") == 1L) // false negatives impossible
+    // scalar expectation for the absent probe (collisions possible in
+    // principle; at m=2^16 with 16 set bits the scalar twin decides)
+    val absent = (0 until 4).map(i => TextHash.mix(i, TextHash.tokenHash("warpdrive")) % m)
+      .forall(b => want.contains(b))
+    assert(got("warpdrive") == (if (absent) 1L else 0L))
+  }
+
+  test("bloom filter: a tiny m forces a deterministic false positive") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    val vocab = Seq("join", "spark", "dup", "hash").toDF("term")
+    val m = 2 // every bit set with near-certainty → absent term collides
+    val setBits = (for (t <- Seq("join", "spark", "dup", "hash"); i <- 0 until 4)
+      yield TextHash.mix(i, TextHash.tokenHash(t)) % m).toSet
+    assume(setBits == Set(0L, 1L)) // holds for this vocab/mixer family
+    val got = graft.stats.Sketches.probeBloom(
+        graft.stats.Sketches.bloomBits(vocab, "term", m, kh = 4),
+        Seq("warpdrive").toDF("term"), "term", m, kh = 4)
+      .collect().head
+    assert(got.getLong(1) == 1L) // in_bloom, yet absent: the FP case exists
+  }
+
   test("kmvDistinct: exact below k, estimate formula at k, duplicate-invariant") {
     import spark.implicits._
     import graft.textan.TextHash
