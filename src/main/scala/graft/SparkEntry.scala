@@ -1237,6 +1237,32 @@ object SparkEntry {
       val stream = graft.query.ResultCache.argmaxTermStream(t.postings)
       graft.query.ResultCache.staticCacheStudy(stream, c = 8)
     }),
+    // Posting-list cache admission by QTF/DF (Baeza-Yates SIGIR 2007):
+    // best query-mass per byte, pinned prefix under a df budget of 10%
+    "ft_cache_postings" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val stream = graft.query.ResultCache.argmaxTermStream(t.postings)
+      graft.query.ResultCache.postingCacheStudy(stream, t.termStats)
+    }),
+    // Per-site change rates from one recrawl interval (Cho & Garcia-Molina
+    // Poisson MLE): the recrawl scheduler's priority signal
+    "ft_recrawl_rate" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val old = c.select("doc_id", "repo", "content")
+      val kept = old.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("content", when(col("doc_id") % 13 === 0,
+          concat(col("content"), lit(" updated"))).otherwise(col("content")))
+      val added = old.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + t.nDocs).as("doc_id"), col("repo"),
+          concat(lit("new page "), col("doc_id").cast("string")).as("content"))
+      graft.corpus.Crawl.changeRates(old, kept.unionByName(added).select("doc_id", "content"))
+    }),
+    // Flesch reading-ease as a per-doc quality signal (vowel-group
+    // syllables; pseudo-sentences of 15 tokens on this unpunctuated corpus)
+    "text_readability" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.readability(c)
+    }),
     // Balanced interleaving (online A/B of two rankers in one list):
     // leader by query-hash coin, closed-form slot merge, keep-first dedup
     "ft_interleave" -> ((s, dir) => {
@@ -3144,6 +3170,54 @@ object SparkEntry {
          |       (SELECT count(*) FROM ev)::BIGINT AS n_eval,
          |       (SELECT count(*) FROM ev JOIN cache USING (query))::BIGINT AS hits_static,
          |       (SELECT count(*) FROM ev JOIN freq USING (query))::BIGINT AS hits_infinite""".stripMargin,
+    // posting-cache twin: same argmax stream, same QTF/DF ranking, same
+    // cumulative-df budget cut
+    "ft_cache_postings" ->
+      s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
+         |stream AS (SELECT doc_id AS event_id, term AS query FROM (
+         |    SELECT doc_id, term,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS r
+         |    FROM post) WHERE r = 1),
+         |qtf AS (SELECT query AS term, count(*)::BIGINT AS qtf FROM stream GROUP BY query),
+         |b AS (SELECT sum(df) // 10 AS budget FROM tstats),
+         |ranked AS (SELECT t.term, q.qtf, t.df,
+         |             sum(t.df) OVER (ORDER BY q.qtf::DOUBLE / t.df::DOUBLE DESC, t.term ASC
+         |                             ROWS UNBOUNDED PRECEDING) AS cum_df
+         |           FROM qtf q JOIN tstats t USING (term)),
+         |p AS (SELECT count(*)::BIGINT AS pinned_terms,
+         |             coalesce(sum(df), 0)::BIGINT AS pinned_df,
+         |             coalesce(sum(qtf), 0)::BIGINT AS hit_mass
+         |      FROM ranked, b WHERE cum_df <= b.budget)
+         |SELECT b.budget::BIGINT AS budget, p.pinned_terms, p.pinned_df, p.hit_mass,
+         |       (SELECT count(*) FROM stream)::BIGINT AS total_mass
+         |FROM p, b""".stripMargin,
+    // recrawl-rate twin: the kept/changed synthesis replicated (deleted
+    // %17, changed %13 — added pages join to nothing), same Poisson MLE
+    "ft_recrawl_rate" ->
+      s"""WITH c AS (SELECT source AS repo,
+         |             count(*) FILTER (WHERE doc_id % 17 <> 0)::BIGINT AS n_common,
+         |             count(*) FILTER (WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0)::BIGINT AS n_changed
+         |           FROM documents GROUP BY source)
+         |SELECT repo, n_common, n_changed,
+         |       round(n_changed::DOUBLE / n_common::DOUBLE, 4) AS change_frac_r,
+         |       CASE WHEN n_changed = n_common THEN NULL
+         |            ELSE round(-ln(1.0 - n_changed::DOUBLE / n_common::DOUBLE), 4)
+         |       END AS lambda_r
+         |FROM c""".stripMargin,
+    // readability twin: same whitespace explode, same vowel-run syllable
+    // heuristic, same ⌈w/15⌉ pseudo-sentence integer division
+    "text_readability" ->
+      s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
+         |wf AS (SELECT doc_id,
+         |         greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)::BIGINT AS syl
+         |       FROM w WHERE w <> ''),
+         |a AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(syl)::BIGINT AS n_syll
+         |      FROM wf GROUP BY doc_id),
+         |s AS (SELECT doc_id, n_words, (n_words + 14) // 15 AS n_sent, n_syll FROM a)
+         |SELECT doc_id, n_words, n_sent, n_syll,
+         |       round(206.835 - 1.015 * (n_words::DOUBLE / n_sent::DOUBLE)
+         |                     - 84.6 * (n_syll::DOUBLE / n_words::DOUBLE), 4) AS flesch_r
+         |FROM s""".stripMargin,
     // interleave twin: both batch ranking chains, the same coin, the same
     // closed-form slot merge
     "ft_interleave" -> {

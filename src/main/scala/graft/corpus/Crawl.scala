@@ -162,4 +162,32 @@ object Crawl {
       .select("slot", "host", "path", "priority")
       .limit(limit)
   }
+
+  /** Per-site change-rate estimation from one recrawl interval (Cho &
+    * Garcia-Molina, TOIT 2003, "Estimating frequency of change" — public
+    * literature): under the Poisson change model, observing that fraction
+    * c of a site's pages changed over one interval gives the MLE
+    * λ̂ = −ln(1 − c) changes/interval — the signal the recrawl scheduler
+    * feeds on (a site at λ̂ ≈ 0 can wait; λ̂ ≥ 1 needs every-interval
+    * revisits). Pages present in only one snapshot (added/deleted) carry
+    * no change observation and drop out of the inner join; a site with
+    * EVERY page changed has unbounded λ̂ (c = 1 ⇒ the interval is too long
+    * to inform) and reports NULL.
+    *
+    * Scale shape: one co-partitioned equality join of the two snapshots on
+    * doc_id (content equality, never a diff) + one site aggregate. */
+  def changeRates(old: DataFrame, recrawled: DataFrame): DataFrame = {
+    val j = old.select(col("doc_id"), col("repo"), col("content").as("c_old"))
+      .join(recrawled.select(col("doc_id"), col("content").as("c_new")), "doc_id")
+    j.groupBy("repo")
+      .agg(count(lit(1)).as("n_common"),
+        sum(when(col("c_old") =!= col("c_new"), lit(1L)).otherwise(lit(0L)))
+          .as("n_changed"))
+      .withColumn("change_frac_r", round(
+        col("n_changed").cast("double") / col("n_common").cast("double"), 4))
+      .withColumn("lambda_r",
+        when(col("n_changed") === col("n_common"), lit(null).cast("double"))
+          .otherwise(round(-log(lit(1.0) -
+            col("n_changed").cast("double") / col("n_common").cast("double")), 4)))
+  }
 }

@@ -45,6 +45,38 @@ object ResultCache {
         col("hits_static"), col("hits_infinite"))
   }
 
+  /** Static POSTING-LIST cache admission by the QTF/DF policy (Baeza-Yates
+    * et al., SIGIR 2007 §6: pin the lists with the best query-popularity
+    * per byte; df proxies list size). Terms rank by qtf/df desc (ties
+    * lexicographic); the pinned set is the longest prefix whose cumulative
+    * df fits the budget. Returns ONE row:
+    * (budget, pinned_terms, pinned_df, hit_mass, total_mass) — hit_mass is
+    * the query-stream mass the pinned lists absorb.
+    *
+    * Scale shape: everything after the stream's frequency aggregate is
+    * dictionary-sized; the cumulative cut is one global window over the
+    * vocabulary (fine — vocabularies are millions, not trillions), and the
+    * budget enters as a broadcast 1-row aggregate. */
+  def postingCacheStudy(stream: DataFrame, termStats: DataFrame,
+                        budgetDiv: Long = 10L): DataFrame = {
+    val qtf = stream.groupBy(col("query").as("term"))
+      .agg(count(lit(1)).as("qtf"))
+    val budget = termStats.agg(expr(s"sum(df) div $budgetDiv").as("budget"))
+    val ranked = qtf.join(termStats.select("term", "df"), "term")
+      .withColumn("value", col("qtf").cast("double") / col("df").cast("double"))
+      .withColumn("cum_df", sum("df").over(Window.orderBy(desc("value"), asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pinned = ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_df") <= col("budget"))
+    val tot = stream.agg(count(lit(1)).as("total_mass"))
+    pinned.agg(count(lit(1)).as("pinned_terms"),
+        coalesce(sum("df"), lit(0L)).as("pinned_df"),
+        coalesce(sum("qtf"), lit(0L)).as("hit_mass"))
+      .crossJoin(budget).crossJoin(tot)
+      .select(col("budget"), col("pinned_terms"), col("pinned_df"),
+        col("hit_mass"), col("total_mass"))
+  }
+
   /** Deterministic query stream synthesized from the corpus: event i is
     * document i's most frequent term (ties lexicographic) — the stream
     * inherits the vocabulary's Zipf skew, which is exactly what makes

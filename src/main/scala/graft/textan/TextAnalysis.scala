@@ -404,4 +404,36 @@ object TextAnalysis {
       .withColumn("boiler_r", round(
         col("n_boiler").cast("double") / col("n_shingles").cast("double"), 4))
   }
+
+  /** Flesch reading-ease (Flesch 1948; Kincaid et al. 1975 — public
+    * literature) as a per-doc quality signal:
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * Syllables by the standard vowel-group heuristic (count of maximal
+    * [aeiouy]+ runs, min 1 per word). The synthetic corpus carries no
+    * sentence punctuation, so sentences are the fixed pseudo-sentence
+    * convention ⌈words/15⌉ — integer arithmetic both engines floor
+    * identically; real corpora pass a punctuation-derived sentence count
+    * instead (the formula is the operator; the splitter is an input).
+    *
+    * Scale shape: one explode → per-doc aggregate with map-side partials;
+    * the vowel-run count is a codegen'd regexp over each token — no
+    * corpus-sized join anywhere. */
+  def readability(docs: DataFrame, wordsPerSentence: Int = 15): DataFrame = {
+    val words = docs.select(col("doc_id"),
+        explode(split(col("content"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("syl", greatest(
+        size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")).cast("long"), lit(1L)))
+    words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("syl").as("n_syll"))
+      .withColumn("n_sent",
+        expr(s"(n_words + ${wordsPerSentence - 1}) div $wordsPerSentence"))
+      .withColumn("flesch_r", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent").cast("double"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")), 4))
+      .select("doc_id", "n_words", "n_sent", "n_syll", "flesch_r")
+  }
 }

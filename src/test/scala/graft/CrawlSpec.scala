@@ -149,4 +149,20 @@ class CrawlSpec extends AnyFunSuite {
     // the politeness invariant: at most one fetch per (host, slot)
     assert(got.map(g => (g._1, g._2)).distinct.length == got.length)
   }
+
+  test("changeRates: Poisson MLE per site; all-changed site reports NULL lambda") {
+    import spark.implicits._
+    val old = Seq((1L, "r1", "a"), (2L, "r1", "b"), (3L, "r2", "c"))
+      .toDF("doc_id", "repo", "content")
+    val neu = Seq((1L, "a"), (2L, "B"), (3L, "C"), (9L, "new"))
+      .toDF("doc_id", "content")
+    val got = Crawl.changeRates(old, neu).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val l1 = BigDecimal(-math.log(0.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("r1") == ((2L, 1L, 0.5, Some(l1))))
+    assert(got("r2") == ((1L, 1L, 1.0, None))) // c=1: interval uninformative
+    // the added page (id 9) joins to nothing and influences no site
+    assert(got.size == 2)
+  }
 }

@@ -70,4 +70,14 @@ class TaatSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "b", 2L -> "a"))
   }
+
+  test("posting-cache study: QTF/DF prefix under the df budget") {
+    // stream x,x,x,y; dfs x=2, y=2, z=16 -> budget 20/10 = 2: only x fits
+    val stream = Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("event_id", "query")
+    val ts = Seq(("x", 2L), ("y", 2L), ("z", 16L)).toDF("term", "df")
+    val r = ResultCache.postingCacheStudy(stream, ts).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((2L, 1L, 2L, 3L, 4L)))
+  }
 }

@@ -334,4 +334,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == ((7L, 4L)))
     assert(got(2L) == ((5L, 0L))) // 7 tokens → 5 shingles, none recur
   }
+
+  test("readability: vowel-group syllables, min-1 floor, closed-form Flesch") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "rhythm zz"))
+      .toDF("doc_id", "content")
+    val got = graft.textan.TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: 5 words, 1 pseudo-sentence, 5 syllables (one vowel run each)
+    val f1 = BigDecimal(206.835 - 1.015 * 5.0 - 84.6 * 1.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((5L, 1L, 5L, f1)))
+    // doc 2: "rhythm" has the y run, "zz" has none -> min-1 floor
+    assert(got(2L)._1 == 2L && got(2L)._3 == 2L)
+  }
 }
