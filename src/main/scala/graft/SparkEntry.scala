@@ -1124,6 +1124,25 @@ object SparkEntry {
           imp.select(col("doc_id"), col("importance").as("pr")), 20)
         .select(col("rank"), col("doc_id"), col("pr").as("importance"))
     }),
+    // SALSA authorities (Lempel & Moran): degree-normalized HITS without
+    // the TKC bias — two integer divisions per round, BIGINT-exact
+    "ft_salsa" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val a = graft.corpus.LinkRank.salsa(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"), iters = 2)
+      graft.corpus.LinkRank.topK(a.select(col("doc_id"), col("auth").as("pr")), 20)
+        .select(col("rank"), col("doc_id"), col("pr").as("auth"))
+    }),
+    // robots.txt gate with RFC 9309 longest-match semantics: the deeper
+    // allow overrides the shallower disallow; unmatched paths pass
+    "ft_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val (c, _) = index(s, dir)
+      val rules = c.select(col("repo")).distinct()
+        .crossJoin(Seq(("doc/1", 0L), ("doc/12", 1L)).toDF("prefix", "allow"))
+      graft.corpus.Crawl.robotsFilter(
+        c.select("doc_id", "repo", "path"), rules)
+    }),
     // Co-citation related-pages: pairs cited together, hot-citer pruned
     "ft_cocitation" -> ((s, dir) => {
       val (c, t) = index(s, dir)
@@ -1262,6 +1281,18 @@ object SparkEntry {
     "text_readability" -> ((s, dir) => {
       val (c, _) = index(s, dir)
       TextAnalysis.readability(c)
+    }),
+    // Logistic-regression quality filter trained with FULL-BATCH GD (the
+    // order-independent, cluster-reproducible trainer; 2 unrolled steps)
+    "text_lr_classify" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val labels = c.select(col("doc_id"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val w = graft.pipeline.Classify.lrTrain(t.postings, labels, t.nDocs, iters = 2)
+      graft.pipeline.Classify.lrScores(t.postings, w)
+        .join(labels, "doc_id")
+        .select(col("doc_id"), round(col("p"), 4).as("p_r"),
+          (col("p") >= 0.5).cast("long").as("pred"), col("y").cast("long").as("y"))
     }),
     // Balanced interleaving (online A/B of two rankers in one list):
     // leader by query-hash coin, closed-form slot merge, keep-first dedup
@@ -2733,6 +2764,48 @@ object SparkEntry {
          |       (CASE WHEN n.term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END)::BIGINT AS present
          |FROM need n LEFT JOIN hits h USING (term)""".stripMargin
     },
+    // SALSA twin: identical two-division recurrence unrolled
+    "ft_salsa" -> {
+      def iter(i: Int) =
+        s"""bk$i AS (SELECT a.doc_id AS k, a.auth // ii.ideg AS share
+           |         FROM sa${i - 1} a JOIN ideg ii ON a.doc_id = ii.dst),
+           |hb$i AS (SELECT h.src, h.hubm // oo.odeg AS hshare FROM (
+           |           SELECT e.src, sum(b.share) AS hubm
+           |           FROM edges e JOIN bk$i b ON e.dst = b.k GROUP BY e.src
+           |         ) h JOIN odeg oo ON h.src = oo.src),
+           |sa$i AS (SELECT n.doc_id, coalesce(x.acc, 0)::BIGINT AS auth
+           |         FROM nodes n LEFT JOIN (
+           |           SELECT e.dst AS doc_id, sum(h.hshare) AS acc
+           |           FROM edges e JOIN hb$i h ON e.src = h.src GROUP BY e.dst
+           |         ) x USING (doc_id))""".stripMargin
+      s"""WITH nodes AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
+         |ideg AS (SELECT dst, count(*)::BIGINT AS ideg FROM edges GROUP BY dst),
+         |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+         |sa0 AS (SELECT doc_id, (1000000000000 // (SELECT n FROM nn))::BIGINT AS auth FROM nodes),
+         |${iter(1)},
+         |${iter(2)}
+         |SELECT rank, doc_id, auth FROM (
+         |  SELECT row_number() OVER (ORDER BY auth DESC, doc_id ASC) AS rank, doc_id, auth
+         |  FROM sa2) WHERE rank <= 20""".stripMargin
+    },
+    // robots twin: same prefix join, same longest-match allow-wins window
+    "ft_robots_filter" ->
+      s"""WITH f AS (SELECT doc_id, source AS repo, 'doc/' || doc_id::VARCHAR AS path FROM documents),
+         |r AS (SELECT DISTINCT source AS repo, prefix, allow FROM documents,
+         |        (VALUES ('doc/1', 0), ('doc/12', 1)) AS t(prefix, allow)),
+         |m AS (SELECT doc_id, allow FROM (
+         |        SELECT f.doc_id, r.allow,
+         |               row_number() OVER (PARTITION BY f.doc_id
+         |                 ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+         |        FROM f JOIN r ON f.repo = r.repo AND starts_with(f.path, r.prefix)
+         |      ) WHERE rn = 1)
+         |SELECT f.doc_id, f.repo, f.path, coalesce(m.allow, 1)::BIGINT AS allowed
+         |FROM f LEFT JOIN m USING (doc_id)""".stripMargin,
     "ft_cocitation" ->
       s"""WITH ccn AS (SELECT count(*) AS n FROM documents),
          |cce AS (SELECT DISTINCT src, dst FROM (
@@ -3204,6 +3277,28 @@ object SparkEntry {
          |            ELSE round(-ln(1.0 - n_changed::DOUBLE / n_common::DOUBLE), 4)
          |       END AS lambda_r
          |FROM c""".stripMargin,
+    // LR twin: both GD steps unrolled — the w⁰=0 step is the σ=0.5 closed
+    // form, the second replays the same join/aggregate decomposition
+    "text_lr_classify" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+         |nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |w1 AS (SELECT p.term, 0.01 * sum(p.tf * (l.y - 0.5)) / (SELECT n FROM nd) AS w
+         |       FROM post p JOIN lab l USING (doc_id) GROUP BY p.term),
+         |z2 AS (SELECT p.doc_id, coalesce(sum(p.tf * w.w), 0.0) AS z
+         |       FROM post p LEFT JOIN w1 w USING (term) GROUP BY p.doc_id),
+         |p2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM z2),
+         |g2 AS (SELECT p.term, sum(p.tf * (l.y - pp.p)) AS g
+         |       FROM post p JOIN lab l USING (doc_id) JOIN p2 pp USING (doc_id)
+         |       GROUP BY p.term),
+         |w2 AS (SELECT w1.term, w1.w + 0.01 * g2.g / (SELECT n FROM nd) AS w
+         |       FROM w1 JOIN g2 USING (term)),
+         |zf AS (SELECT p.doc_id, coalesce(sum(p.tf * w.w), 0.0) AS z
+         |       FROM post p LEFT JOIN w2 w USING (term) GROUP BY p.doc_id),
+         |pf AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM zf)
+         |SELECT pf.doc_id, round(pf.p, 4) AS p_r,
+         |       (pf.p >= 0.5)::BIGINT AS pred, l.y::BIGINT AS y
+         |FROM pf JOIN lab l USING (doc_id)""".stripMargin,
     // readability twin: same whitespace explode, same vowel-run syllable
     // heuristic, same ⌈w/15⌉ pseudo-sentence integer division
     "text_readability" ->

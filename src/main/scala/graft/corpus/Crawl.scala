@@ -176,6 +176,34 @@ object Crawl {
     *
     * Scale shape: one co-partitioned equality join of the two snapshots on
     * doc_id (content equality, never a diff) + one site aggregate. */
+  /** robots.txt URL gate, RFC 9309 longest-match semantics (public
+    * standard; Koster 1994): among a host's rules whose prefix matches the
+    * path, the LONGEST prefix decides; an allow/disallow tie at equal
+    * length resolves to ALLOW (§2.2.2); a path no rule matches is allowed.
+    * The frontier filters BEFORE fetching — at 100 TB this gate runs on
+    * every discovered URL, so it must be a relation, not a per-URL RPC.
+    *
+    * frontier: (doc_id, repo, path); rules: (repo, prefix, allow ∈ {0,1}).
+    * Returns (doc_id, repo, path, allowed).
+    *
+    * Scale shape: rules tables are tiny per host (broadcast); the match is
+    * one prefix-join + a per-URL top-1 window (WindowGroupLimit), then a
+    * left join to restore unmatched URLs. */
+  def robotsFilter(frontier: DataFrame, rules: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(length(col("prefix")).desc, desc("allow"))
+    val matched = frontier
+      .join(broadcast(rules), frontier("repo") === rules("repo") &&
+        frontier("path").startsWith(rules("prefix")))
+      .select(frontier("doc_id"), col("prefix"), col("allow"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("allow"))
+    frontier.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("repo"), col("path"),
+        coalesce(col("allow"), lit(1L)).as("allowed"))
+  }
+
   def changeRates(old: DataFrame, recrawled: DataFrame): DataFrame = {
     val j = old.select(col("doc_id"), col("repo"), col("content").as("c_old"))
       .join(recrawled.select(col("doc_id"), col("content").as("c_new")), "doc_id")

@@ -78,4 +78,51 @@ object Classify {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(desc("score"), asc("label"))))
       .filter(col("rn") === 1).drop("rn")
+
+  /** Binary logistic regression over the bag-of-words, trained with
+    * FULL-BATCH gradient descent (the distributed-determinism point:
+    * per-example SGD is order-dependent and therefore irreproducible on a
+    * shuffled cluster — the batch gradient is one aggregate, identical at
+    * any parallelism up to float summation order, which the 4dp gate
+    * absorbs). This is the second linear text filter beside NB — NB is
+    * generative/count-based, LR is discriminative and the standard
+    * fastText-style quality-classifier shape.
+    *
+    *   w⁰ = 0;   w^{i+1}_t = w^i_t + lr · (Σ_d tf_{td}·(y_d − σ(w^i·x_d))) / N
+    *
+    * The w⁰ = 0 step degenerates to σ = 0.5 exactly — both engines start
+    * from the same closed form. Every iteration is: one postings⋈weights
+    * join co-partitioned on term → per-doc dot product → σ → one per-term
+    * gradient aggregate. The weight relation is vocabulary-sized (the
+    * broadcast side of every join) and localCheckpointed so the iteration
+    * chain does not grow the plan.
+    *
+    * labels: (doc_id, y) with y ∈ {0.0, 1.0}. Returns (term, w). */
+  def lrTrain(postings: DataFrame, labels: DataFrame, nDocs: Long,
+              iters: Int = 2, lr: Double = 0.01): DataFrame = {
+    require(iters >= 1)
+    // iteration 1 in closed form: sigma(0) = 0.5
+    var w = postings.join(labels, "doc_id")
+      .groupBy("term")
+      .agg((lit(lr) * sum(col("tf") * (col("y") - lit(0.5))) / lit(nDocs.toDouble)).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 2 to iters) {
+      val p = lrScores(postings, w)
+      val g = postings.join(labels, "doc_id").join(p, "doc_id")
+        .groupBy("term").agg(sum(col("tf") * (col("y") - col("p"))).as("g"))
+      w = w.join(g, "term")
+        .select(col("term"), (col("w") + lit(lr) * col("g") / lit(nDocs.toDouble)).as("w"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** σ(w·x) per doc: (doc_id, p). Docs whose every term fell outside the
+    * weight relation score σ(0) — they stay via the left join. */
+  def lrScores(postings: DataFrame, weights: DataFrame): DataFrame = {
+    val z = postings.join(weights, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum(col("tf") * col("w")), lit(0.0)).as("z"))
+    z.select(col("doc_id"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+  }
 }

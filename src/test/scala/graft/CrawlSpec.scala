@@ -165,4 +165,22 @@ class CrawlSpec extends AnyFunSuite {
     // the added page (id 9) joins to nothing and influences no site
     assert(got.size == 2)
   }
+
+  test("robotsFilter: RFC 9309 longest match, allow wins ties, unmatched pass") {
+    import spark.implicits._
+    val frontier = Seq(
+      (1L, "h", "doc/10"),  // matched by disallow doc/1 only -> blocked
+      (2L, "h", "doc/12"),  // doc/12 allow is LONGER than doc/1 -> allowed
+      (3L, "h", "doc/9"),   // no rule matches -> allowed
+      (4L, "h", "doc/5"),   // equal-length allow+disallow tie -> allow wins
+      (5L, "g", "doc/10")   // other host: no rules -> allowed
+    ).toDF("doc_id", "repo", "path")
+    val rules = Seq(
+      ("h", "doc/1", 0L), ("h", "doc/12", 1L),
+      ("h", "doc/5", 0L), ("h", "doc/5", 1L)
+    ).toDF("repo", "prefix", "allow")
+    val got = Crawl.robotsFilter(frontier, rules).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }

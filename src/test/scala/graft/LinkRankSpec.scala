@@ -212,4 +212,40 @@ class LinkRankSpec extends AnyFunSuite {
     // redistributed share — strictly less important than the cycle nodes
     assert(got(2L) < got(0L) && got(2L) < got(1L))
   }
+
+  /** scalar twin of LinkRank.salsa — two integer divisions per round */
+  def scalarSalsa(edges: Seq[(Long, Long)], nodes: Seq[Long], iters: Int,
+                  scale: Long = 1000000000000L): Map[Long, Long] = {
+    val init = scale / nodes.size
+    val ideg = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var a = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val hub = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((i, k) <- edges) hub(i) += a(k) / ideg(k)
+      val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((i, j) <- edges) acc(j) += hub(i) / odeg(i)
+      a = nodes.map(v => v -> acc(v)).toMap
+    }
+    a
+  }
+
+  test("salsa ≡ scalar two-division recurrence on the synthetic graph (bit-exact)") {
+    val n = 60L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => Seq((i, (i * 2 + 1) % n), (i, (i * 3 + 7) % n)))
+    val got = LinkRank.salsa(edges.toDF("src", "dst"), nodes.toDF("doc_id"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarSalsa(edges, nodes, 2))
+  }
+
+  test("salsa: a node nothing links to holds zero authority") {
+    // 0->1, 0->2, 1->2: node 0 has indeg 0
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val got = LinkRank.salsa(edges.toDF("src", "dst"), nodes.toDF("doc_id"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarSalsa(edges, nodes, 2))
+    assert(got(0L) == 0L && got(2L) > got(1L)) // indeg 2 beats indeg 1
+  }
 }
