@@ -1609,6 +1609,15 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 4).as("cos_r"))
     }),
+    // PQ-ADC (Jégou FAISS codec): 2 subspaces × 8-entry codebooks, vectors
+    // compressed to 6-bit codes, asymmetric distance via per-query LUT
+    "ann_pq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.pqAdcTopK(emb, Ann.fixedQueries(s, emb, 5), k = 5, m = 2,
+          codebook = 8, iters = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("adc"), 4).as("adc_r"))
+    }),
     // SQ8 scalar-quantized ANN: per-dim affine int8 codes (4× smaller scan),
     // asymmetric (raw-query vs dequantized) cosine top-5
     "ann_sq8_topk" -> ((s, dir) => {
@@ -1954,6 +1963,14 @@ object SparkEntry {
     "ft_shard_load" -> ((s, dir) => {
       val (_, t) = index(s, dir)
       graft.index.Sharding.loadSummary(t.termStats, nShards = 8, replicas = 2)
+    }),
+    // Term- vs doc-partitioned serving cost for the batch workload
+    // (Moffat/Webber/Zobel/Baeza-Yates): probes vs balance, S = 4
+    "ft_partition_study" -> ((s, dir) => {
+      import s.implicits._
+      val (_, t) = index(s, dir)
+      graft.index.Sharding.partitionStudy(t.termStats, t.postings,
+        batchQ.toDF("query_id", "term"), nShards = 4)
     })
   )
 
@@ -3926,6 +3943,36 @@ object SparkEntry {
     // so the approximate paths get full hash gates, not rows-only checks
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    // PQ-ADC twin: per-subspace codebooks unrolled (same Lloyd recurrence
+    // as IVF's twin on the sliced vectors), ADC as the LUT join q1.d + q2.d
+    "ann_pq_adc" -> {
+      val sub = 32
+      def chain(s: Int) = {
+        val e = s"pe$s"
+        s"""$e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM pe),
+           |p${s}c0 AS (SELECT vec_id AS cid, v AS cv FROM $e WHERE vec_id < 8),
+           |${pqIterSql(e, sub, s"p${s}c0", s"p${s}a1", s"p${s}m1", s"p${s}c1")},
+           |${pqIterSql(e, sub, s"p${s}c1", s"p${s}a2", s"p${s}m2", s"p${s}c2")},
+           |code$s AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY ${d2SqlDim("e.v", "c.cv", sub)} ASC, c.cid ASC) AS rn
+           |  FROM $e e, p${s}c2 c) WHERE rn = 1),
+           |qd$s AS (SELECT q.vec_id AS query_id, c.cid, ${d2SqlDim("q.v", "c.cv", sub)} AS d
+           |         FROM $e q, p${s}c2 c WHERE q.vec_id < 5)""".stripMargin
+      }
+      s"""WITH pe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${chain(0)},
+         |${chain(1)},
+         |adc AS (SELECT q1.query_id, c0.vec_id, q1.d + q2.d AS adc
+         |        FROM code0 c0 JOIN code1 c1 USING (vec_id)
+         |             JOIN qd0 q1 ON q1.cid = c0.cid
+         |             JOIN qd1 q2 ON q2.cid = c1.cid AND q2.query_id = q1.query_id)
+         |SELECT query_id, rank, vec_id, adc_r FROM (
+         |  SELECT query_id, vec_id, round(adc, 4) AS adc_r,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+         |  FROM adc) WHERE rank <= 5""".stripMargin
+    },
     "mm_features" -> mmFeaturesSql,
     "text_lang_id" -> {
       val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
@@ -4382,7 +4429,40 @@ object SparkEntry {
       """
         |SELECT shard, rnk, count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS df_mass
         |FROM r WHERE rnk <= 2 GROUP BY shard, rnk
-        |ORDER BY shard ASC, rnk ASC""".stripMargin)
+        |ORDER BY shard ASC, rnk ASC""".stripMargin),
+    // partition-study twin: same rendezvous owners (S=4), same doc-hash
+    // scatter, same probe/row/max-load accounting
+    "ft_partition_study" -> {
+      val h = tokenHashSqlInner("term")
+      val qVals = batchQ.map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      val branches = (0 until 4).map(i =>
+        s"SELECT term, $i::BIGINT AS shard, ${TextHash.mixSql(i, "h")} AS w FROM th")
+        .mkString("\n UNION ALL ")
+      s"""WITH ${termsCte}, ${postCte}, ${tstatsCte},
+         |q AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+         |      FROM (VALUES $qVals) AS t(query_id, term)),
+         |vocab AS (SELECT DISTINCT term FROM q),
+         |wl AS (SELECT q.query_id, q.term, t.df FROM q JOIN tstats t USING (term)),
+         |th AS (SELECT term, $h AS h FROM vocab),
+         |placed AS ($branches),
+         |rt AS (SELECT term, shard FROM (
+         |  SELECT term, shard, row_number() OVER (PARTITION BY term
+         |           ORDER BY w DESC, shard ASC) AS rnk FROM placed) WHERE rnk = 1),
+         |tpj AS (SELECT wl.query_id, wl.term, wl.df, rt.shard FROM wl JOIN rt USING (term)),
+         |ps AS (SELECT p.term, (${TextHash.mixSql(7, "p.doc_id")}) % 4 AS shard,
+         |              count(*)::BIGINT AS dfs
+         |       FROM post p JOIN vocab USING (term) GROUP BY p.term, shard),
+         |dpl AS (SELECT ps.shard, sum(ps.dfs) AS r FROM q JOIN ps USING (term) GROUP BY ps.shard)
+         |SELECT 'term_part' AS strategy,
+         |       (SELECT count(*) FROM (SELECT DISTINCT query_id, shard FROM tpj))::BIGINT AS shard_probes,
+         |       (SELECT sum(df) FROM wl)::BIGINT AS rows_fetched,
+         |       (SELECT max(r) FROM (SELECT shard, sum(df) AS r FROM tpj GROUP BY shard))::BIGINT AS max_shard_rows
+         |UNION ALL
+         |SELECT 'doc_part',
+         |       (SELECT count(DISTINCT query_id) * 4 FROM q)::BIGINT,
+         |       (SELECT sum(df) FROM wl)::BIGINT,
+         |       (SELECT max(r) FROM dpl)::BIGINT""".stripMargin
+    }
   )
 
   /** shared rendezvous-routing CTE chain (through ranked placements `r`) —
@@ -4693,10 +4773,29 @@ object SparkEntry {
 
   /** squared L2 distance as the same 0.0-seeded left fold as the Scala
     * while-loop in Ann.ivfCentroids/assignUdf */
-  private def d2Sql(v: String, cv: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range($embDim), " +
+  private def d2Sql(v: String, cv: String): String = d2SqlDim(v, cv, embDim)
+
+  private def d2SqlDim(v: String, cv: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range($dim), " +
       s"i -> ($v[CAST(i + 1 AS INTEGER)] - $cv[CAST(i + 1 AS INTEGER)]) * " +
       s"($v[CAST(i + 1 AS INTEGER)] - $cv[CAST(i + 1 AS INTEGER)]))), (acc, x) -> acc + x)"
+
+  /** one Lloyd iteration over an arbitrary (sub-)vector relation — the
+    * subspace-parameterized twin of ivfIterSql, for the PQ codebooks */
+  private def pqIterSql(eRel: String, subDim: Int, prev: String, a: String,
+                        m: String, next: String): String =
+    s"""$a AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${d2SqlDim("e.v", "c.cv", subDim)} ASC, c.cid ASC) AS rn
+       |  FROM $eRel e, $prev c) WHERE rn = 1),
+       |$m AS (SELECT cid, i,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list(v[CAST(i + 1 AS INTEGER)] ORDER BY vec_id)), (acc, x) -> acc + x)
+       |         / count(*) AS mi
+       |       FROM $a, (SELECT unnest(range($subDim)) AS i) GROUP BY cid, i),
+       |$next AS (SELECT cid, cv FROM $prev WHERE cid NOT IN (SELECT cid FROM $m)
+       |          UNION ALL SELECT cid, list(mi ORDER BY i) AS cv FROM $m GROUP BY cid)""".stripMargin
 
   /** one Lloyd iteration: assign (ties → lowest cid) + per-dim mean summed
     * in vec_id order (mirrors the sorted accumulation in ivfCentroids);

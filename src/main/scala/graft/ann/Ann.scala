@@ -229,6 +229,77 @@ object Ann {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Product quantization with asymmetric distance computation (Jégou,
+    * Douze & Schmid, TPAMI 2011, "Product quantization for nearest
+    * neighbor search" — public literature; the codec behind FAISS's
+    * IVF-PQ). The embedding splits into `m` subspaces; each subspace gets
+    * its own k-means codebook (the SAME deterministic Lloyd's as
+    * [[ivfCentroids]], run on the sliced vectors); a vector compresses to
+    * m small codes (m·log2(k') bits — 6 bits here vs 2048 for the raw
+    * floats). ADC scores a query against CODES: per subspace, the distance
+    * from the query's sub-vector to the centroid the code names —
+    * precomputed once per (query, centroid) as the classic lookup table —
+    * and the approximate distance is the sum over subspaces.
+    *
+    * Determinism: code assignment is strict-< argmin (ties → lowest cid,
+    * mirroring the SQL row_number tie-break); the ADC sum folds subspaces
+    * in 0..m−1 order — fixed float association, twin-identical.
+    *
+    * Scale shape: the codes table IS the compressed index (it replaces the
+    * vector column — 100× smaller, so the ADC pass scans codes, not
+    * floats); the codebooks and the per-query LUT are driver/broadcast
+    * data (m·k'·subDim doubles). The scan is embarrassingly parallel with
+    * no shuffle; at 100 TB one composes it with the IVF bucketing above
+    * (IVF-PQ) so only probed buckets scan. */
+  def pqAdcTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int = 2,
+                codebook: Int = 8, iters: Int = 2, dim: Int = 64,
+                maxSample: Long = 100000L): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into subspaces")
+    val spark = emb.sparkSession
+    val sub = dim / m
+    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      ivfCentroids(
+        emb.select(col("vec_id"), slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        codebook, iters, maxSample)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(books)
+    val codesUdf = udf((v: Seq[Double]) => {
+      val bs = bc.value
+      (0 until bs.length).map { s =>
+        val cs = bs(s); val off = s * (v.length / bs.length)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < cs(c).length) { val t = v(off + i) - cs(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    val adcUdf = udf((qv: Seq[Double], codes: Seq[Int]) => {
+      val bs = bc.value
+      var s = 0; var acc = 0.0
+      while (s < bs.length) {
+        val cv = bs(s)(codes(s)); val off = s * (qv.length / bs.length)
+        var d = 0.0; var i = 0
+        while (i < cv.length) { val t = qv(off + i) - cv(i); d += t * t; i += 1 }
+        acc += d; s += 1
+      }
+      acc
+    })
+    val codes = emb
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), codesUdf(col("v")).as("codes"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), adcUdf(col("qv"), col("codes")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(asc("adc"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adc")
+  }
+
   /** the fixed query set used by the harness: the first `nq` vectors of the
     * embeddings table themselves. */
   def fixedQueries(spark: SparkSession, emb: DataFrame, nq: Int = 5): DataFrame =

@@ -52,4 +52,55 @@ object Sharding {
       .groupBy("shard", "rnk")
       .agg(count(lit(1)).as("n_terms"), sum("df").as("df_mass"))
       .orderBy(asc("shard"), asc("rnk"))
+
+  /** Term-partitioned vs document-partitioned serving cost for a query
+    * workload (Moffat, Webber, Zobel & Baeza-Yates, Inf. Retr. 2007, "A
+    * pipelined architecture for distributed text query evaluation"; MRS
+    * ch. 4/20 — public literature). The two classic layouts trade probes
+    * for balance:
+    *
+    *  - TERM-partitioned: a term's whole list lives on its rendezvous
+    *    shard — a query probes only |q| shards, but hot terms pile their
+    *    full df onto one machine (skew).
+    *  - DOC-partitioned: every list spreads by doc hash — every query
+    *    probes ALL S shards, but each shard carries ~1/S of every list
+    *    (balance), and this is what real engines ship.
+    *
+    * One row per strategy: (strategy, shard_probes, rows_fetched,
+    * max_shard_rows) over the workload — rows_fetched is identical by
+    * construction (both fetch every matching posting once); the probes and
+    * the max-loaded shard are where the strategies separate. All BIGINT.
+    *
+    * Scale shape: the term side is dictionary-sized (route + workload
+    * join); the doc side is one postings pass restricted to the workload
+    * vocabulary with a (term, shard) aggregate. */
+  def partitionStudy(termStats: DataFrame, postings: DataFrame,
+                     queries: DataFrame, nShards: Int): DataFrame = {
+    val q = queries.select("query_id", "term").distinct()
+    val vocab = q.select("term").distinct()
+    val wl = q.join(termStats.select("term", "df"), "term")
+    // term-partitioned: primary rendezvous owner per term
+    val tp = wl.join(route(termStats.join(vocab, "term"), nShards, replicas = 1)
+      .select("term", "shard"), "term")
+    val tpProbes = tp.select("query_id", "shard").distinct()
+      .agg(count(lit(1)).as("shard_probes"))
+    val tpRows = tp.agg(sum("df").as("rows_fetched"))
+    val tpMax = tp.groupBy("shard").agg(sum("df").as("r"))
+      .agg(max("r").as("max_shard_rows"))
+    // doc-partitioned: postings scatter by doc hash; a query touches all S
+    val perShard = postings.join(vocab, "term")
+      .withColumn("shard", TextHash.mixCol(7, col("doc_id")) % nShards)
+      .groupBy("term", "shard").agg(count(lit(1)).as("dfs"))
+    val dpLoad = q.join(perShard, "term")
+      .groupBy("shard").agg(sum("dfs").as("r"))
+    val dpProbes = q.select("query_id").distinct()
+      .agg((count(lit(1)) * nShards).as("shard_probes"))
+    val dpMax = dpLoad.agg(max("r").as("max_shard_rows"))
+    val one = (a: DataFrame, b: DataFrame, c: DataFrame, label: String) =>
+      a.crossJoin(b).crossJoin(c)
+        .select(lit(label).as("strategy"), col("shard_probes"),
+          col("rows_fetched"), col("max_shard_rows"))
+    one(tpProbes, tpRows, tpMax, "term_part")
+      .unionByName(one(dpProbes, tpRows, dpMax, "doc_part"))
+  }
 }

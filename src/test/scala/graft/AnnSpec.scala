@@ -187,4 +187,23 @@ class AnnSpec extends AnyFunSuite {
       unfiltered(q).map(_._2).count(id => labelOf(id) == qlabelOf(q)) < byQ(q).length }
     assert(lossy, "fixture should demonstrate the post-filter recall loss")
   }
+
+  test("pqAdcTopK: converged codebooks make ADC exact on a clustered fixture") {
+    import spark.implicits._
+    // 4 vectors, dim 4, m=2 subspaces of 2 dims; each subspace holds
+    // exactly {(0,0), (1,1)} twice, and the first-2 init is already the
+    // fixed point -> codes are exact and ADC = true squared distance
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0f, 0f, 1f, 1f)), (3L, Seq(1f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.ann.Ann.fixedQueries(spark, emb, 1)
+    val got = graft.ann.Ann.pqAdcTopK(emb, q, k = 4, m = 2, codebook = 2,
+        iters = 2, dim = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // q0 = v0: adc 0 to itself, 2 to v2/v3 (tie -> vec_id asc), 4 to v1
+    assert(got.map(x => (x._1, x._2)).toSeq ==
+      Seq((1, 0L), (2, 2L), (3, 3L), (4, 1L)))
+    assert(got.map(_._3).toSeq == Seq(0.0, 2.0, 2.0, 4.0))
+  }
 }

@@ -50,4 +50,36 @@ class ShardingSpec extends AnyFunSuite {
     val dfMass = ls.filter(_.getLong(1) == 1L).map(_.getLong(3)).sum
     assert(dfMass == (0 until 200).map(i => (i % 7 + 1).toLong).sum)
   }
+
+  test("partitionStudy: probes/rows/max-load match a scalar recompute") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    val ts = Seq(("a", 10L), ("b", 2L)).toDF("term", "df")
+    val posts = ((0L until 10L).map(d => ("a", d, 1L)) ++
+      (0L until 2L).map(d => ("b", d, 1L))).toDF("term", "doc_id", "tf")
+    val qs = Seq((0L, "a"), (1L, "a"), (1L, "b")).toDF("query_id", "term")
+    val got = graft.index.Sharding.partitionStudy(ts, posts, qs, nShards = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // scalar rendezvous owners
+    def owner(t: String) = (0 until 2).map(s =>
+      (TextHash.mix(s, TextHash.tokenHash(t)), -s)).zipWithIndex
+      .maxBy(x => (x._1._1, x._1._2))._2
+    val (sa, sb) = (owner("a"), owner("b"))
+    val tpProbes = Set((0L, sa), (1L, sa), (1L, sb)).size.toLong
+    val rows = 10L + 10L + 2L
+    val tpLoad = Map(sa -> 20L).foldLeft(Map.empty[Int, Long].withDefaultValue(0L)) {
+      case (m, (k, v)) => m.updated(k, m(k) + v) } // q0+q1 on a
+    val tpMax = (Map(sa -> 20L) ++ (if (sb == sa) Map(sa -> 22L) else Map(sa -> 20L, sb -> 2L)))
+      .values.max
+    assert(got("term_part") == ((tpProbes, rows, tpMax)))
+    // doc-partitioned: 2 queries x 2 shards; per-shard rows via mix(7, doc)
+    def dshard(d: Long) = (TextHash.mix(7, d) % 2).toInt
+    val perShard = (0 until 2).map { sh =>
+      val aRows = (0L until 10L).count(dshard(_) == sh).toLong
+      val bRows = (0L until 2L).count(dshard(_) == sh).toLong
+      2 * aRows + bRows // a queried twice, b once
+    }
+    assert(got("doc_part") == ((4L, rows, perShard.max)))
+  }
 }
