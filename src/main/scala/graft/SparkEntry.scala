@@ -844,6 +844,20 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("doc_id"),
           round(col("rrf"), 6).as("rrf_r"))
     }),
+    // CombMNZ score fusion (Fox & Shaw): min-max-normalized CombSUM ×
+    // #systems-agreeing — the score-level sibling of hybrid_rrf
+    "hybrid_combmnz" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      val lex = Search.bm25TopK(t.postings, t.docStats, dfs, t.nDocs, t.avgDl, 10)
+        .select(col("doc_id"), col("score"))
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val vec = graft.ann.Ann.bruteForceTopK(emb, graft.ann.Ann.fixedQueries(s, emb, 1), 10)
+        .select(col("vec_id").as("doc_id"), col("cos").as("score"))
+      Search.combMnzFuse(lex, vec, k = 10)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("mnz"), 6).as("mnz_r"))
+    }),
     // MMR diversification: greedy re-rank of the BM25 top-20 pool by
     // relevance minus max-Jaccard-to-picks (pool-restricted sim self-join)
     "ft_mmr" -> ((s, dir) => {
@@ -1964,6 +1978,18 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       graft.index.Sharding.loadSummary(t.termStats, nShards = 8, replicas = 2)
     }),
+    // Consistent-hash ring with 16 vnodes/shard (Karger; Dynamo): balance
+    // at S=8 plus the terms each shard cedes when a 9th joins
+    "ft_ring_balance" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      graft.index.Sharding.ringBalance(t.termStats, nShards = 8, vnodes = 16)
+    }),
+    // LSM merge-policy write amplification (O'Neil; Lucene tiered merge):
+    // leveled vs tiered-F4 over the per-site ingest batches
+    "ft_merge_policy" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.index.IndexLayout.mergePolicyStudy(c, fanout = 4)
+    }),
     // Term- vs doc-partitioned serving cost for the batch workload
     // (Moffat/Webber/Zobel/Baeza-Yates): probes vs balance, S = 4
     "ft_partition_study" -> ((s, dir) => {
@@ -2422,6 +2448,42 @@ object SparkEntry {
          |SELECT rank, doc_id, rrf_r FROM (
          |  SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
          |         doc_id, round(rrf, 6) AS rrf_r FROM fused
+         |) WHERE rank <= 10""".stripMargin
+    },
+    // CombMNZ twin: the same top-10 chains as hybrid_rrf but keeping
+    // SCORES; per-system min-max as 1-row aggregates, same MNZ product
+    "hybrid_combmnz" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |scored AS (
+         |  SELECT p.doc_id, count(*) AS n_terms, sum($score) AS score
+         |  FROM post p JOIN q USING (term) JOIN tstats t USING (term)
+         |       JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |  GROUP BY p.doc_id
+         |),
+         |lex AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         |  FROM scored WHERE n_terms = ${q2.size}) WHERE r <= 10),
+         |vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vscored AS (SELECT e.vec_id, ${cosSql("vq.qv", "e.embedding")} AS cos
+         |            FROM embeddings e, vq),
+         |vec AS (SELECT vec_id AS doc_id, cos AS score FROM (
+         |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+         |  FROM vscored) WHERE r <= 10),
+         |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lex),
+         |lnorm AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+         |            ELSE (score - mn) / (mx - mn) END AS na FROM lex, lmm),
+         |vmm AS (SELECT min(score) AS mn, max(score) AS mx FROM vec),
+         |vnorm AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+         |            ELSE (score - mn) / (mx - mn) END AS nb FROM vec, vmm),
+         |fused AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |            (coalesce(l.na, 0.0) + coalesce(v.nb, 0.0)) *
+         |            ((CASE WHEN l.na IS NOT NULL THEN 1 ELSE 0 END
+         |              + CASE WHEN v.nb IS NOT NULL THEN 1 ELSE 0 END))::DOUBLE AS mnz
+         |          FROM lnorm l FULL OUTER JOIN vnorm v ON l.doc_id = v.doc_id)
+         |SELECT rank, doc_id, mnz_r FROM (
+         |  SELECT row_number() OVER (ORDER BY mnz DESC, doc_id ASC) AS rank,
+         |         doc_id, round(mnz, 6) AS mnz_r FROM fused
          |) WHERE rank <= 10""".stripMargin
     },
     "ft_bm25_page2" -> bm25TopKSql(q2, 20)
@@ -4430,6 +4492,58 @@ object SparkEntry {
         |SELECT shard, rnk, count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS df_mass
         |FROM r WHERE rnk <= 2 GROUP BY shard, rnk
         |ORDER BY shard ASC, rnk ASC""".stripMargin),
+    // ring twin: the vnode positions are the SAME mixer-family constants
+    // (inlined as fixture literals), the successor/wrap logic in-engine
+    "ft_ring_balance" -> {
+      import graft.index.Sharding
+      val th = tokenHashSqlInner("term")
+      def ringVals(nShards: Int) = (0 until nShards).flatMap(s =>
+        (0 until 16).map(v =>
+          s"($s, ${TextHash.mix(s * 16 + v, Sharding.RingSeed)})")).mkString(", ")
+      def ownerCtes(ring: String, pfx: String) =
+        s"""${pfx}s AS (SELECT term, shard FROM (
+           |  SELECT t.term, r.shard,
+           |         row_number() OVER (PARTITION BY t.term
+           |           ORDER BY r.pos ASC, r.shard ASC) AS rn
+           |  FROM t JOIN $ring r ON r.pos >= t.th) WHERE rn = 1),
+           |${pfx}w AS (SELECT t.term,
+           |    (SELECT shard FROM $ring ORDER BY pos ASC, shard ASC LIMIT 1) AS shard
+           |  FROM t WHERE t.term NOT IN (SELECT term FROM ${pfx}s)),
+           |${pfx}o AS (SELECT * FROM ${pfx}s UNION ALL SELECT * FROM ${pfx}w)""".stripMargin
+      s"""WITH ${termsCte}, ${tstatsCte},
+         |t AS (SELECT term, df, $th AS th FROM tstats),
+         |r8 AS (SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos
+         |       FROM (VALUES ${ringVals(8)}) v(shard, pos)),
+         |r9 AS (SELECT CAST(shard AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos
+         |       FROM (VALUES ${ringVals(9)}) v(shard, pos)),
+         |${ownerCtes("r8", "x8")},
+         |${ownerCtes("r9", "x9")}
+         |SELECT a.shard, count(*)::BIGINT AS n_terms, sum(t.df)::BIGINT AS df_mass,
+         |       sum(CASE WHEN b.shard <> a.shard THEN 1 ELSE 0 END)::BIGINT AS moved_to_new
+         |FROM t JOIN x8o a USING (term) JOIN x9o b USING (term)
+         |GROUP BY a.shard""".stripMargin
+    },
+    // merge-policy twin: same cumsum for leveled, same closed-form
+    // F^L·(N div F^L) participation predicates for tiered
+    "ft_merge_policy" -> {
+      val levels = (1 to 6).map { l =>
+        val f = math.pow(4.0, l.toDouble).toLong
+        s"CASE WHEN i < $f * ((SELECT nn FROM nn) // $f) THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH sz AS (SELECT source AS repo, count(*)::BIGINT AS sz FROM documents GROUP BY source),
+         |si AS (SELECT repo, sz, (row_number() OVER (ORDER BY repo ASC) - 1)::BIGINT AS i FROM sz),
+         |nn AS (SELECT count(*)::BIGINT AS nn FROM si),
+         |lev AS (SELECT sum(sz)::BIGINT AS input_units, sum(cum)::BIGINT AS written_units FROM (
+         |  SELECT sz, sum(sz) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum FROM si)),
+         |tier AS (SELECT sum(sz)::BIGINT AS input_units,
+         |                sum(sz * (1 + $levels))::BIGINT AS written_units
+         |         FROM si)
+         |SELECT 'leveled' AS policy, input_units, written_units,
+         |       written_units * 1000 // input_units AS amp_permille FROM lev
+         |UNION ALL
+         |SELECT 'tiered_f4', input_units, written_units,
+         |       written_units * 1000 // input_units FROM tier""".stripMargin
+    },
     // partition-study twin: same rendezvous owners (S=4), same doc-hash
     // scatter, same probe/row/max-load accounting
     "ft_partition_study" -> {

@@ -195,6 +195,47 @@ object IndexLayout {
     * rankings are k-row relations, so the overlap join is trivial. At
     * 100 TB this is the offline "build the small hot-tier index" job; the
     * tiered-serving counterpart is [[graft.query.Wand]]'s tiered entry. */
+  /** LSM merge-policy write-amplification study (O'Neil et al. 1996,
+    * "The log-structured merge-tree"; Lucene's TieredMergePolicy — public
+    * literature). The incremental index ([[graft.streaming
+    * .IncrementalIndex]]) folds batches; WHICH merge policy it folds with
+    * decides how many times a byte is rewritten. Given the batch-size
+    * sequence (here: docs per repo in repo order — the natural per-site
+    * ingest batches), exact units written under:
+    *
+    *  - LEVELED: every flush merges into the one accumulated run — batch i
+    *    is rewritten by every later flush: written = Σ_i cumsum_i.
+    *  - TIERED fanout F: runs merge F-at-a-time per level; batch i is
+    *    rewritten by the level-L merge (L ≥ 1) iff i < F^L·(N div F^L) —
+    *    a closed integer form, unrolled to F^6 (covers any N < 4096), with
+    *    N computed in-engine so both sides evaluate the same predicate.
+    *
+    * Output: (policy, input_units, written_units, amp_permille) — the
+    * write-amplification ratio in integer permille (BIGINT div). The
+    * global cumsum window runs over the repo-count-sized batch list, never
+    * the corpus. */
+  def mergePolicyStudy(corpus: DataFrame, fanout: Int = 4,
+                       maxLevels: Int = 6): DataFrame = {
+    val sizes = corpus.groupBy("repo").agg(count(lit(1)).as("sz"))
+      .withColumn("i", (row_number().over(Window.orderBy(asc("repo"))) - 1).cast("long"))
+    val nn = sizes.agg(count(lit(1)).as("nn"))
+    val withN = sizes.crossJoin(broadcast(nn))
+    val lev = withN
+      .withColumn("cum", sum("sz").over(Window.orderBy(asc("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(sum("sz").as("input_units"), sum("cum").as("written_units"))
+    val rewrites = (1 to maxLevels).map { l =>
+      val f = math.pow(fanout.toDouble, l.toDouble).toLong
+      expr(s"CASE WHEN i < $f * (nn div $f) THEN 1 ELSE 0 END")
+    }.foldLeft(lit(1L))(_ + _) // the flush itself + one rewrite per level
+    val tier = withN.agg(sum("sz").as("input_units"),
+      sum(col("sz") * rewrites).as("written_units"))
+    def row(df: DataFrame, label: String) =
+      df.select(lit(label).as("policy"), col("input_units"), col("written_units"),
+        expr("written_units * 1000 div input_units").as("amp_permille"))
+    row(lev, "leveled").unionByName(row(tier, s"tiered_f$fanout"))
+  }
+
   def staticPruneStudy(postings: DataFrame, docStats: DataFrame,
                        dfs: Map[String, Long], nDocs: Long, avgDl: Double,
                        n: Int, k: Int): DataFrame = {

@@ -53,6 +53,58 @@ object Sharding {
       .agg(count(lit(1)).as("n_terms"), sum("df").as("df_mass"))
       .orderBy(asc("shard"), asc("rnk"))
 
+  /** Consistent-hash ring with virtual nodes (Karger et al., STOC 1997;
+    * DeCandia et al., "Dynamo", SOSP 2007 — public literature): the OTHER
+    * minimal-disruption placement beside rendezvous ([[route]]). Each
+    * shard plants `vnodes` points on the hash circle (position =
+    * mix_{s·V+v}(RingSeed) from the cross-engine mixer family); a term
+    * belongs to the first vnode clockwise from its hash, wrapping to the
+    * globally minimal position. V virtual nodes per shard flatten the
+    * arc-length variance a single point per shard would have.
+    *
+    * [[ringBalance]] reports, per shard at S shards: (n_terms, df_mass,
+    * moved_to_new) — the terms this shard cedes when shard S joins with
+    * its own V vnodes (consistent hashing's guarantee: terms only ever
+    * move TO the new shard). Dictionary-sized throughout; the ring is a
+    * broadcast literal relation. */
+  val RingSeed = 12345L
+
+  def vnodePositions(spark: org.apache.spark.sql.SparkSession,
+                     nShards: Int, vnodes: Int): DataFrame = {
+    import spark.implicits._
+    (0 until nShards).flatMap(s => (0 until vnodes).map(v =>
+      (s.toLong, TextHash.mix(s * vnodes + v, RingSeed)))).toDF("shard", "pos")
+  }
+
+  /** (term, shard) under the ring: successor vnode, wrap to global min. */
+  def ringOwner(termStats: DataFrame, ring: DataFrame): DataFrame = {
+    val t = termStats.select(col("term"),
+      TextHash.tokenHashCol(col("term")).as("th"))
+    val succ = t.join(broadcast(ring), col("pos") >= col("th"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(asc("pos"), asc("shard"))))
+      .filter(col("rn") === 1)
+      .select(col("term"), col("shard"))
+    val wrapOwner = ring.orderBy(asc("pos"), asc("shard")).limit(1).select("shard")
+    val wrapped = t.join(succ, Seq("term"), "left_anti")
+      .crossJoin(broadcast(wrapOwner))
+      .select(col("term"), col("shard"))
+    succ.unionByName(wrapped)
+  }
+
+  def ringBalance(termStats: DataFrame, nShards: Int, vnodes: Int): DataFrame = {
+    val spark = termStats.sparkSession
+    val o8 = ringOwner(termStats, vnodePositions(spark, nShards, vnodes))
+    val o9 = ringOwner(termStats, vnodePositions(spark, nShards + 1, vnodes))
+      .withColumnRenamed("shard", "shard_grown")
+    termStats.select("term", "df")
+      .join(o8, "term").join(o9, "term")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_terms"), sum("df").as("df_mass"),
+        sum(when(col("shard_grown") =!= col("shard"), lit(1L)).otherwise(lit(0L)))
+          .as("moved_to_new"))
+  }
+
   /** Term-partitioned vs document-partitioned serving cost for a query
     * workload (Moffat, Webber, Zobel & Baeza-Yates, Inf. Retr. 2007, "A
     * pipelined architecture for distributed text query evaluation"; MRS

@@ -357,6 +357,36 @@ object Search {
       .select(col("rank"), col("doc_id"), col("rrf"))
   }
 
+  /** CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994 — public
+    * literature; the classic SCORE-level alternative to RRF's rank-level
+    * fusion). Each system's scores min-max normalize over its OWN top-N
+    * (heterogeneous scorers become comparable without training), CombSUM
+    * sums the normalized scores (absent → 0), CombMNZ multiplies the sum
+    * by the number of systems returning the doc — rewarding cross-system
+    * agreement, which is what makes MNZ the strongest unsupervised fuser
+    * in the TREC studies. A degenerate system whose top-N scores are all
+    * equal normalizes to 1.0.
+    *
+    * Scale shape: min/max are broadcast 1-row aggregates over top-N
+    * inputs; the fusion join is O(N) regardless of corpus size. Inputs:
+    * (doc_id, score); output (rank, doc_id, mnz). */
+  def combMnzFuse(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    def norm(x: DataFrame, out: String): DataFrame = {
+      val mm = x.agg(min("score").as("mn"), max("score").as("mx"))
+      x.crossJoin(broadcast(mm))
+        .select(col("doc_id"),
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("score") - col("mn")) / (col("mx") - col("mn"))).as(out))
+    }
+    val scored = norm(a, "na").join(norm(b, "nb"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        ((coalesce(col("na"), lit(0.0)) + coalesce(col("nb"), lit(0.0))) *
+          (when(col("na").isNotNull, lit(1L)).otherwise(lit(0L)) +
+           when(col("nb").isNotNull, lit(1L)).otherwise(lit(0L))).cast("double")).as("mnz"))
+    rankTopK(scored, k, Seq(desc("mnz"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("mnz"))
+  }
+
   /** Maximal Marginal Relevance result diversification (Carbonell &
     * Goldstein 1998): greedily re-rank a BM25 candidate pool so each pick
     * maximizes λ·relevance − (1−λ)·(max Jaccard similarity to the picks so

@@ -76,4 +76,15 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(got("original") == ((10L, 80L, 10L, 10L)))
     assert(got("url_sorted") == ((10L, 80L, 10L, 10L)))
   }
+
+  test("mergePolicyStudy: closed-form write amplification on sizes 1..5") {
+    import spark.implicits._
+    val corpus = (1 to 5).flatMap(i => Seq.fill(i)(s"r$i")).toDF("repo")
+    val got = IndexLayout.mergePolicyStudy(corpus, fanout = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // leveled: cums 1,3,6,10,15 -> 35 written over 15 input
+    assert(got("leveled") == ((15L, 35L, 35L * 1000L / 15L)))
+    // tiered F=4, N=5: flush 15 + level-1 rewrites batches 0..3 (1+2+3+4)
+    assert(got("tiered_f4") == ((15L, 25L, 25L * 1000L / 15L)))
+  }
 }

@@ -1033,4 +1033,16 @@ class SearchSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, "new", 1L, 0L), (1L, "york", 1L, 7L),
       (2L, "pizza", 2L, 1L)))
   }
+
+  test("combMnzFuse: min-max norms, degenerate system -> 1.0, MNZ agreement boost") {
+    import spark.implicits._
+    // A: 10/5/0 -> norms 1/0.5/0; B: both 2 -> degenerate, both 1.0
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 2.0), (4L, 2.0)).toDF("doc_id", "score")
+    val got = graft.query.Search.combMnzFuse(a, b, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // d2: (0.5+1)*2 = 3; d1: 1*1; d4: 1*1 (tie -> id); d3: 0
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+    assert(got.map(_._2).toSeq == Seq(3.0, 1.0, 1.0, 0.0))
+  }
 }

@@ -82,4 +82,34 @@ class ShardingSpec extends AnyFunSuite {
     }
     assert(got("doc_part") == ((4L, rows, perShard.max)))
   }
+
+  test("ringBalance: successor/wrap owners match a scalar ring walk; growth only cedes to the new shard") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    import graft.index.Sharding
+    val ts = Seq(("alpha", 3L), ("beta", 5L), ("gamma", 2L), ("delta", 7L))
+      .toDF("term", "df")
+    def ring(nS: Int, v: Int) = (0 until nS).flatMap(s => (0 until v).map(w =>
+      (s, TextHash.mix(s * v + w, Sharding.RingSeed))))
+    def owner(t: String, r: Seq[(Int, Long)]): Int = {
+      val h = TextHash.tokenHash(t)
+      val succ = r.filter(_._2 >= h)
+      val pick = if (succ.nonEmpty) succ.minBy(x => (x._2, x._1))
+                 else r.minBy(x => (x._2, x._1))
+      pick._1
+    }
+    val terms = Seq("alpha", "beta", "gamma", "delta")
+    val o2 = terms.map(t => t -> owner(t, ring(2, 2))).toMap
+    val o3 = terms.map(t => t -> owner(t, ring(3, 2))).toMap
+    val got = Sharding.ringBalance(ts, nShards = 2, vnodes = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val wantCounts = terms.groupBy(t => o2(t).toLong).map { case (s, g) =>
+      s -> ((g.size.toLong,
+        g.map(t => Map("alpha" -> 3L, "beta" -> 5L, "gamma" -> 2L, "delta" -> 7L)(t)).sum,
+        g.count(t => o3(t) != o2(t)).toLong))
+    }
+    assert(got == wantCounts)
+    // consistent hashing: a moved term's NEW owner is the new shard
+    terms.filter(t => o3(t) != o2(t)).foreach(t => assert(o3(t) == 2))
+  }
 }
