@@ -1296,6 +1296,33 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       TextAnalysis.readability(c)
     }),
+    // Content-defined chunking (LBFS/FastCDC): cut where the rolling
+    // 3-token fingerprint hits 0 mod 16 — edit-stable chunk boundaries
+    "text_cdc_chunks" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      TextAnalysis.cdcChunks(c, mask = 16)
+    }),
+    // Skip-pointer merge-cost model (MG §3.6): linear vs √n-skip vs
+    // galloping, integer closed forms per query pair
+    "ft_skip_study" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val ts = Seq("dup", "hash", "join", "spark")
+      val pairs = for { i <- ts.indices; j <- i + 1 until ts.size }
+        yield (ts(i), ts(j))
+      graft.index.IndexLayout.skipStudy(t.termStats, pairs)
+    }),
+    // Fagin's TA depth study: rank-join (pagerank, in-degree) under a
+    // monotone f; d* is the prefix a middleware top-1 actually scans
+    "ft_fagin_ta" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val edges = graft.corpus.Crawl.syntheticEdges(c, t.nDocs)
+      val pr = graft.corpus.LinkRank.pagerank(edges, c.select("doc_id"), t.nDocs, iters = 3)
+      val ideg = edges.groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("b"))
+      val attrs = pr.select(col("doc_id"), col("pr").as("a"))
+        .join(ideg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("a"), coalesce(col("b"), lit(0L)).as("b"))
+      Search.faginTaStudy(attrs, wB = 1000000000000L)
+    }),
     // Logistic-regression quality filter trained with FULL-BATCH GD (the
     // order-independent, cluster-reproducible trainer; 2 unrolled steps)
     "text_lr_classify" -> ((s, dir) => {
@@ -3356,6 +3383,74 @@ object SparkEntry {
          |            ELSE round(-ln(1.0 - n_changed::DOUBLE / n_common::DOUBLE), 4)
          |       END AS lambda_r
          |FROM c""".stripMargin,
+    // CDC twin: same ordered token stream, same lag-shingle fingerprint,
+    // same strictly-preceding cut cumsum
+    "text_cdc_chunks" -> {
+      val h = tokenHashSqlInner("l2 || ' ' || l1 || ' ' || term")
+      s"""WITH ${tokArrCte},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |lg AS (SELECT doc_id, pos, term,
+         |         lag(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+         |         lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1
+         |       FROM tp),
+         |ct AS (SELECT doc_id, pos,
+         |         CASE WHEN l2 IS NULL THEN 0
+         |              WHEN ($h) % 16 = 0 THEN 1 ELSE 0 END AS cut
+         |       FROM lg),
+         |ch AS (SELECT doc_id, coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |       FROM ct),
+         |cl AS (SELECT doc_id, chunk_id, count(*)::BIGINT AS clen FROM ch GROUP BY doc_id, chunk_id)
+         |SELECT doc_id, sum(clen)::BIGINT AS n_tokens, count(*)::BIGINT AS n_chunks,
+         |       max(clen)::BIGINT AS max_chunk
+         |FROM cl GROUP BY doc_id""".stripMargin
+    },
+    // skip-study twin: same integer closed forms (shared IEEE floor-sqrt,
+    // bin()-length bitlen)
+    "ft_skip_study" -> {
+      val ts = Seq("dup", "hash", "join", "spark")
+      val prVals = (for { i <- ts.indices; j <- i + 1 until ts.size }
+        yield s"('${ts(i)}', '${ts(j)}')").mkString(", ")
+      s"""WITH ${termsCte}, ${tstatsCte},
+         |prs AS (SELECT * FROM (VALUES $prVals) v(term_a, term_b)),
+         |j AS (SELECT p.term_a, p.term_b, ta.df AS dfa, tb.df AS dfb
+         |      FROM prs p JOIN tstats ta ON ta.term = p.term_a
+         |           JOIN tstats tb ON tb.term = p.term_b),
+         |c AS (SELECT term_a, term_b, least(dfa, dfb) AS m, greatest(dfa, dfb) AS n FROM j),
+         |k AS (SELECT *, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS k FROM c)
+         |SELECT term_a, term_b, m, n, (m + n)::BIGINT AS cost_linear,
+         |       (n // k + m * k)::BIGINT AS cost_skip_sqrt,
+         |       (2 * m * length(bin(n // m)))::BIGINT AS cost_gallop
+         |FROM k""".stripMargin
+    },
+    // TA twin: same rank windows, same marginal-threshold join, same
+    // running max over the densified depth axis
+    "ft_fagin_ta" ->
+      s"""WITH $pagerankCtes,
+         |idg AS (SELECT dst AS doc_id, count(*)::BIGINT AS b FROM edges GROUP BY dst),
+         |at AS (SELECT p.doc_id, p.pr AS a, coalesce(i.b, 0)::BIGINT AS b,
+         |              (coalesce(i.b, 0) * 1000000000000 + p.pr)::BIGINT AS f
+         |       FROM p3 p LEFT JOIN idg i USING (doc_id)),
+         |rk AS (SELECT doc_id, a, b, f,
+         |         row_number() OVER (ORDER BY a DESC, doc_id ASC)::BIGINT AS da,
+         |         row_number() OVER (ORDER BY b DESC, doc_id ASC)::BIGINT AS db
+         |       FROM at),
+         |rk2 AS (SELECT *, least(da, db) AS seen_d FROM rk),
+         |tau AS (SELECT x.d, (y.bv * 1000000000000 + x.av)::BIGINT AS tau
+         |        FROM (SELECT da AS d, a AS av FROM rk2) x
+         |             JOIN (SELECT db AS d, b AS bv FROM rk2) y USING (d)),
+         |bd AS (SELECT seen_d AS d, max(f) AS bf FROM rk2 GROUP BY seen_d),
+         |dn AS (SELECT t.d, t.tau,
+         |         max(coalesce(b.bf, -9223372036854775808))
+         |           OVER (ORDER BY t.d ROWS UNBOUNDED PRECEDING) AS runbest
+         |       FROM tau t LEFT JOIN bd b USING (d)),
+         |ds AS (SELECT min(d)::BIGINT AS d_star FROM dn WHERE runbest >= tau),
+         |tp AS (SELECT doc_id AS top_doc, f AS top_f FROM at
+         |       ORDER BY f DESC, doc_id ASC LIMIT 1)
+         |SELECT (SELECT count(*) FROM at)::BIGINT AS n_docs, ds.d_star,
+         |       ds.d_star * 1000 // (SELECT count(*) FROM at) AS scanned_permille,
+         |       tp.top_doc, tp.top_f
+         |FROM ds, tp""".stripMargin,
     // LR twin: both GD steps unrolled — the w⁰=0 step is the σ=0.5 closed
     // form, the second replays the same join/aggregate decomposition
     "text_lr_classify" ->

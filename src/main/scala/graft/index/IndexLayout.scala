@@ -195,6 +195,36 @@ object IndexLayout {
     * rankings are k-row relations, so the overlap join is trivial. At
     * 100 TB this is the offline "build the small hot-tier index" job; the
     * tiered-serving counterpart is [[graft.query.Wand]]'s tiered entry. */
+  /** Skip-pointer merge-cost model (Witten/Moffat/Bell "Managing
+    * Gigabytes" §3.6; Manning/Raghavan/Schütze IIR §2.3 — public
+    * literature): intersecting posting lists of lengths m ≤ n costs
+    *
+    *   linear merge:      m + n            pointer moves
+    *   √n skips:          n div k + m·k,   k = ⌊√n⌋  (skip traversal on
+    *                      the long list + within-block linear for each of
+    *                      the m probes)
+    *   galloping search:  2·m·bitlen(n div m)  (exponential probe + binary
+    *                      refine per short-list element)
+    *
+    * All-integer closed forms per query pair (floor-√ via the shared IEEE
+    * double sqrt, bitlen via bin() length) — the back-of-envelope every
+    * posting-layout decision starts from; dictionary-sized compute. */
+  def skipStudy(termStats: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val spark = termStats.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("term_a", "term_b")
+    val d = termStats.select(col("term"), col("df"))
+    p.join(d.select(col("term").as("term_a"), col("df").as("dfa")), "term_a")
+      .join(d.select(col("term").as("term_b"), col("df").as("dfb")), "term_b")
+      .withColumn("m", least(col("dfa"), col("dfb")))
+      .withColumn("n", greatest(col("dfa"), col("dfb")))
+      .withColumn("k", floor(sqrt(col("n").cast("double"))).cast("long"))
+      .select(col("term_a"), col("term_b"), col("m"), col("n"),
+        (col("m") + col("n")).as("cost_linear"),
+        (expr("n div k") + col("m") * col("k")).as("cost_skip_sqrt"),
+        (lit(2L) * col("m") * bitLen(expr("n div m"))).as("cost_gallop"))
+  }
+
   /** LSM merge-policy write-amplification study (O'Neil et al. 1996,
     * "The log-structured merge-tree"; Lucene's TieredMergePolicy — public
     * literature). The incremental index ([[graft.streaming

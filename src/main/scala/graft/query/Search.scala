@@ -357,6 +357,48 @@ object Search {
       .select(col("rank"), col("doc_id"), col("rrf"))
   }
 
+  /** Fagin's Threshold Algorithm depth study (Fagin, Lotem & Naor, PODS
+    * 2001, "Optimal aggregation algorithms for middleware" — public
+    * literature): rank-join two per-attribute sorted lists under a
+    * monotone score f(a, b) = b·wB + a, stopping at the first sorted-
+    * access depth d* where the best full score seen ≥ the threshold
+    * τ(d) = f(a@d, b@d) built from the two lists' marginal values. TA's
+    * guarantee: the global top item is inside the seen prefix at d-star —
+    * so d-star over N is exactly the fraction of both lists a middleware
+    * top-1 needs to scan.
+    *
+    * Integer attributes keep every comparison exact across engines.
+    * Returns ONE row: (n_docs, d_star, scanned_permille, top_doc, top_f).
+    *
+    * Scale shape: two global rank windows over the attribute table (the
+    * same sort an impact-ordered index build already pays — in production
+    * the lists are PRE-sorted index artifacts and this entire study is a
+    * merge over two cursors), one depth join, one running-max window. */
+  def faginTaStudy(attrs: DataFrame, wB: Long): DataFrame = {
+    val fa = attrs.select(col("doc_id"), col("a"), col("b"),
+      (col("b") * lit(wB) + col("a")).as("f"))
+    val ranked = fa
+      .withColumn("da", row_number().over(Window.orderBy(desc("a"), asc("doc_id"))).cast("long"))
+      .withColumn("db", row_number().over(Window.orderBy(desc("b"), asc("doc_id"))).cast("long"))
+      .withColumn("seen_d", least(col("da"), col("db")))
+    val tau = ranked.select(col("da").as("d"), col("a").as("av"))
+      .join(ranked.select(col("db").as("d"), col("b").as("bv")), "d")
+      .select(col("d"), (col("bv") * lit(wB) + col("av")).as("tau"))
+    val bestAtDepth = ranked.groupBy(col("seen_d").as("d")).agg(max("f").as("bf"))
+    val runW = Window.orderBy(asc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val dense = tau.join(bestAtDepth, Seq("d"), "left")
+      .withColumn("runbest", max(coalesce(col("bf"), lit(Long.MinValue))).over(runW))
+    val dStar = dense.filter(col("runbest") >= col("tau"))
+      .agg(min("d").as("d_star"))
+    val n = fa.agg(count(lit(1)).as("n_docs"))
+    val top = fa.orderBy(desc("f"), asc("doc_id")).limit(1)
+      .select(col("doc_id").as("top_doc"), col("f").as("top_f"))
+    dStar.crossJoin(n).crossJoin(top)
+      .select(col("n_docs"), col("d_star"),
+        expr("d_star * 1000 div n_docs").as("scanned_permille"),
+        col("top_doc"), col("top_f"))
+  }
+
   /** CombSUM / CombMNZ score fusion (Fox & Shaw, TREC-2 1994 — public
     * literature; the classic SCORE-level alternative to RRF's rank-level
     * fusion). Each system's scores min-max normalize over its OWN top-N

@@ -405,6 +405,40 @@ object TextAnalysis {
         col("n_boiler").cast("double") / col("n_shingles").cast("double"), 4))
   }
 
+  /** Content-defined chunking (Muthitacharoen, Chen & Mazières, LBFS SOSP
+    * 2001; FastCDC — public literature): cut the token stream where a
+    * rolling fingerprint of the last `w` tokens hits 0 mod `mask`, so
+    * chunk boundaries are CONTENT-anchored — an insertion early in a page
+    * shifts every fixed-window chunk but only the one CDC chunk it lands
+    * in. This is the chunking a 100 TB dedup/RAG pipeline wants under
+    * recrawls: stable chunk fingerprints across edits.
+    *
+    * A cut at position i ends the chunk AT i; the fingerprint is the
+    * cross-engine TextHash of the w-token shingle ending at i (defined for
+    * i ≥ w−1). Per doc: (n_tokens, n_chunks, max_chunk) — expected chunk
+    * length ≈ mask.
+    *
+    * Scale shape: one posexplode + two windows PARTITIONED ON doc_id (the
+    * same per-doc shuffle every positional operator pays) + two
+    * aggregates; nothing cross-doc. */
+  def cdcChunks(corpus: DataFrame, mask: Int = 16): DataFrame = {
+    import graft.textan.TextHash
+    import org.apache.spark.sql.expressions.Window
+    val tp = graft.index.Positional.tokenPositions(corpus)
+    val ww = Window.partitionBy("doc_id").orderBy(asc("pos"))
+    val cut = when(lag(col("term"), 2).over(ww).isNotNull &&
+      TextHash.tokenHashCol(concat_ws(" ",
+        lag(col("term"), 2).over(ww), lag(col("term"), 1).over(ww),
+        col("term"))) % mask === 0, lit(1L)).otherwise(lit(0L))
+    val chunked = tp.withColumn("cut", cut)
+      .withColumn("chunk_id", coalesce(sum("cut").over(
+        ww.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    chunked.groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("clen"))
+      .groupBy("doc_id")
+      .agg(sum("clen").as("n_tokens"), count(lit(1)).as("n_chunks"),
+        max("clen").as("max_chunk"))
+  }
+
   /** Flesch reading-ease (Flesch 1948; Kincaid et al. 1975 — public
     * literature) as a per-doc quality signal:
     *

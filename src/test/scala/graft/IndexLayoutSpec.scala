@@ -87,4 +87,13 @@ class IndexLayoutSpec extends AnyFunSuite {
     // tiered F=4, N=5: flush 15 + level-1 rewrites batches 0..3 (1+2+3+4)
     assert(got("tiered_f4") == ((15L, 25L, 25L * 1000L / 15L)))
   }
+
+  test("skipStudy: closed-form costs for m=4, n=100") {
+    import spark.implicits._
+    val ts = Seq(("a", 4L), ("b", 100L)).toDF("term", "df")
+    val r = IndexLayout.skipStudy(ts, Seq(("a", "b"))).collect().head
+    // k = 10; skip = 100/10 + 4*10 = 50; gallop = 2*4*bitlen(25) = 40
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      == ((4L, 100L, 104L, 50L, 40L)))
+  }
 }

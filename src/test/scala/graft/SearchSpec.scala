@@ -1045,4 +1045,15 @@ class SearchSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
     assert(got.map(_._2).toSeq == Seq(3.0, 1.0, 1.0, 0.0))
   }
+
+  test("faginTaStudy: stops at the exact TA depth on a closed fixture") {
+    import spark.implicits._
+    // f = 100b + a: d4 wins (204). tau(1) = f(10,2) = 210 > best(1)=204;
+    // tau(2) = f(8,1) = 108 <= best(2)=204 -> d* = 2 of 4 (500 permille)
+    val attrs = Seq((1L, 10L, 0L), (2L, 8L, 1L), (3L, 6L, 0L), (4L, 4L, 2L))
+      .toDF("doc_id", "a", "b")
+    val r = graft.query.Search.faginTaStudy(attrs, wB = 100L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 2L, 500L, 4L, 204L)))
+  }
 }

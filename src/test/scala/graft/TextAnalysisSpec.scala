@@ -348,4 +348,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     // doc 2: "rhythm" has the y run, "zz" has none -> min-1 floor
     assert(got(2L)._1 == 2L && got(2L)._3 == 2L)
   }
+
+  test("cdcChunks: cuts replay the scalar rolling-fingerprint rule") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    val toks = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet")
+    val docs = Seq((1L, "en", toks.mkString(" "))).toDF("doc_id", "lang", "content")
+    val got = graft.textan.TextAnalysis.cdcChunks(docs, mask = 4).collect().head
+    // scalar recompute: cut at i >= 2 iff hash(3-shingle ending at i) % 4 == 0
+    val cuts = (2 until toks.size).filter(i =>
+      TextHash.tokenHash(s"${toks(i - 2)} ${toks(i - 1)} ${toks(i)}") % 4 == 0)
+    val nChunks = cuts.size + 1 - (if (cuts.contains(toks.size - 1)) 1 else 0)
+    // chunk lengths: boundaries AFTER each cut position
+    val bounds = cuts.map(_ + 1).filter(_ < toks.size)
+    val lens = (bounds :+ toks.size).zip(0 +: bounds).map { case (e, s0) => e - s0 }
+    assert(got.getLong(1) == toks.size.toLong)
+    assert(got.getLong(2) == lens.size.toLong)
+    assert(got.getLong(3) == lens.max.toLong)
+    assert(lens.size >= 2, "fixture must actually cut (mask=4)")
+  }
 }
