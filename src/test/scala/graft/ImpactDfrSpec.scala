@@ -45,6 +45,16 @@ class ImpactDfrSpec extends AnyFunSuite {
       got.sortBy(_._1).map(_._3).reverse))              // impact desc by rank
   }
 
+  test("impact serve plan: no stats joins — one scan + one integer aggregate") {
+    val (p, ds, ts, n, avgDl) = fixture
+    val qz = Impact.quantize(p, ds, ts, n, avgDl).cache()
+    qz.count()
+    val plan = Impact.impactTopK(qz, Seq("a", "b"), 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"serve path must not join stats:\n$plan")
+    qz.unpersist(): Unit
+  }
+
   test("degenerate one-weight index quantizes to impact 1") {
     val p = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("term", "doc_id", "tf")
     val ds = Seq((1L, 2L), (2L, 2L)).toDF("doc_id", "dl")
