@@ -1127,6 +1127,17 @@ object SparkEntry {
         seeds, nSeeds, iters = 3)
       graft.corpus.LinkRank.topK(pr, 20)
     }),
+    // Composition: the crawl dispatcher — per-host politeness queues
+    // ordered by OPIC importance (what the frontier actually fetches next)
+    "ft_crawl_priority" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val imp = graft.corpus.LinkRank.opic(
+        graft.corpus.Crawl.syntheticEdges(c, t.nDocs), c.select("doc_id"),
+        t.nDocs, iters = 3)
+      val frontier = c.select(col("doc_id"), col("repo").as("host"), col("path"))
+        .join(imp.select(col("doc_id"), col("importance").as("priority")), "doc_id")
+      graft.corpus.Crawl.politeSchedule(frontier, limit = 100)
+    }),
     // OPIC crawl prioritization (Abiteboul): cash/history fixed point in
     // BIGINT; importance = history + cash after 3 synchronized rounds
     "ft_opic" -> ((s, dir) => {
@@ -1816,6 +1827,21 @@ object SparkEntry {
         .select(col("a"), col("b"), col("c_ab"), round(col("pmi"), 4).as("pmi_r"))
     }),
     // multimodal: metadata projection over the binary media table
+    // frame-sampling plumbing made oracle-checkable: every 64-byte stride
+    // window of a video blob is a "frame"; the hash is over the UTF-8
+    // decode (the synthetic blobs are ASCII, so bytes == chars)
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, dir)
+      Multimodal.sampleFrames(media, stride = 64, frameLen = 16)
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          graft.textan.TextHash.tokenHashCol(
+            decode(col("frame_bytes"), "UTF-8")).as("frame_hash"))
+    }),
+    // aspect-fit resize plan: integer-exact output geometry per image
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, dir)
+      Multimodal.resizePlan(media, target = 224)
+    }),
     "mm_meta" -> ((s, dir) => {
       Multimodal.meta(Multimodal.mediaFromDocuments(s, dir))
     }),
@@ -2814,39 +2840,27 @@ object SparkEntry {
     },
     // OPIC twin: the identical BIGINT cash/history recurrence unrolled,
     // incl. the (vacuous on this graph) dangling-share division
-    "ft_opic" -> {
-      def iter(i: Int) = {
-        val pc = s"oc${i - 1}"
-        s"""oh$i AS (SELECT h.doc_id, h.hist + c.cash AS hist
-           |         FROM oh${i - 1} h JOIN $pc c USING (doc_id)),
-           |inf$i AS (SELECT e.dst AS doc_id, sum(c.cash // o.odeg) AS acc
-           |          FROM $pc c JOIN odeg o ON c.doc_id = o.src
-           |               JOIN edges e ON c.doc_id = e.src
-           |          GROUP BY e.dst),
-           |dng$i AS (SELECT coalesce(sum(c.cash), 0) // (SELECT n FROM nn) AS share
-           |          FROM $pc c LEFT JOIN odeg o ON c.doc_id = o.src
-           |          WHERE o.src IS NULL),
-           |oc$i AS (SELECT n.doc_id,
-           |           (coalesce(i.acc, 0) + (SELECT share FROM dng$i))::BIGINT AS cash
-           |         FROM nodes n LEFT JOIN inf$i i USING (doc_id))""".stripMargin
-      }
-      s"""WITH nodes AS (SELECT doc_id FROM documents),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |edges AS (
-         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
-         |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
-         |oh0 AS (SELECT doc_id, 0::BIGINT AS hist FROM nodes),
-         |oc0 AS (SELECT doc_id, (1000000000000 // (SELECT n FROM nn))::BIGINT AS cash FROM nodes),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
+    "ft_opic" ->
+      s"""WITH $opicCtes
          |SELECT rank, doc_id, importance FROM (
          |  SELECT row_number() OVER (ORDER BY h.hist + c.cash DESC, h.doc_id ASC) AS rank,
          |         h.doc_id, (h.hist + c.cash)::BIGINT AS importance
-         |  FROM oh3 h JOIN oc3 c USING (doc_id)) WHERE rank <= 20""".stripMargin
-    },
+         |  FROM oh3 h JOIN oc3 c USING (doc_id)) WHERE rank <= 20""".stripMargin,
+    // crawl-priority twin: OPIC importance feeding the same per-host
+    // politeness window
+    "ft_crawl_priority" ->
+      s"""WITH $opicCtes,
+         |imp AS (SELECT h.doc_id, (h.hist + c.cash)::BIGINT AS priority
+         |        FROM oh3 h JOIN oc3 c USING (doc_id)),
+         |f AS (SELECT d.doc_id, d.source AS host, 'doc/' || d.doc_id::VARCHAR AS path,
+         |             i.priority
+         |      FROM documents d JOIN imp i USING (doc_id)),
+         |sch AS (SELECT host, path, priority,
+         |          row_number() OVER (PARTITION BY host
+         |            ORDER BY priority DESC, path ASC)::BIGINT AS slot
+         |        FROM f)
+         |SELECT slot, host, path, priority FROM sch
+         |ORDER BY slot ASC, host ASC, path ASC LIMIT 100""".stripMargin,
     // Bloom twin: same mixer family, same distinct-bit relation, and the
     // present column makes any false negative a hash mismatch
     "ft_bloom_dict" -> {
@@ -4424,6 +4438,28 @@ object SparkEntry {
          |    THEN b.top_c::DOUBLE / b.n_grams ELSE 0.0 END, 4) AS top_bigram_frac_r,
          |  (dup_word_frac_r <= 0.7 AND top_bigram_frac_r <= 0.2) AS keep
          |FROM tokarr t LEFT JOIN bstat b USING (doc_id)""".stripMargin,
+    // frames twin: video = doc_id%3=2; ASCII blobs ⇒ byte windows ==
+    // char windows, so substr replays the stride slices exactly
+    "mm_frames" -> {
+      val h = tokenHashSqlInner("ft")
+      s"""WITH v AS (SELECT doc_id AS media_id, text, length(text)::BIGINT AS n
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fr0 AS (SELECT media_id, text,
+         |          unnest(range(greatest((n - 16) // 64 + 1, 0))) AS f FROM v),
+         |fr AS (SELECT media_id, f::BIGINT AS frame_no,
+         |         substr(text, (f * 64 + 1)::INT, 16) AS ft FROM fr0)
+         |SELECT media_id, frame_no, ($h) AS frame_hash FROM fr""".stripMargin
+    },
+    // resize twin: same synthesized dims, same aspect-fit integer division
+    "mm_resize" ->
+      """WITH i AS (SELECT doc_id AS media_id,
+        |             (doc_id % 640 + 16)::BIGINT AS width,
+        |             (doc_id % 480 + 16)::BIGINT AS height
+        |           FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id, width, height,
+        |  (CASE WHEN width >= height THEN 224 ELSE width * 224 // height END)::BIGINT AS out_w,
+        |  (CASE WHEN width >= height THEN height * 224 // width ELSE 224 END)::BIGINT AS out_h
+        |FROM i""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -4795,6 +4831,38 @@ object SparkEntry {
   /** Fixed-point integer PageRank as an unrolled 3-iteration CTE chain
     * (every per-iteration quantity is a BIGINT — hash-exact); terminal CTE
     * is `p3` (doc_id, pr). Shared by ft_pagerank and ft_blend. */
+  /** shared OPIC CTE chain (3 unrolled rounds → oh3/oc3) — referenced by
+    * BOTH the ft_opic and ft_crawl_priority twins */
+  private def opicCtes: String = {
+    def iter(i: Int) = {
+      val pc = s"oc${i - 1}"
+      s"""oh$i AS (SELECT h.doc_id, h.hist + c.cash AS hist
+         |         FROM oh${i - 1} h JOIN $pc c USING (doc_id)),
+         |inf$i AS (SELECT e.dst AS doc_id, sum(c.cash // o.odeg) AS acc
+         |          FROM $pc c JOIN odeg o ON c.doc_id = o.src
+         |               JOIN edges e ON c.doc_id = e.src
+         |          GROUP BY e.dst),
+         |dng$i AS (SELECT coalesce(sum(c.cash), 0) // (SELECT n FROM nn) AS share
+         |          FROM $pc c LEFT JOIN odeg o ON c.doc_id = o.src
+         |          WHERE o.src IS NULL),
+         |oc$i AS (SELECT n.doc_id,
+         |           (coalesce(i.acc, 0) + (SELECT share FROM dng$i))::BIGINT AS cash
+         |         FROM nodes n LEFT JOIN inf$i i USING (doc_id))""".stripMargin
+    }
+    s"""nodes AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT n FROM nn) FROM documents),
+       |odeg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+       |oh0 AS (SELECT doc_id, 0::BIGINT AS hist FROM nodes),
+       |oc0 AS (SELECT doc_id, (1000000000000 // (SELECT n FROM nn))::BIGINT AS cash FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
   private def pagerankCtes: String = {
     val S = "1000000000000"
     val tele = s"(15 * ($S // (SELECT n FROM nn))) // 100"

@@ -89,6 +89,23 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** Aspect-fit resize PLAN (integer-exact target dims): the geometry a
+    * preprocessing pipeline must agree on before any pixels move — the
+    * pixel resample itself is the decode stub's job in this container. A
+    * landscape image pins width to `target`, portrait pins height; the
+    * other dim scales by integer division (floor), the convention ML
+    * loaders (torchvision Resize with a single int) use. */
+  def resizePlan(media: Dataset[MediaRow], target: Int = 224): DataFrame =
+    media.toDF().filter(col("modality") === "image")
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        when(col("width") >= col("height"), lit(target.toLong))
+          .otherwise(expr(s"CAST(width AS BIGINT) * $target div height")).as("out_w"),
+        when(col("width") >= col("height"),
+            expr(s"CAST(height AS BIGINT) * $target div width"))
+          .otherwise(lit(target.toLong)).as("out_h"))
+
   /** metadata projection — pure Column ops on the binary column (this part
     * needs no stub and is DuckDB-oracle-checkable). */
   def meta(media: Dataset[MediaRow]): DataFrame =

@@ -67,4 +67,34 @@ class MultimodalSpec extends AnyFunSuite {
     val f0 = frames.filter(r => r.getLong(0) == v0.media_id && r.getInt(1) == 0).head
     assert(f0.getAs[Array[Byte]](2).toSeq == v0.bytes.take(16).toSeq)
   }
+
+  test("resizePlan: aspect-fit integer geometry, landscape and portrait") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1), 640, 480, 0),  // landscape
+      Multimodal.MediaRow(2L, "image", Array[Byte](1), 100, 400, 0),  // portrait
+      Multimodal.MediaRow(3L, "video", Array[Byte](1), 640, 480, 0)   // filtered out
+    ).toDS()
+    val got = Multimodal.resizePlan(rows, target = 224).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((224L, 480L * 224L / 640L)),
+                      2L -> ((100L * 224L / 400L, 224L))))
+  }
+
+  test("sampleFrames hash projection replays a scalar byte-window walk") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    val text = ("abcdefgh" * 20) // 160 ASCII bytes -> frames at 0,64,128
+    val rows = Seq(Multimodal.MediaRow(5L, "video",
+      text.getBytes("UTF-8"), 16, 16, 0)).toDS()
+    val got = Multimodal.sampleFrames(rows, stride = 64, frameLen = 16)
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("frame_no"),
+        TextHash.tokenHashCol(org.apache.spark.sql.functions.decode(
+          org.apache.spark.sql.functions.col("frame_bytes"), "UTF-8")).as("h"))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val want = (0 until 3).map(f =>
+      f -> TextHash.tokenHash(text.substring(f * 64, f * 64 + 16))).toMap
+    assert(got == want)
+  }
 }
