@@ -1972,6 +1972,25 @@ object SparkEntry {
       val (_, t) = index(s, dir)
       QueryFrontend.suggestBatch(t.termStats, suggestQ, maxDist = 2)
     }),
+    // Context-aware did-you-mean (noisy channel + bigram prior): "merge
+    // sart" → sort beats the equal-distance part because (merge, sort)
+    // is the stronger corpus bigram
+    "ft_suggest_context" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val bw = graft.index.Positional.biwordPostings(c)
+      QueryFrontend.suggestInContext(t.termStats, bw,
+        context = "merge", typo = "sart")
+    }),
+    // Multi-stage ranking cascade (Wang/Lin/Metzler): Σtf 50 → BM25 20 →
+    // phrase-boost 10; the positional probe touches 20 docs, period
+    "ft_cascade" -> ((s, dir) => {
+      val (c, t) = index(s, dir)
+      val dfs = QueryFrontend.lookupDf(t.termStats, q2.toSet)
+      Search.cascadeTopK(t.postings, t.docStats,
+          graft.index.Positional.tokenPositions(c), dfs, t.nDocs, t.avgDl, q2)
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score"), 4).as("score_r"))
+    }),
     // Politeness scheduler: ≤ 1 fetch per host per slot (Mercator crawl-
     // delay discipline) over a deterministic synthetic frontier
     "ft_crawl_polite" -> ((s, dir) => {
@@ -3137,6 +3156,55 @@ object SparkEntry {
         |min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
         |max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // context-suggest twin: brute-force levenshtein candidates (SymSpell
+    // completeness makes the engine's delete-join equal), bigram prior
+    // from the same zipped token arrays
+    "ft_suggest_context" ->
+      s"""WITH ${termsCte}, ${tstatsCte}, ${tokArrCte},
+         |cand AS (SELECT term, levenshtein(term, 'sart')::BIGINT AS dist
+         |         FROM tstats WHERE levenshtein(term, 'sart') <= 2),
+         |bw0 AS (SELECT doc_id, unnest(arr[1:len(arr)-1]) AS w1,
+         |               unnest(arr[2:len(arr)]) AS w2 FROM tokarr),
+         |cf AS (SELECT w2 AS term, count(*)::BIGINT AS ctx_cf FROM bw0
+         |       WHERE w1 = 'merge' GROUP BY w2)
+         |SELECT suggestion, dist, ctx_cf FROM (
+         |  SELECT c.term AS suggestion, c.dist,
+         |         coalesce(f.ctx_cf, 0)::BIGINT AS ctx_cf,
+         |         row_number() OVER (ORDER BY c.dist ASC,
+         |           coalesce(f.ctx_cf, 0) DESC, c.term ASC) AS rn
+         |  FROM cand c LEFT JOIN cf f USING (term)) WHERE rn <= 3""".stripMargin,
+    // cascade twin: the same three funnels with the same cuts
+    "ft_cascade" -> {
+      val score = Bm25.sql("p.tf", "t.df", "d.dl", "s.n", "s.avgdl")
+      val shifts = q2.zipWithIndex.map { case (t, i) =>
+        s"SELECT doc_id, pos - $i AS start FROM tpc WHERE term = '$t'"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${termsCte}, ${postCte}, ${dsCte}, ${tstatsCte}, ${statsCte}, ${qCte(q2)},
+         |${tokArrCte},
+         |m AS (SELECT p.* FROM post p JOIN q USING (term)),
+         |c1 AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY stf DESC, doc_id ASC) AS r FROM (
+         |    SELECT doc_id, sum(tf) AS stf FROM m GROUP BY doc_id)) WHERE r <= 50),
+         |s2 AS (SELECT p.doc_id, sum($score) AS score
+         |       FROM m p JOIN c1 USING (doc_id) JOIN tstats t USING (term)
+         |            JOIN ds d ON p.doc_id = d.doc_id, stats s
+         |       GROUP BY p.doc_id),
+         |c2 AS (SELECT doc_id, score FROM (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+         |  FROM s2) WHERE r <= 20),
+         |tp0 AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |tpc AS (SELECT tp0.* FROM tp0 JOIN c2 USING (doc_id)),
+         |mm2 AS ($shifts),
+         |hits AS (SELECT doc_id, start FROM mm2 GROUP BY doc_id, start
+         |         HAVING count(*) = ${q2.size}),
+         |ph AS (SELECT doc_id, count(*)::BIGINT AS phrase_tf FROM hits GROUP BY doc_id),
+         |s3 AS (SELECT c2.doc_id,
+         |         c2.score + 0.5 * ln(1.0 + coalesce(ph.phrase_tf, 0)) AS score
+         |       FROM c2 LEFT JOIN ph USING (doc_id))
+         |SELECT rank, doc_id, score_r FROM (
+         |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         |         doc_id, round(score, 4) AS score_r FROM s3) WHERE rank <= 10""".stripMargin
+    },
     "ft_suggest" -> {
       val qVals = suggestQ.map(q => s"'$q'").mkString(",")
       s"""WITH ${termsCte}, ${tstatsCte},

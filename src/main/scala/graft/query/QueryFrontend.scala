@@ -220,6 +220,32 @@ object QueryFrontend {
       .orderBy(asc("dist"), desc("df"), asc("term"))
   }
 
+  /** Context-aware "did-you-mean" (the standard noisy-channel refinement:
+    * Kernighan, Church & Gale 1990's channel model with a bigram language
+    * model as the prior — public literature): rank a typo's edit-distance
+    * candidates by how often each FOLLOWS the query's previous term in the
+    * corpus, so "spark jion" corrects to the collocate `join` even when a
+    * higher-df candidate exists at the same distance. The bigram prior
+    * comes from the biword index the build already materializes — zero
+    * extra text passes at query time.
+    *
+    * Output: (suggestion, dist, ctx_cf), ordered dist asc, context-cf
+    * desc, term asc, top k. Scale shape: the candidate set is the
+    * delete-neighborhood join (dictionary-sized); the context lookup is
+    * one biword probe on w1 = context (partition-prunable). */
+  def suggestInContext(termStats: DataFrame, biwords: DataFrame,
+                       context: String, typo: String,
+                       maxDist: Int = 2, k: Int = 3): DataFrame = {
+    val cand = fuzzyTerms(termStats, typo, maxDist)
+    val cf = biwords.filter(col("w1") === context)
+      .groupBy(col("w2").as("term")).agg(sum("tf").as("ctx_cf"))
+    cand.join(cf, Seq("term"), "left")
+      .select(col("term").as("suggestion"), col("dist"),
+        coalesce(col("ctx_cf"), lit(0L)).as("ctx_cf"))
+      .orderBy(asc("dist"), desc("ctx_cf"), asc("suggestion"))
+      .limit(k)
+  }
+
   /** Batched "did-you-mean": the best correction for EVERY term of a query
     * log in ONE plan (the spelling-correction harness shape — at 100 TB the
     * query log is large and looping fuzzyTerms would rebuild the dictionary

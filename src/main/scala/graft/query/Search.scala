@@ -357,6 +357,47 @@ object Search {
       .select(col("rank"), col("doc_id"), col("rrf"))
   }
 
+  /** Multi-stage ranking cascade (Wang, Lin & Metzler, SIGIR 2011, "A
+    * cascade ranking model for efficient ranked retrieval" — public
+    * literature): the architecture every production serve path actually
+    * runs — a CHEAP stage over many candidates funnels into costlier
+    * stages over ever fewer:
+    *
+    *   stage 1: disjunctive Σtf  (integer, no stats joins)   → top n1
+    *   stage 2: BM25 rerank restricted to stage-1 survivors  → top n2
+    *   stage 3: exact-phrase boost (positions probed for the n2 docs
+    *            ONLY) score + 0.5·ln(1 + phrase_tf)          → top k
+    *
+    * Per-stage cost is bounded by the previous cut, so the expensive
+    * positional probe touches n2 documents regardless of corpus size —
+    * the point of the cascade. Ties doc_id asc at every cut, so the
+    * funnel is deterministic end to end. */
+  def cascadeTopK(postings: DataFrame, docStats: DataFrame, tokenPos: DataFrame,
+                  dfs: Map[String, Long], nDocs: Long, avgDl: Double,
+                  phraseTerms: Seq[String], n1: Int = 50, n2: Int = 20,
+                  k: Int = 10): DataFrame = {
+    val terms = dfs.keys.toSeq.sorted
+    val m = postings.filter(col("term").isin(terms.map(x => x: Any): _*))
+    val c1 = rankTopK(m.groupBy("doc_id").agg(sum("tf").as("stf")),
+        n1, Seq(desc("stf"), asc("doc_id")))
+      .select("doc_id")
+    val dfCol = dfs.foldLeft(lit(0L)) { case (acc, (t, d)) =>
+      when(col("term") === t, lit(d)).otherwise(acc)
+    }
+    val s2 = m.join(c1, "doc_id").join(docStats, "doc_id")
+      .withColumn("w", Bm25.score(col("tf"), dfCol, col("dl"), nDocs, avgDl))
+      .groupBy("doc_id").agg(sum("w").as("score"))
+    val c2 = rankTopK(s2, n2, Seq(desc("score"), asc("doc_id")))
+      .select("doc_id", "score")
+    val ph = graft.index.Positional.phraseMatches(
+      tokenPos.join(c2.select("doc_id"), "doc_id"), phraseTerms)
+    val s3 = c2.join(ph, Seq("doc_id"), "left")
+      .select(col("doc_id"), (col("score") +
+        lit(0.5) * log(lit(1.0) + coalesce(col("phrase_tf"), lit(0L)))).as("score"))
+    rankTopK(s3, k, Seq(desc("score"), asc("doc_id")))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Fagin's Threshold Algorithm depth study (Fagin, Lotem & Naor, PODS
     * 2001, "Optimal aggregation algorithms for middleware" — public
     * literature): rank-join two per-attribute sorted lists under a

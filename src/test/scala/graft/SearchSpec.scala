@@ -1056,4 +1056,47 @@ class SearchSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       == ((4L, 2L, 500L, 4L, 204L)))
   }
+
+  test("cascadeTopK: stage-1 cut bounds stage 2; phrase boost only lifts true phrases") {
+    import spark.implicits._
+    // d1 holds the exact phrase "x y"; d2 has both terms NOT adjacent with
+    // higher tf; d3 only x (excluded by nothing — disjunctive, but scores
+    // less). n1=3, n2=2: the positional probe sees exactly {d1, d2}.
+    val docs = Seq(
+      (1L, "en", "x y filler filler"),
+      (2L, "en", "x filler y x filler y"),
+      (3L, "en", "x filler filler filler")
+    ).toDF("doc_id", "lang", "content")
+    val tp = graft.index.Positional.tokenPositions(docs)
+    val posts = tp.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ds = tp.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfs = Map("x" -> 3L, "y" -> 2L)
+    val got = graft.query.Search.cascadeTopK(posts, ds, tp, dfs, 3L, 14.0 / 3.0,
+        Seq("x", "y"), n1 = 3, n2 = 2, k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSet == Set(1L, 2L)) // d3 cut at stage 2
+    // recompute: stage-2 BM25 scores + phrase boost (d1: 1 phrase, d2: 0)
+    def bm(tfx: Long, tfy: Long, dl: Long) =
+      graft.query.Bm25.scoreS(tfx, 3L, dl, 3L, 14.0 / 3.0) +
+      (if (tfy > 0) graft.query.Bm25.scoreS(tfy, 2L, dl, 3L, 14.0 / 3.0) else 0.0)
+    val w1 = bm(1L, 1L, 4L) + 0.5 * math.log(2.0)
+    val w2 = bm(2L, 2L, 6L)
+    val want = Seq(1L -> w1, 2L -> w2).sortBy { case (d, sc) => (-sc, d) }
+    assert(got.map(_._2).toSeq == want.map(_._1))
+    got.foreach { case (_, d, sc) =>
+      assert(math.abs(sc - want.toMap.apply(d)) < 1e-9, s"doc $d") }
+  }
+
+  test("suggestInContext: the bigram prior breaks an edit-distance tie") {
+    import spark.implicits._
+    val ts = Seq(("sort", 10L), ("part", 20L), ("sport", 5L)).toDF("term", "df")
+    // context 'merge' precedes sort 3x, part 1x — sort must win the
+    // dist-1 tie even though part has the higher df
+    val bw = Seq((1L, "merge", "sort", 2L), (2L, "merge", "sort", 1L),
+      (3L, "merge", "part", 1L)).toDF("doc_id", "w1", "w2", "tf")
+    val got = graft.query.QueryFrontend.suggestInContext(ts, bw,
+        context = "merge", typo = "sart", maxDist = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("sort", 1L, 3L), ("part", 1L, 1L), ("sport", 2L, 0L)))
+  }
 }
