@@ -1776,6 +1776,26 @@ object SparkEntry {
       val cms = graft.stats.Sketches.cmsBuild(t.postings, "term", "tf", width = 64)
       graft.stats.Sketches.cmsEstimate(s, cms, cmsTerms, width = 64)
     }),
+    // Grouped KMV: daily-active-users without a COUNT DISTINCT shuffle of
+    // raw ids — one 32-row sketch per day (WindowGroupLimit heap)
+    "events_kmv_daily" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(to_date(col("ts")).cast("string").as("day"),
+          col("user_id").cast("string").as("uid"))
+      graft.stats.Sketches.kmvDistinctBy(ev, "day", "uid", k = 32)
+        .select(col("grp").as("day"), col("k_n"), round(col("est"), 4).as("est_r"))
+    }),
+    // Daily event-volume anomaly flags (z-score vs the whole series)
+    "events_anomaly" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.streaming.Events.dailyAnomaly(ev, threshold = 2.0)
+    }),
+    // k-fold CV ledger: fold = permille bucket mod 5, nested with assign's
+    // buckets; every doc tests once and trains k−1 times
+    "split_kfold" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.pipeline.Splits.kfoldLedger(c.select("doc_id"), k = 5)
+    }),
     // Bloom-filter dictionary gate (Bloom 1970): m=2^16, kh=4 TextHash
     // mixers; absent-term probes short-circuit before touching the index —
     // the oracle hash-checks the no-false-negative invariant every run
@@ -3756,6 +3776,38 @@ object SparkEntry {
          |lexp AS (SELECT t.doc_id, coalesce(l.form, t.term) AS term
          |         FROM rterms t LEFT JOIN rulex l ON t.term = l.surface)
          |SELECT doc_id, term, count(*)::BIGINT AS tf FROM lexp GROUP BY doc_id, term""".stripMargin,
+    // grouped-KMV twin: same (day, hash) distinct, same per-day rank cut,
+    // same (k−1)·P/h_k estimator
+    "events_kmv_daily" -> {
+      val h = TextHash.mixSql(5, tokenHashSqlInner("uid"))
+      s"""WITH e AS (SELECT CAST(ts AS DATE)::VARCHAR AS day, user_id::VARCHAR AS uid FROM events),
+         |hs AS (SELECT DISTINCT day AS grp, ($h) AS h FROM e),
+         |rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS r FROM hs),
+         |agg AS (SELECT grp, count(*)::BIGINT AS k_n, max(h) AS hk FROM rk WHERE r <= 32 GROUP BY grp)
+         |SELECT grp AS day, k_n,
+         |       round(CASE WHEN k_n < 32 THEN k_n::DOUBLE
+         |                  ELSE 31.0 * ${TextHash.P}.0 / hk::DOUBLE END, 4) AS est_r
+         |FROM agg""".stripMargin
+    },
+    // anomaly twin: same date aggregate, same population σ, flag on the
+    // ROUNDED z like the engine
+    "events_anomaly" ->
+      """WITH d AS (SELECT CAST(ts AS DATE)::VARCHAR AS day, count(*)::BIGINT AS n_events
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT avg(n_events::DOUBLE) AS mu, stddev_pop(n_events::DOUBLE) AS sigma FROM d),
+        |z AS (SELECT day, n_events,
+        |        round(CASE WHEN sigma = 0.0 THEN 0.0
+        |                   ELSE (n_events::DOUBLE - mu) / sigma END, 4) AS z_r
+        |      FROM d, st)
+        |SELECT day, n_events, z_r, (abs(z_r) > 2.0)::BIGINT AS is_anomaly FROM z""".stripMargin,
+    // kfold twin: same permille-bucket-mod-k folds, same ledger
+    "split_kfold" ->
+      s"""WITH b AS (SELECT ((${TextHash.mixSql(7, tokenHashSqlInner("doc_id::VARCHAR"))}) % 1000) % 5 AS fold
+         |           FROM documents),
+         |f AS (SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_test FROM b GROUP BY fold)
+         |SELECT fold, n_test,
+         |       ((SELECT count(*) FROM documents) - n_test)::BIGINT AS n_train
+         |FROM f""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val'

@@ -32,6 +32,23 @@ object Splits {
   def bucketS(docId: Long): Long =
     TextHash.mix(7, TextHash.tokenHash(docId.toString)) % 1000
 
+  /** k-fold cross-validation assignment over the SAME hash family as
+    * [[assign]] (fold = permille bucket mod k — so folds nest consistently
+    * with the train/val/test buckets and stay a pure function of ids).
+    * Returns the fold LEDGER (fold, n_test, n_train): every doc is test in
+    * exactly one fold and train in the other k−1, the invariant a CV
+    * harness audits before spending k training runs. */
+  def kfoldLedger(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2)
+    val fold = bucketCol(col("doc_id")) % k
+    val perFold = docs.select(fold.as("fold"))
+      .groupBy("fold").agg(count(lit(1)).as("n_test"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    perFold.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_test"),
+        (col("n_total") - col("n_test")).as("n_train"))
+  }
+
   /** Deterministic stratified sampling with a per-stratum quota — the
     * data-mixing primitive of a training pipeline ("at most n docs per
     * (language, quality-bin)"). Docs are ordered WITHIN each stratum by the

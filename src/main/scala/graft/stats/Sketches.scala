@@ -63,6 +63,29 @@ object Sketches {
             / col("hk").cast("double")).as("est"))
   }
 
+  /** GROUPED KMV distinct estimate — the "daily active users" shape: one
+    * k-row sketch per group instead of a COUNT(DISTINCT) shuffle of raw
+    * ids per group (Bar-Yossef et al. 2002, as [[kmvDistinct]]). Exact
+    * below k per group; at k the (k−1)·P/h_k estimator. The per-group
+    * k-smallest cut is a rank window (WindowGroupLimit — a k-row heap per
+    * group, never a full per-group sort), so the shuffle carries hashes,
+    * not ids. Output: (group, k_n, est). */
+  def kmvDistinctBy(values: DataFrame, groupCol: String, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2)
+    val h = graft.textan.TextHash.mixCol(5,
+      graft.textan.TextHash.tokenHashCol(col(valueCol)))
+    values.select(col(groupCol).as("grp"), h.as("h")).distinct()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(asc("h"))))
+      .filter(col("r") <= k)
+      .groupBy("grp").agg(count(lit(1)).as("k_n"), max("h").as("hk"))
+      .select(col("grp"), col("k_n"),
+        when(col("k_n") < k, col("k_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(graft.textan.TextHash.P.toDouble)
+            / col("hk").cast("double")).as("est"))
+  }
+
   /** Point estimates for `terms`: min over the depth probed cells; a cell
     * no key hashed to reads 0. Output (term, est). */
   def cmsEstimate(spark: SparkSession, cms: DataFrame, terms: Seq[String],

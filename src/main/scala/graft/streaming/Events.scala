@@ -270,4 +270,25 @@ object Events {
       .filter(col("_isr") === 0)
       .drop("_isr", "_rv")
   }
+
+  /** Daily-volume anomaly flags — the ops monitor every event pipeline
+    * runs: per-day event counts z-scored against the whole series
+    * (σ = population stddev, the same stddev_pop the NQC operator uses);
+    * |z| > threshold flags the day. A constant series (σ = 0) flags
+    * nothing. One date aggregate + a broadcast 1-row mean/σ — nothing
+    * row-scale after the first aggregate. Output:
+    * (day, n_events, z_r, is_anomaly). */
+  def dailyAnomaly(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val daily = events.select(to_date(col("ts")).cast("string").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(avg(col("n_events").cast("double")).as("mu"),
+      stddev_pop(col("n_events").cast("double")).as("sigma"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n_events"),
+        round(when(col("sigma") === 0.0, lit(0.0))
+          .otherwise((col("n_events").cast("double") - col("mu")) / col("sigma")), 4)
+          .as("z_r"))
+      .withColumn("is_anomaly",
+        (abs(col("z_r")) > lit(threshold)).cast("long"))
+  }
 }

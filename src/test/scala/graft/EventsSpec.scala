@@ -267,4 +267,23 @@ class EventsSpec extends AnyFunSuite {
     assert(got(4L).isEmpty)        // user 20 has no versions; user 30 unseen
     assert(got.size == 4)          // right-only keys produce no rows
   }
+
+  test("dailyAnomaly: z-scores against population sigma, constant series flags nothing") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:0$i%01d:00")
+    // days 1..3 with counts 1, 1, 4: mu = 2, sigma = sqrt(2) -> z = (4-2)/sqrt(2)
+    val ev = (Seq(t(1, 1)) ++ Seq(t(2, 1)) ++ (1 to 4).map(i => t(3, i)))
+      .map(Tuple1(_)).toDF("ts")
+    val got = graft.streaming.Events.dailyAnomaly(ev, threshold = 1.2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val z3 = BigDecimal(2.0 / math.sqrt(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z1 = BigDecimal(-1.0 / math.sqrt(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("2024-01-03") == ((4L, z3, 1L)))
+    assert(got("2024-01-01") == ((1L, z1, 0L)))
+    // constant series: sigma = 0 -> z = 0, nothing flagged
+    val flat = Seq(t(1, 1), t(2, 1)).map(Tuple1(_)).toDF("ts")
+    assert(graft.streaming.Events.dailyAnomaly(flat).collect()
+      .forall(r => r.getDouble(2) == 0.0 && r.getLong(3) == 0L))
+  }
 }

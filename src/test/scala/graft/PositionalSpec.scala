@@ -287,4 +287,16 @@ class PositionalSpec extends AnyFunSuite {
     assert(windowLines.forall(_.contains("bucket")),
       s"every window must partition on bucket:\n${windowLines.mkString("\n")}")
   }
+
+  test("kfoldLedger: every doc tests exactly once; folds follow the permille buckets") {
+    import spark.implicits._
+    val ids = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    val got = graft.pipeline.Splits.kfoldLedger(ids, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._1).sum == 500L)          // partition
+    got.foreach { case (_, (te, tr)) => assert(te + tr == 500L) }
+    val want = (0L until 500L).groupBy(d => graft.pipeline.Splits.bucketS(d) % 5)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+  }
 }

@@ -265,4 +265,17 @@ class StatsSpec extends AnyFunSuite {
     assert(Sketches.kmvDistinct(once, "v", 8).collect().head.getDouble(1)
       == got.getDouble(1))
   }
+
+  test("kmvDistinctBy: exact below k per group, estimator at k, group isolation") {
+    import spark.implicits._
+    import graft.textan.TextHash
+    // group a: 3 distinct values (< k=4 -> exact); group b: 6 distinct (at k)
+    val rows = (Seq("x", "y", "z", "x").map(("a", _)) ++
+      (1 to 6).map(i => ("b", s"v$i"))).toDF("grp", "v")
+    val got = graft.stats.Sketches.kmvDistinctBy(rows, "grp", "v", k = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("a") == ((3L, 3.0)))
+    val hs = (1 to 6).map(i => TextHash.mix(5, TextHash.tokenHash(s"v$i"))).sorted
+    assert(got("b") == ((4L, 3.0 * TextHash.P.toDouble / hs(3).toDouble)))
+  }
 }
