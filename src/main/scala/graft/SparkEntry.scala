@@ -1281,6 +1281,22 @@ object SparkEntry {
       val stream = graft.query.ResultCache.argmaxTermStream(t.postings)
       graft.query.ResultCache.staticCacheStudy(stream, c = 8)
     }),
+    // Query-traffic Gini: how concentrated the load is — the number cache
+    // sizes and replica counts are planned from
+    "ft_query_gini" -> ((s, dir) => {
+      val (_, t) = index(s, dir)
+      val stream = graft.query.ResultCache.argmaxTermStream(t.postings)
+      graft.query.ResultCache.trafficGini(stream)
+    }),
+    // PQ recall vs exact brute force: what the 6-bit codes cost in top-5
+    // agreement — the quantization-quality gate before shipping an index
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = Ann.fixedQueries(s, emb, 5)
+      Ann.recallAtK(
+        Ann.bruteForceTopK(emb, q, 5),
+        Ann.pqAdcTopK(emb, q, k = 5, m = 2, codebook = 8, iters = 2), k = 5)
+    }),
     // Posting-list cache admission by QTF/DF (Baeza-Yates SIGIR 2007):
     // best query-mass per byte, pinned prefix under a df budget of 10%
     "ft_cache_postings" -> ((s, dir) => {
@@ -3451,6 +3467,22 @@ object SparkEntry {
          |       (SELECT count(*) FROM ev)::BIGINT AS n_eval,
          |       (SELECT count(*) FROM ev JOIN cache USING (query))::BIGINT AS hits_static,
          |       (SELECT count(*) FROM ev JOIN freq USING (query))::BIGINT AS hits_infinite""".stripMargin,
+    // Gini twin: same frequency table, same ascending rank window, one
+    // final division
+    "ft_query_gini" ->
+      s"""WITH ${termsCte}, ${postCte},
+         |stream AS (SELECT doc_id AS event_id, term AS query FROM (
+         |    SELECT doc_id, term,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS r
+         |    FROM post) WHERE r = 1),
+         |freq AS (SELECT query, count(*)::BIGINT AS f FROM stream GROUP BY query),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(f)::BIGINT AS tot FROM freq),
+         |rk AS (SELECT f, query,
+         |         row_number() OVER (ORDER BY f ASC, query ASC)::BIGINT AS i FROM freq)
+         |SELECT st.tot AS n_queries, st.n AS distinct_queries,
+         |       round(sum((2 * rk.i - st.n - 1) * rk.f)::DOUBLE
+         |             / (st.n * st.tot)::DOUBLE, 4) AS gini_r
+         |FROM rk, st GROUP BY st.n, st.tot""".stripMargin,
     // posting-cache twin: same argmax stream, same QTF/DF ranking, same
     // cumulative-df budget cut
     "ft_cache_postings" ->
@@ -4236,34 +4268,14 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfSql,
     // PQ-ADC twin: per-subspace codebooks unrolled (same Lloyd recurrence
     // as IVF's twin on the sliced vectors), ADC as the LUT join q1.d + q2.d
-    "ann_pq_adc" -> {
-      val sub = 32
-      def chain(s: Int) = {
-        val e = s"pe$s"
-        s"""$e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM pe),
-           |p${s}c0 AS (SELECT vec_id AS cid, v AS cv FROM $e WHERE vec_id < 8),
-           |${pqIterSql(e, sub, s"p${s}c0", s"p${s}a1", s"p${s}m1", s"p${s}c1")},
-           |${pqIterSql(e, sub, s"p${s}c1", s"p${s}a2", s"p${s}m2", s"p${s}c2")},
-           |code$s AS (SELECT vec_id, cid FROM (
-           |  SELECT e.vec_id, c.cid,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |                            ORDER BY ${d2SqlDim("e.v", "c.cv", sub)} ASC, c.cid ASC) AS rn
-           |  FROM $e e, p${s}c2 c) WHERE rn = 1),
-           |qd$s AS (SELECT q.vec_id AS query_id, c.cid, ${d2SqlDim("q.v", "c.cv", sub)} AS d
-           |         FROM $e q, p${s}c2 c WHERE q.vec_id < 5)""".stripMargin
-      }
-      s"""WITH pe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |${chain(0)},
-         |${chain(1)},
-         |adc AS (SELECT q1.query_id, c0.vec_id, q1.d + q2.d AS adc
-         |        FROM code0 c0 JOIN code1 c1 USING (vec_id)
-         |             JOIN qd0 q1 ON q1.cid = c0.cid
-         |             JOIN qd1 q2 ON q2.cid = c1.cid AND q2.query_id = q1.query_id)
-         |SELECT query_id, rank, vec_id, adc_r FROM (
-         |  SELECT query_id, vec_id, round(adc, 4) AS adc_r,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
-         |  FROM adc) WHERE rank <= 5""".stripMargin
-    },
+    "ann_pq_adc" -> annPqSql,
+    // PQ recall twin: exact brute-force vs the PQ chain, joined per query
+    "ann_pq_recall" ->
+      s"""WITH bf AS ($annBfSql), p AS ($annPqSql)
+         |SELECT bf.query_id, count(p.vec_id)::BIGINT AS hits,
+         |       count(p.vec_id) / 5.0 AS recall_r
+         |FROM bf LEFT JOIN p ON bf.query_id = p.query_id AND bf.vec_id = p.vec_id
+         |GROUP BY bf.query_id""".stripMargin,
     "mm_features" -> mmFeaturesSql,
     "text_lang_id" -> {
       val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
@@ -5238,6 +5250,37 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
+
+  /** DuckDB twin of the PQ-ADC chain — referenced by BOTH ann_pq_adc and
+    ann_pq_recall */
+  private lazy val annPqSql: String = {
+      val sub = 32
+      def chain(s: Int) = {
+        val e = s"pe$s"
+        s"""$e AS (SELECT vec_id, v[${s * sub + 1}:${(s + 1) * sub}] AS v FROM pe),
+           |p${s}c0 AS (SELECT vec_id AS cid, v AS cv FROM $e WHERE vec_id < 8),
+           |${pqIterSql(e, sub, s"p${s}c0", s"p${s}a1", s"p${s}m1", s"p${s}c1")},
+           |${pqIterSql(e, sub, s"p${s}c1", s"p${s}a2", s"p${s}m2", s"p${s}c2")},
+           |code$s AS (SELECT vec_id, cid FROM (
+           |  SELECT e.vec_id, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY ${d2SqlDim("e.v", "c.cv", sub)} ASC, c.cid ASC) AS rn
+           |  FROM $e e, p${s}c2 c) WHERE rn = 1),
+           |qd$s AS (SELECT q.vec_id AS query_id, c.cid, ${d2SqlDim("q.v", "c.cv", sub)} AS d
+           |         FROM $e q, p${s}c2 c WHERE q.vec_id < 5)""".stripMargin
+      }
+      s"""WITH pe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${chain(0)},
+         |${chain(1)},
+         |adc AS (SELECT q1.query_id, c0.vec_id, q1.d + q2.d AS adc
+         |        FROM code0 c0 JOIN code1 c1 USING (vec_id)
+         |             JOIN qd0 q1 ON q1.cid = c0.cid
+         |             JOIN qd1 q2 ON q2.cid = c1.cid AND q2.query_id = q1.query_id)
+         |SELECT query_id, rank, vec_id, adc_r FROM (
+         |  SELECT query_id, vec_id, round(adc, 4) AS adc_r,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+         |  FROM adc) WHERE rank <= 5""".stripMargin
+    }
 
   private def annIvfSql: String = {
     val iters = (1 to 4).map(t => ivfIterSql(s"c${t - 1}", s"a$t", s"m$t", s"c$t")).mkString(",\n")

@@ -77,6 +77,31 @@ object ResultCache {
         col("hit_mass"), col("total_mass"))
   }
 
+  /** Query-traffic concentration as a Gini coefficient (Lorenz/Gini —
+    * standard inequality measure; applied to query logs in the caching
+    * literature, e.g. Baeza-Yates et al. 2007's skew analyses): how much
+    * of the traffic the head queries carry decides cache sizes, replica
+    * counts and admission policies before any simulation runs.
+    *
+    *   G = Σ_i (2i − n − 1)·x_i / (n·Σx),  x sorted ascending
+    *
+    * Integer numerator/denominator, ONE final IEEE division — hash-exact
+    * to the rounding tolerance. The rank window runs over the DISTINCT
+    * query frequency table (dictionary-sized), never the raw log. Returns
+    * one row: (n_queries, distinct_queries, gini_r). */
+  def trafficGini(stream: DataFrame): DataFrame = {
+    val freq = stream.groupBy("query").agg(count(lit(1)).as("f"))
+    val st = freq.agg(count(lit(1)).as("n"), sum("f").as("tot"))
+    val ranked = freq.withColumn("i", row_number().over(
+      Window.orderBy(asc("f"), asc("query"))).cast("long"))
+    ranked.crossJoin(broadcast(st))
+      .agg(sum((lit(2L) * col("i") - col("n") - lit(1L)) * col("f")).as("num"),
+        max("n").as("n"), max("tot").as("tot"))
+      .select(col("tot").as("n_queries"), col("n").as("distinct_queries"),
+        round(col("num").cast("double") / (col("n") * col("tot")).cast("double"), 4)
+          .as("gini_r"))
+  }
+
   /** Deterministic query stream synthesized from the corpus: event i is
     * document i's most frequent term (ties lexicographic) — the stream
     * inherits the vocabulary's Zipf skew, which is exactly what makes

@@ -80,4 +80,16 @@ class TaatSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       == ((2L, 1L, 2L, 3L, 4L)))
   }
+
+  test("trafficGini: closed form on frequencies [1,1,2]; uniform traffic scores 0") {
+    val stream = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "c"))
+      .toDF("event_id", "query")
+    val r = ResultCache.trafficGini(stream).collect().head
+    // x asc = [1,1,2], n=3, tot=4: num = -2 + 0 + 4 = 2 -> G = 2/12
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)))
+    assert(r.getDouble(2) == BigDecimal(2.0 / 12.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val flat = Seq((0L, "a"), (1L, "b")).toDF("event_id", "query")
+    assert(ResultCache.trafficGini(flat).collect().head.getDouble(2) == 0.0)
+  }
 }
