@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   * because the diagnostic is run offline on samples, not per query. */
 object IndexLayout {
 
+  /** Hard cap for the single-partition diagnostic sorts in this file
+    * ([[remapByUrl]]) and in [[graft.query.Search.faginTaStudy]]: these
+    * run a global `row_number` window, which Spark executes on ONE
+    * partition — fine offline on samples, a scale-killer if someone
+    * points them at a production corpus. The guard counts at most
+    * `max + 1` rows (limit-then-count, so the check itself is bounded)
+    * and refuses to plan the window beyond the cap. */
+  val DiagnosticMaxRows = 2000000L
+
+  /** bounded-cost size guard: scans at most maxRows + 1 rows */
+  def requireDiagnosticSize(df: DataFrame, what: String,
+                            maxRows: Long = DiagnosticMaxRows): Unit = {
+    val n = df.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(n <= maxRows,
+      s"$what is an offline single-partition diagnostic (global sort window); " +
+        s"input exceeds maxRows=$maxRows — run it on a hash-sample instead, " +
+        s"e.g. .filter(pmod(hash(col(\"doc_id\")), lit(100)) === 0)")
+  }
+
   /** exact LEB128 byte count of a positive BIGINT, by integer thresholds */
   def varintBytes(v: Column): Column =
     when(v < (1L << 7), lit(1L))
@@ -52,12 +71,16 @@ object IndexLayout {
   }
 
   /** URL-order docID remap: (doc_id, new_id) with new_id dense in
-    * (repo, path, doc_id) order. */
-  def remapByUrl(corpus: DataFrame): DataFrame =
+    * (repo, path, doc_id) order. Diagnostic form only — guarded by
+    * [[requireDiagnosticSize]] (the production remap is the two-phase
+    * distributed sort the build performs; see the object docstring). */
+  def remapByUrl(corpus: DataFrame, maxRows: Long = DiagnosticMaxRows): DataFrame = {
+    requireDiagnosticSize(corpus, "remapByUrl", maxRows)
     corpus.select(col("doc_id"), col("repo"), col("path"))
       .withColumn("new_id", (row_number().over(
         Window.orderBy(asc("repo"), asc("path"), asc("doc_id"))) - 1).cast("long"))
       .select("doc_id", "new_id")
+  }
 
   /** Front-coding study of the term DICTIONARY (Manning IIR §5.2: blocked
     * front coding — consecutive sorted terms share prefixes, so store
@@ -85,7 +108,10 @@ object IndexLayout {
       .withColumn("lcp", lcpExpr.cast("long"))
       .withColumn("raw_b", varintBytes(col("len")) + col("len"))
       .withColumn("front_b",
-        when(col("rn") % block === 1, col("raw_b"))
+        // block heads at rn = 1, block+1, 2·block+1, …: (rn−1) % block == 0
+        // is correct for ALL block ≥ 1 (rn % block == 1 is never true when
+        // block = 1, which would front-code every term with no restarts)
+        when((col("rn") - 1) % block === 0, col("raw_b"))
           .otherwise(varintBytes(col("lcp")) + varintBytes(col("len") - col("lcp"))
             + (col("len") - col("lcp"))))
     rows.agg(count(lit(1)).as("n_terms"),

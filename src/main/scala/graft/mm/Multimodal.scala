@@ -84,7 +84,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.modality == "video").flatMap { r =>
-      val n = math.max(0, (r.bytes.length - frameLen) / stride + 1)
+      // floor semantics matching the DuckDB twin's `//`: a blob shorter than
+      // frameLen yields ZERO frames (no short tail frame). Java integer
+      // division truncates toward zero, so (len-frameLen)/stride would be 0
+      // (not negative) for len < frameLen and the old max(0,..)+1 emitted a
+      // spurious 1-frame result — guard explicitly instead.
+      val n = if (r.bytes.length < frameLen) 0 else (r.bytes.length - frameLen) / stride + 1
       (0 until n).map(f => (r.media_id, f, r.bytes.slice(f * stride, f * stride + frameLen)))
     }.toDF("media_id", "frame_no", "frame_bytes")
   }

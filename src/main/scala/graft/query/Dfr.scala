@@ -4,7 +4,13 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Divergence-from-randomness PL2 ranking (Amati & van Rijsbergen, TOIS
-  * 2002 — public literature; Terrier's default model). The third scoring
+  * 2002 — public literature; the model family Terrier ships as its
+  * default). NOTE: the Stirling correction term Terrier's PL2 adds —
+  * (1/(12·tfn))·log2(e) — is intentionally dropped here on BOTH engines
+  * (Scala and the DuckDB twin evaluate the identical truncated form), so
+  * scores differ slightly from actual Terrier output; ranking behavior of
+  * the divergence family is what this operator demonstrates. The third
+  * scoring
   * family beside BM25 (tf saturation) and Dirichlet QL (LM smoothing):
   * a term informs a document to the degree its in-document frequency
   * diverges from a Poisson model of random occurrence, normalized by the

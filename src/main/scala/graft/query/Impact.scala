@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *
   *   impact(w) = 1 + floor((w − wmin) / (wmax − wmin) · L)   ∈ [1, L+1]
   *
+  * Storage convention: the range is [1, 2^b] (L+1 = 2^b values), so a
+  * b-bit stream stores impact − 1 ∈ [0, 2^b − 1]; the +1 keeps impacts
+  * strictly positive so they ride the same positive-integer varint/Rice
+  * stream as the gaps without a zero special case.
+  *
   * Both engines evaluate the identical IEEE expression (same BM25
   * decomposition, same division/multiplication order), so the floor —
   * the only discretization point — lands on the same integer.
@@ -58,11 +63,14 @@ object Impact {
     * IN-filtered scan + one integer hash aggregate + a k-row heap
     * (WindowGroupLimit) — no stats joins, no floats. */
   def impactTopK(quantized: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    // duplicate query terms would make n_terms === terms.size unsatisfiable
+    // (postings are unique per (term, doc)); dedupe like bm25TopKBatch does
+    val uniq = terms.distinct
     val cand = quantized
-      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .filter(col("term").isin(uniq.map(x => x: Any): _*))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("impact").as("impact"))
-      .filter(col("n_terms") === terms.size)
+      .filter(col("n_terms") === uniq.size)
       .select(col("doc_id"), col("impact"))
     Search.rankTopK(cand, k, Seq(desc("impact"), asc("doc_id")))
       .select(col("rank"), col("doc_id"), col("impact"))

@@ -415,7 +415,11 @@ object Search {
     * same sort an impact-ordered index build already pays — in production
     * the lists are PRE-sorted index artifacts and this entire study is a
     * merge over two cursors), one depth join, one running-max window. */
-  def faginTaStudy(attrs: DataFrame, wB: Long): DataFrame = {
+  def faginTaStudy(attrs: DataFrame, wB: Long,
+                   maxRows: Long = graft.index.IndexLayout.DiagnosticMaxRows): DataFrame = {
+    // offline diagnostic: two corpus-sized global row_number windows below —
+    // the guard refuses production-sized inputs (bounded limit-then-count)
+    graft.index.IndexLayout.requireDiagnosticSize(attrs, "faginTaStudy", maxRows)
     val fa = attrs.select(col("doc_id"), col("a"), col("b"),
       (col("b") * lit(wB) + col("a")).as("f"))
     val ranked = fa

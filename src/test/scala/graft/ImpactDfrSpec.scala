@@ -45,6 +45,15 @@ class ImpactDfrSpec extends AnyFunSuite {
       got.sortBy(_._1).map(_._3).reverse))              // impact desc by rank
   }
 
+  test("impactTopK: duplicate query terms dedupe instead of silently matching nothing") {
+    val (p, ds, ts, n, avgDl) = fixture
+    val qz = Impact.quantize(p, ds, ts, n, avgDl)
+    val dup = Impact.impactTopK(qz, Seq("a", "b", "a"), k = 10).collect()
+    val uni = Impact.impactTopK(qz, Seq("a", "b"), k = 10).collect()
+    assert(dup.nonEmpty && dup.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      uni.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("impact serve plan: no stats joins — one scan + one integer aggregate") {
     val (p, ds, ts, n, avgDl) = fixture
     val qz = Impact.quantize(p, ds, ts, n, avgDl).cache()

@@ -45,6 +45,33 @@ class IndexLayoutSpec extends AnyFunSuite {
     assert(got("url_sorted") == ((3L, 3L)))
   }
 
+  test("diagnostic guard: remapByUrl and faginTaStudy refuse over-cap inputs, pass under-cap") {
+    val corpus = (0L until 10L).map(i => (i, "r", s"p$i")).toDF("doc_id", "repo", "path")
+    // under the cap: plans fine
+    assert(IndexLayout.remapByUrl(corpus, maxRows = 10L).count() == 10L)
+    // over the cap: require fires before any window is planned
+    val e1 = intercept[IllegalArgumentException] {
+      IndexLayout.remapByUrl(corpus, maxRows = 9L)
+    }
+    assert(e1.getMessage.contains("remapByUrl"))
+    val attrs = (0L until 10L).map(i => (i, i, 10L - i)).toDF("doc_id", "a", "b")
+    assert(graft.query.Search.faginTaStudy(attrs, wB = 10L, maxRows = 10L).count() == 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.query.Search.faginTaStudy(attrs, wB = 10L, maxRows = 9L)
+    }
+    assert(e2.getMessage.contains("faginTaStudy"))
+  }
+
+  test("frontCodeStudy: block=1 makes every term a restart head (no front coding)") {
+    // regression for the (rn−1) % block head rule: with block=1 front bytes
+    // must equal raw bytes exactly — the old rn % 1 == 1 test never marked
+    // a head and front-coded everything
+    val dict = Seq("beta", "alpha", "alphabet").toDF("term")
+    val r = IndexLayout.frontCodeStudy(dict, "t", block = 1).collect().head
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("frontCodeStudy: exact byte model with block restarts and full-prefix lcp") {
     import spark.implicits._
     // sorted: alpha(head, 6B) | alphabet(lcp 5, 1+1+3=5B) | beta(head, 5B)

@@ -59,13 +59,26 @@ class MultimodalSpec extends AnyFunSuite {
     val m = Multimodal.mediaFromDocuments(spark, sfDir)
     val frames = Multimodal.sampleFrames(m, stride = 64, frameLen = 16).collect()
     val vids = m.collect().filter(_.modality == "video")
-    val expect = vids.map(v => v.media_id -> math.max(0, (v.bytes.length - 16) / 64 + 1)).toMap
+    val expect = vids.map(v => v.media_id ->
+      (if (v.bytes.length < 16) 0 else (v.bytes.length - 16) / 64 + 1)).toMap
     val got = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(got == expect.filter(_._2 > 0))
     // frame 0 is the first 16 bytes
     val v0 = vids.minBy(_.media_id)
     val f0 = frames.filter(r => r.getLong(0) == v0.media_id && r.getInt(1) == 0).head
     assert(f0.getAs[Array[Byte]](2).toSeq == v0.bytes.take(16).toSeq)
+  }
+
+  test("sampleFrames floor semantics: blob shorter than frameLen yields ZERO frames") {
+    import spark.implicits._
+    // matches the DuckDB twin's floor division: no spurious short tail frame
+    val rows = Seq(
+      Multimodal.MediaRow(7L, "video", Array.fill[Byte](10)(1), 1, 1, 0),  // < frameLen
+      Multimodal.MediaRow(8L, "video", Array.fill[Byte](16)(1), 1, 1, 0)   // exactly one
+    ).toDS()
+    val got = Multimodal.sampleFrames(rows, stride = 64, frameLen = 16).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got == Map(8L -> 1))
   }
 
   test("resizePlan: aspect-fit integer geometry, landscape and portrait") {
