@@ -1546,6 +1546,14 @@ object SparkEntry {
       val (c, _) = index(s, dir)
       Dedup.exact(c)
     }),
+    // ExactSubstr duplicated-span REMOVAL (Lee et al. 2022): every 8-token
+    // span repeated anywhere in the corpus is dropped keep-first
+    // (min (doc_id, pos)); emits the REWRITTEN per-doc content — the dedup
+    // most large pretraining corpora actually run, beyond pair detection
+    "dedup_substring_rm" -> ((s, dir) => {
+      val (c, _) = index(s, dir)
+      graft.dedup.SubstrDedup.rewrite(c, w = 8)
+    }),
     // canonical-URL dedup: deterministic synthetic URL variants per doc
     // (clean vs tracking/case/slash/fragment-noised) must collapse to one
     // canonical form — the crawl-frontier one-fetch-per-page normalizer
@@ -4083,6 +4091,36 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    // ExactSubstr twin: replays the identical anchor → keep-first →
+    // span-union → rewrite chain (w = 8). Keep-first is the lexicographic
+    // (doc_id, pos) minimum (row_number twin of Spark's min-of-struct);
+    // the rewrite anti-joins marked token indices and re-joins in order.
+    "dedup_substring_rm" ->
+      s"""WITH ${tokArrCte},
+         |tp AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos FROM tokarr),
+         |anch AS (SELECT doc_id,
+         |           unnest(range(greatest(len(arr) - 7, 0))) AS pos,
+         |           unnest(list_transform(range(greatest(len(arr) - 7, 0)),
+         |             i -> array_to_string(arr[i + 1:i + 8], ' '))) AS sh
+         |         FROM tokarr),
+         |firsts AS (SELECT sh, doc_id AS fdoc, pos AS fpos FROM (
+         |    SELECT sh, doc_id, pos,
+         |           row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+         |           count(*) OVER (PARTITION BY sh) AS cnt
+         |    FROM anch) WHERE rn = 1 AND cnt > 1),
+         |rm AS (SELECT a.doc_id, a.pos FROM anch a JOIN firsts f USING (sh)
+         |       WHERE NOT (a.doc_id = f.fdoc AND a.pos = f.fpos)),
+         |rmtok AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx FROM rm),
+         |kept AS (SELECT t.doc_id, t.term, t.pos FROM tp t
+         |         LEFT JOIN rmtok r ON t.doc_id = r.doc_id AND t.pos = r.idx
+         |         WHERE r.doc_id IS NULL),
+         |ag AS (SELECT doc_id, count(*)::BIGINT AS nk,
+         |              array_to_string(list(term ORDER BY pos), ' ') AS cd
+         |       FROM kept GROUP BY doc_id)
+         |SELECT ta.doc_id, len(ta.arr)::BIGINT AS n_tokens,
+         |       (len(ta.arr) - coalesce(ag.nk, 0))::BIGINT AS n_removed,
+         |       coalesce(ag.cd, '') AS content_dedup
+         |FROM tokarr ta LEFT JOIN ag USING (doc_id)""".stripMargin,
     // canonical-URL twin: the SAME synthetic variants and the SAME
     // RE2-safe regex chain, step for step (fragment → mid tracking →
     // trailing tracking → host lowering → trailing slash)
