@@ -30,8 +30,12 @@ object Bench {
     val tables = InvertedIndex.build(corpus,
       knownNDocs = if (gen) source.stripPrefix("gen:").toLong else -1L)
     var t = phase("aggregates(nDocs+avgDl)", t0)
-    val shards = IndexWriter.shardPostings(tables.postings, tables.docStats, tables.avgDl)
-    IndexWriter.write(shards, outDir, snapshotId = 1L, resume = false)
+    // fused encode: ONE exchange lands rows in their final (bucket, salt)
+    // write placement before encoding, so write() skips its post-encode
+    // repartition of the multi-KB blobs (preArranged) — removes two
+    // exchanges + a stage barrier from the measured full-build path
+    val shards = IndexWriter.shardPostingsAligned(tables.postings, tables.docStats, tables.avgDl)
+    IndexWriter.write(shards, outDir, snapshotId = 1L, resume = false, preArranged = true)
     TableIO.writeMeta(outDir, TableIO.IndexMeta(tables.nDocs, tables.avgDl))
     t = phase("encode+write+lineage", t)
     tables.postings.unpersist() // reps would otherwise accumulate caches
@@ -70,6 +74,13 @@ object Bench {
     // query set timings (each forces full execution via count)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("index_build") = buildSec
+    // ONE-TIME aux-artifact build (persisted bucket index + champions +
+    // per-repo stats + kgrams + SQ8 codes + bootstrap metric relations),
+    // timed as its own entry so no _persisted query absorbs it and the
+    // per-query ledger stays comparable round-over-round
+    val tAux = System.nanoTime()
+    SparkEntry.persistedAux(spark, sfDir)
+    results("index_aux_build") = (System.nanoTime() - tAux) / 1e9
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => results(name) = -1.0 }

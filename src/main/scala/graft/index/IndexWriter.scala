@@ -77,6 +77,71 @@ object IndexWriter {
       }
   }
 
+  /** write-placement salt: raises (bucket, salt) key granularity to ~4
+    * units/core so the write wave is level (see the layout note in write) */
+  def saltKFor(spark: SparkSession, cfg: Config): Int =
+    math.max(1, Math.ceil(
+      4.0 * spark.sparkContext.defaultParallelism / cfg.nBuckets).toInt)
+
+  /** Fused encode for FULL builds: one exchange instead of three. The rows
+    * repartition on (bucket, shard % saltK) — the write's own placement key
+    * — BEFORE encoding, sort within each partition on (term, shard,
+    * doc_id), and a streaming mapPartitions cuts consecutive (term, shard)
+    * groups. Identical ShardPosting rows to [[shardPostings]] (spec-pinned
+    * byte equality), but:
+    *   - the docStats join satisfies its distribution straight off the
+    *     doc_id-partitioned postings cache (no exchange),
+    *   - the (term, shard) grouping rides the (bucket, salt) exchange —
+    *     every (term, shard) group lands whole because bucket = f(term)
+    *     and salt = f(shard),
+    *   - the encoded BLOBS never cross the wire: they are born in their
+    *     final write placement, so `write(..., preArranged = true)` skips
+    *     its post-encode repartition entirely.
+    * The within-partition sort is Spark's spillable external sort (the
+    * in-memory per-group sort in shardPostings bounds memory by
+    * docsPerShard; this bounds it by nothing at all). Skew unchanged: the
+    * placement granularity is the same (bucket, salt) key the write used
+    * anyway. Used by the full-build path (Bench / buildAndWrite);
+    * bucket-scoped upserts keep [[shardPostings]] (they pre-filter buckets
+    * before the encode). */
+  def shardPostingsAligned(postings: DataFrame, docStats: DataFrame, avgDl: Double,
+                           cfg: Config = Config()): Dataset[ShardPosting] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val dps = cfg.docsPerShard
+    val nb = cfg.nBuckets
+    val saltK = saltKFor(spark, cfg)
+    postings.join(docStats, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf").cast("int").as("tf"),
+        col("dl").cast("int").as("dl"),
+        (col("doc_id") / lit(dps)).cast("int").as("shard"))
+      .repartition(nb * saltK, bucketCol(col("term"), nb),
+        pmod(col("shard"), lit(saltK)))
+      .sortWithinPartitions("term", "shard", "doc_id")
+      .as[(String, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[ShardPosting] {
+          def hasNext: Boolean = b.hasNext
+          def next(): ShardPosting = {
+            val head = b.head
+            val (term, shard) = (head._1, head._5)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
+            while (b.hasNext && b.head._1 == term && b.head._5 == shard) {
+              val r = b.next()
+              buf += PostingCodec.Posting(r._2, r._3, r._4)
+            }
+            // rows arrive docId-sorted from sortWithinPartitions; encode
+            // asserts monotone docIds itself, so no re-sort is needed
+            val bytes = PostingCodec.encode(buf.toIndexedSeq,
+              (tf, dl) => Bm25.tfNormS(tf, dl, avgDl))
+            val maxNorm = new PostingCodec.Decoded(bytes).maxTfNorm
+            ShardPosting(term, shard, bucketOf(term, nb), buf.length, maxNorm, bytes)
+          }
+        }
+      }
+  }
+
   /** Two-phase salted merge of per-shard runs into one global posting list
     * per term (north star "merge shards with a salted-key repartition").
     * Phase 1 groups (term, shard/saltWidth) — bounded fan-in concat of
@@ -116,7 +181,8 @@ object IndexWriter {
     */
   def write(shards: Dataset[ShardPosting], tableDir: String, snapshotId: Long,
             cfg: Config = Config(), resume: Boolean = true,
-            auditLineage: Boolean = false, statusTime: Long = 0L): TableIO.Manifest = {
+            auditLineage: Boolean = false, statusTime: Long = 0L,
+            preArranged: Boolean = false): TableIO.Manifest = {
     // sub-phase timer for the scaling diagnosis, on only under BENCH_PHASES
     // (same env gate as Bench.buildIndex's coarse phases)
     var tPhase = System.nanoTime()
@@ -192,10 +258,17 @@ object IndexWriter {
     // O(nBuckets×saltK) — at 1000 executors size nBuckets up (e.g. 4096)
     // and saltK stays small.
     phase("setup")
-    val saltK = math.max(1, Math.ceil(
-      4.0 * spark.sparkContext.defaultParallelism / cfg.nBuckets).toInt)
-    todo.repartition(cfg.nBuckets * saltK, col("bucket"), pmod(col("shard"), lit(saltK)))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
+    // preArranged: the rows were repartitioned on the SAME (bucket, salt)
+    // key BEFORE the encode (shardPostingsAligned), so the multi-KB blobs
+    // are already in their final placement — repeating the exchange here
+    // would move every encoded byte through the wire a second time for an
+    // identical layout. Non-aligned callers (upserts, ad-hoc shard sets)
+    // keep the exchange.
+    val placed =
+      if (preArranged) todo
+      else todo.repartition(cfg.nBuckets * saltKFor(spark, cfg),
+        col("bucket"), pmod(col("shard"), lit(saltKFor(spark, cfg))))
+    placed.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$tableDir/data")
     phase("encode+shuffle+parquet")
     val lineage: Array[TableIO.PartitionLineage] = if (observeLineage) {
       // harvest the metrics the write job already computed; a bucket with
@@ -279,8 +352,8 @@ object IndexWriter {
   def compact(corpus: org.apache.spark.sql.DataFrame, tableDir: String,
               snapshotId: Long, cfg: Config = Config()): TableIO.Manifest = {
     val tables = InvertedIndex.build(corpus)
-    val shards = shardPostings(tables.postings, tables.docStats, tables.avgDl, cfg)
-    val m = write(shards, tableDir, snapshotId, cfg, resume = false)
+    val shards = shardPostingsAligned(tables.postings, tables.docStats, tables.avgDl, cfg)
+    val m = write(shards, tableDir, snapshotId, cfg, resume = false, preArranged = true)
     TableIO.writeMeta(tableDir, TableIO.IndexMeta(tables.nDocs, tables.avgDl))
     tables.postings.unpersist()
     m

@@ -124,7 +124,16 @@ object InvertedIndex {
             knownNDocs: Long = -1L,
             lexicons: Map[String, Analyzer.Lexicon] = Map.empty,
             defaultLexicon: Analyzer.Lexicon = Analyzer.emptyLexicon): Tables = {
+    // The tf aggregate keeps its map-side partial combine (exchange on
+    // (doc_id, term)), then ONE extra postings-sized repartition lands the
+    // cached relation on HashPartitioning(doc_id). Everything downstream
+    // that clusters on doc_id — the dl aggregate below, the docStats join
+    // on the encode path, every BM25 docStats join — now satisfies its
+    // distribution straight off the cache, removing two exchanges and two
+    // stage barriers per consumer (the round-4 Amdahl serial cost lived in
+    // exactly those barriers).
     val p = postings(tokensByLang(corpus, lexicons, defaultLexicon))
+      .repartition(col("doc_id"))
     val pc = if (cacheTokens)
       p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else p

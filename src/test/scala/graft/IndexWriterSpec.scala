@@ -29,6 +29,35 @@ class IndexWriterSpec extends AnyFunSuite {
       .select(col("term"), col("shard"), xxhash64(col("term"), col("shard"), col("bytes")).as("h"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
 
+  test("shardPostingsAligned ≡ shardPostings: identical ShardPosting rows, byte-exact blobs") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus)
+    def fp(ds: org.apache.spark.sql.Dataset[graft.index.ShardPosting]) =
+      ds.collect().map(s => (s.term, s.shard) ->
+        (s.bucket, s.numDocs, s.maxTfNorm, s.bytes.toSeq)).toMap
+    val base = fp(IndexWriter.shardPostings(t.postings, t.docStats, t.avgDl, cfg))
+    val aligned = fp(IndexWriter.shardPostingsAligned(t.postings, t.docStats, t.avgDl, cfg))
+    assert(aligned.keySet == base.keySet)
+    // byte equality per (term, shard): the fused path must be a pure
+    // layout optimization, never a semantic one
+    aligned.foreach { case (k, v) => assert(v == base(k), s"mismatch at $k") }
+  }
+
+  test("preArranged write ≡ exchanged write: same on-disk fingerprint + lineage") {
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+    val t = InvertedIndex.build(corpus)
+    val exDir = tmpDir()
+    IndexWriter.write(buildShards(), exDir, 1L, cfg)
+    val paDir = tmpDir()
+    val m = IndexWriter.write(
+      IndexWriter.shardPostingsAligned(t.postings, t.docStats, t.avgDl, cfg),
+      paDir, 1L, cfg, preArranged = true)
+    assert(indexFingerprint(paDir) == indexFingerprint(exDir))
+    val want = TableIO.readCurrent(exDir).get
+    assert(m.partitions.map(p => (p.partition, p.rows, p.hashAgg)).toSet ==
+      want.partitions.map(p => (p.partition, p.rows, p.hashAgg)).toSet)
+  }
+
   test("write commits a manifest with complete per-bucket lineage") {
     val dir = tmpDir()
     val shards = buildShards().cache()
