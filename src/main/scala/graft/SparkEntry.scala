@@ -410,18 +410,34 @@ object SparkEntry {
     auxCache.computeIfAbsent(s"${s.hashCode}|$dir", _ => {
       val tableDir = persistedIndex(s, dir)
       val (c, t) = index(s, dir)
-      graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 5, tableDir)
-      graft.stats.Stats.persistRepoTermStats(
-        InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), tableDir)
-      QueryFrontend.persistKgrams(t.termStats, tableDir)
-      graft.ann.Quantize.persist(s.read.parquet(s"$dir/embeddings.parquet"), 64, tableDir)
       // per-query evaluation metrics for the fixed df-top-40 bootstrap log:
       // the two FULL ranking passes are index-build-time products (the
       // bootstrap itself is cheap b·Q-row work) — committed with the same
       // writeAux lineage contract champions use, read COLD by the entry
       val (mA, mB) = bootstrapMetrics(s, dir)
-      IndexWriter.writeAux(mA, tableDir, "eval_metrics_a")
-      IndexWriter.writeAux(mB, tableDir, "eval_metrics_b")
+      // the six artifacts are INDEPENDENT derivatives of the one committed
+      // snapshot: submit them from separate driver threads so Spark
+      // schedules the jobs side by side (none saturates the cluster alone;
+      // a multi-executor driver overlaps them the same way). writeAux
+      // serializes only the manifest read-modify-commit, so no lineage row
+      // is lost to a concurrent committer.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      def job(body: => Unit): Future[Unit] = Future {
+        org.apache.spark.sql.SparkSession.setActiveSession(s); body
+      }
+      val jobs = Seq(
+        job(graft.index.Champions.persist(t.postings, t.docStats, t.avgDl, m = 5, tableDir)),
+        job(graft.stats.Stats.persistRepoTermStats(
+          InvertedIndex.termStatsByRepo(InvertedIndex.tokens(c)), tableDir)),
+        job(QueryFrontend.persistKgrams(t.termStats, tableDir)),
+        job(graft.ann.Quantize.persist(s.read.parquet(s"$dir/embeddings.parquet"), 64, tableDir)),
+        job(IndexWriter.writeAux(mA, tableDir, "eval_metrics_a")),
+        job(IndexWriter.writeAux(mB, tableDir, "eval_metrics_b")))
+      try jobs.foreach(Await.result(_, Duration.Inf))
+      finally { pool.shutdown(); () }
       tableDir
     })
 

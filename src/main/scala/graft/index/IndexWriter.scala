@@ -372,7 +372,18 @@ object IndexWriter {
     *    cold reader can never see an artifact inconsistent with the
     *    postings it was derived from.
     * `partitionCols` lets term-keyed artifacts keep the same bucket
-    * partition pruning as the postings. */
+    * partition pruning as the postings.
+    *
+    * Concurrency: builders of DISTINCT artifact names may run in parallel
+    * (the driver overlaps independent aux jobs — see SparkEntry
+    * .persistedAux); the expensive parquet write + lineage scan runs
+    * unlocked, and only the manifest read-modify-commit serializes under a
+    * per-tableDir lock, re-reading the manifest inside the critical section
+    * so no concurrent artifact's lineage row is lost. Two concurrent
+    * writers of the SAME name remain a caller bug (they would race the
+    * Overwrite of one parquet dir). */
+  private val auxCommitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def writeAux(df: DataFrame, tableDir: String, name: String,
                partitionCols: Seq[String] = Nil,
                resume: Boolean = true): TableIO.Manifest = {
@@ -398,10 +409,17 @@ object IndexWriter {
           p.getFileName.toString.endsWith(".parquet"))
         .map(java.nio.file.Files.size).sum
     }
-    val m = prev.copy(aux = prev.aux.filterNot(_.name == name) :+
-      TableIO.AuxLineage(name, r.getLong(0), bytes, r.getLong(1)))
-    TableIO.commit(tableDir, m)
-    m
+    val lock = auxCommitLocks.computeIfAbsent(
+      java.nio.file.Paths.get(tableDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+    lock.synchronized {
+      val cur = TableIO.readCurrent(tableDir).getOrElse(sys.error(
+        s"index manifest vanished during aux write of '$name' at $tableDir"))
+      val m = cur.copy(aux = cur.aux.filterNot(_.name == name) :+
+        TableIO.AuxLineage(name, r.getLong(0), bytes, r.getLong(1)))
+      TableIO.commit(tableDir, m)
+      m
+    }
   }
 
   /** Merge two INDEPENDENTLY BUILT committed indexes into a third without

@@ -370,6 +370,34 @@ class IndexWriterSpec extends AnyFunSuite {
     assert(TableIO.readCurrent(dir).get.aux.count(_.name == graft.index.Champions.auxName) == 1)
   }
 
+  test("concurrent writeAux of distinct artifacts loses no lineage row") {
+    // persistedAux overlaps the independent aux builds from separate driver
+    // threads; the manifest read-modify-commit must serialize, or a slow
+    // committer clobbers a fast one's aux row. 8 concurrent writers of
+    // distinct names → all 8 lineage rows land, each with its own count.
+    import spark.implicits._
+    val (dir, _) = buildIndexed()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val names = (1 to 8).map(i => s"conc_art_$i")
+    val jobs = names.zipWithIndex.map { case (name, i) =>
+      Future {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        IndexWriter.writeAux((0 to i).map(v => (v.toLong, s"row$v")).toDF("k", "v"), dir, name)
+      }
+    }
+    try jobs.foreach(Await.result(_, Duration.Inf))
+    finally { pool.shutdown(); () }
+    val man = TableIO.readCurrent(dir).get
+    names.zipWithIndex.foreach { case (name, i) =>
+      val lin = man.aux.find(_.name == name)
+      assert(lin.exists(_.rows == i + 1), s"lost or wrong lineage for $name: $lin")
+      assert(IndexWriter.readAux(spark, dir, name).count() == i + 1)
+    }
+  }
+
   test("postings mutation decommits aux artifacts; readAux then fails fast") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
