@@ -398,6 +398,24 @@ class IndexWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("persistedAux commits all seven artifacts with cold-read-consistent lineage") {
+    // end-to-end over the real concurrent build path: one call must leave
+    // the manifest carrying every artifact the serving queries cold-read,
+    // each lineage row agreeing with what a cold reader actually scans
+    val tableDir = SparkEntry.persistedAux(spark, "/root/testdata/sf0.001")
+    val man = TableIO.readCurrent(tableDir).get
+    val want = Seq(graft.index.Champions.auxName, graft.stats.Stats.repoTermStatsAux,
+      graft.query.QueryFrontend.kgramAuxName, "sq8_codes", "sq8_params",
+      "eval_metrics_a", "eval_metrics_b")
+    for (name <- want) {
+      val lin = man.aux.find(_.name == name)
+      assert(lin.nonEmpty, s"artifact '$name' missing from manifest aux rows")
+      assert(lin.get.rows > 0 && lin.get.bytes > 0, s"empty lineage for '$name': ${lin.get}")
+      assert(IndexWriter.readAux(spark, tableDir, name).count() == lin.get.rows,
+        s"cold row count disagrees with lineage for '$name'")
+    }
+  }
+
   test("postings mutation decommits aux artifacts; readAux then fails fast") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
